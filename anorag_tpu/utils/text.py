@@ -1,0 +1,116 @@
+"""Text utilities: tokenization, sentence splitting, entity fallback.
+
+The word tokenizer matches the reference's BM25 tokenizer semantics
+(/root/reference/utils/bm25_search.py:237-241: lowercase `\\b\\w+\\b`) so BM25
+scores are bit-comparable with the reference pipeline.
+"""
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterable, List, Optional
+
+_WORD_RE = re.compile(r"\b\w+\b", re.UNICODE)
+_SENT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9\"'(])|(?<=[。！？])")
+_CAP_SPAN_RE = re.compile(
+    r"\b(?:[A-Z][\w'&.-]*)(?:\s+(?:of|the|de|von|van|da|and|&|[A-Z][\w'&.-]*))*"
+)
+_QUOTED_RE = re.compile(r'"([^"]{2,80})"|“([^”]{2,80})”')
+_YEAR_RE = re.compile(r"\b(1[0-9]{3}|20[0-9]{2})\b")
+
+STOPWORDS = frozenset(
+    """a an the and or but if then else of in on at by for with to from as is are was
+    were be been being do does did have has had this that these those it its he she
+    they them his her their we you i not no yes which who whom whose what when where
+    why how all any both each few more most other some such only own same so than too
+    very can will just should now""".split()
+)
+
+
+def tokenize(text: str) -> List[str]:
+    """Lowercased word tokens (the BM25 contract tokenizer)."""
+    return _WORD_RE.findall((text or "").lower())
+
+
+def tokenize_no_stop(text: str) -> List[str]:
+    return [t for t in tokenize(text) if t not in STOPWORDS]
+
+
+def split_sentences(text: str) -> List[str]:
+    parts = [s.strip() for s in _SENT_RE.split(text or "") if s and s.strip()]
+    return parts or ([text.strip()] if text and text.strip() else [])
+
+
+def split_paragraphs(text: str) -> List[str]:
+    return [p.strip() for p in re.split(r"\n\s*\n", text or "") if p.strip()]
+
+
+def normalize_entity(ent: str) -> str:
+    ent = re.sub(r"\s+", " ", (ent or "").strip().strip("\"'"))
+    return ent
+
+
+def extract_entities_fallback(text: str, min_len: int = 2, max_entities: int = 16) -> List[str]:
+    """Rule-based entity extraction when no LLM/NER is available.
+
+    Capitalized multiword spans, quoted titles, and years — the same signal
+    classes the reference's TextUtils fallback targets
+    (/root/reference/llm/atomic_note_generator.py:638-650).
+    """
+    seen: Dict[str, None] = {}
+    for m in _QUOTED_RE.finditer(text or ""):
+        ent = normalize_entity(m.group(1) or m.group(2) or "")
+        if len(ent) >= min_len:
+            seen.setdefault(ent)
+    for m in _CAP_SPAN_RE.finditer(text or ""):
+        ent = normalize_entity(m.group(0))
+        if len(ent) >= min_len and ent.lower() not in STOPWORDS:
+            seen.setdefault(ent)
+    for m in _YEAR_RE.finditer(text or ""):
+        seen.setdefault(m.group(0))
+    return list(seen)[:max_entities]
+
+
+def jaccard(a: Iterable[str], b: Iterable[str]) -> float:
+    sa, sb = set(a), set(b)
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def normalize_answer(s: str) -> str:
+    """SQuAD/MuSiQue-style answer normalization for EM/F1."""
+    s = (s or "").lower()
+    s = re.sub(r"\b(a|an|the)\b", " ", s)
+    s = re.sub(r"[^\w\s]", " ", s)
+    s = re.sub(r"\s+", " ", s).strip()
+    return s
+
+
+def estimate_tokens(text: str) -> int:
+    """Cheap token-count estimate used by context budgeting."""
+    return max(1, len(text or "") // 4)
+
+
+def truncate_text(text: str, max_chars: int, strategy: str = "end") -> str:
+    if text is None or len(text) <= max_chars:
+        return text or ""
+    if strategy == "middle":
+        half = max_chars // 2
+        return text[:half] + " ... " + text[-(max_chars - half):]
+    return text[:max_chars]
+
+
+def note_embedding_text(note: Dict, include_entities: bool = True, max_chars: int = 2000) -> str:
+    """Canonical note -> embedding-input text.
+
+    Mirrors the reference strategy `title || content || ENTITIES: ...`
+    (/root/reference/vector_store/embedding_manager.py:467-498).
+    """
+    title = note.get("title") or ""
+    content = note.get("content") or note.get("text") or ""
+    parts = [p for p in (title, content) if p]
+    if include_entities:
+        ents = note.get("entities") or []
+        if ents:
+            parts.append("ENTITIES: " + ", ".join(str(e) for e in ents[:16]))
+    return truncate_text(" || ".join(parts), max_chars)

@@ -1,0 +1,82 @@
+"""Foundation utils: text, json parsing, padding, file io."""
+import numpy as np
+
+from anorag_tpu.utils import file_io, json_parser, padding, text
+
+
+def test_tokenize_matches_bm25_contract():
+    assert text.tokenize("Hello, World! it's 2024") == ["hello", "world", "it", "s", "2024"]
+
+
+def test_sentence_split():
+    sents = text.split_sentences("First sentence. Second one! Third?")
+    assert len(sents) == 3
+
+
+def test_entity_fallback():
+    ents = text.extract_entities_fallback('Aurora Lane sang "Blue Horizon" in 1999.')
+    assert "Aurora Lane" in ents
+    assert "Blue Horizon" in ents
+    assert "1999" in ents
+
+
+def test_normalize_answer():
+    assert text.normalize_answer("The  Blue-Horizon!") == "blue horizon"
+
+
+def test_note_embedding_text():
+    note = {"title": "T", "content": "C", "entities": ["E1", "E2"]}
+    s = text.note_embedding_text(note)
+    assert s == "T || C || ENTITIES: E1, E2"
+
+
+def test_json_extraction_fenced():
+    out = json_parser.extract_json('prose...\n```json\n{"a": 1,}\n```\nmore')
+    assert out == {"a": 1}
+
+
+def test_json_extraction_embedded_list():
+    out = json_parser.extract_json('Sure! Here: [{"x": "y"}] trailing')
+    assert out == [{"x": "y"}]
+
+
+def test_json_retry():
+    calls = []
+
+    def retry():
+        calls.append(1)
+        return '{"ok": true}'
+
+    out = json_parser.extract_json_with_retry("not json at all {{{", retry_fn=retry)
+    assert out == {"ok": True} and calls
+
+
+def test_pad_ragged():
+    mat, lens = padding.pad_ragged([[1, 2, 3], [], [4]], pad_value=-1, width_multiple=4)
+    assert mat.shape == (3, 4)
+    assert mat[0].tolist() == [1, 2, 3, -1]
+    assert lens.tolist() == [3, 0, 1]
+    mask = padding.mask_from_lengths(lens, 4)
+    assert mask.sum() == 4
+
+
+def test_work_dirs(tmp_path):
+    w1 = file_io.next_work_dir(tmp_path / "result")
+    w2 = file_io.next_work_dir(tmp_path / "result")
+    assert w1.name == "1" and w2.name == "2"
+    assert file_io.latest_work_dir(tmp_path / "result").name == "2"
+
+
+def test_jsonl_roundtrip_and_sha(tmp_path):
+    rows = [{"a": 1}, {"b": np.float32(2.5)}]
+    p = tmp_path / "x.jsonl"
+    file_io.write_jsonl(p, rows)
+    back = file_io.read_jsonl(p)
+    assert back[0] == {"a": 1} and back[1]["b"] == 2.5
+    assert file_io.jsonl_sha1(back) == file_io.file_sha1(p)
+
+
+def test_config_hash_stable():
+    h1 = file_io.config_hash({"b": 1, "a": [1, 2]})
+    h2 = file_io.config_hash({"a": [1, 2], "b": 1})
+    assert h1 == h2
