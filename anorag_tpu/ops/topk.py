@@ -1,0 +1,232 @@
+"""Fused dot-product + top-k — the dense retrieval kernel.
+
+This replaces the reference's FAISS Flat index search
+(/root/reference/vector_store/vector_index.py:77-116,206-263) with a single
+Pallas kernel that streams the (N x D) corpus through VMEM block by block,
+computes the query-block score matmul on the MXU, and maintains a running
+per-query top-k in VMEM scratch — N scores are never materialized to HBM.
+
+Algorithm (streaming top-k):
+  * scratch holds (B, K) running values/indices across sequential grid steps;
+  * per corpus block: scores = Q @ E_blk^T (MXU, f32 accum);
+  * a block is merged only if max(block) > min(running) — after warm-up most
+    blocks are rejected by this single reduction;
+  * merge = K rounds of extract-block-max / replace-running-min, which is
+    exact: at most K block elements can enter the running set, and after K
+    extractions every remaining block element is <= the running minimum.
+
+The XLA fallback (`dense_topk_xla`) is the numerical oracle for parity tests
+and the non-TPU path.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -3.0e38  # python float: jnp scalars would be captured as consts in pallas
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _topk_kernel(nvalid_ref, q_ref, e_ref, vals_out, idx_out, rv_ref, ri_ref, *, k: int, block_rows: int):
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _init():
+        rv_ref[:] = jnp.full_like(rv_ref, NEG_INF)
+        ri_ref[:] = jnp.zeros_like(ri_ref)
+
+    q = q_ref[:]                      # (B, D)
+    e = e_ref[:]                      # (block_rows, D)
+    scores = jax.lax.dot_general(
+        q, e, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                  # (B, block_rows)
+
+    base = i * block_rows
+    b_dim, nb = scores.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (b_dim, nb), 1)
+    valid = (base + col) < nvalid_ref[0]
+    scores = jnp.where(valid, scores, NEG_INF)
+
+    # Global reject test: if the best block score cannot beat the worst
+    # running score on any row, skip the merge entirely.
+    can_improve = jnp.max(scores) > jnp.min(rv_ref[:])
+
+    @pl.when(can_improve)
+    def _merge():
+        colk = jax.lax.broadcasted_iota(jnp.int32, (b_dim, k), 1)
+
+        def body(_, carry):
+            sc, rv, ri = carry
+            bmax = jnp.max(sc, axis=1, keepdims=True)            # (B, 1)
+            # argmax via first matching column (stable for ties)
+            is_max = sc == bmax
+            barg = jnp.min(jnp.where(is_max, col, nb), axis=1, keepdims=True)
+            rmin = jnp.min(rv, axis=1, keepdims=True)
+            is_min = rv == rmin
+            rarg = jnp.min(jnp.where(is_min, colk, k), axis=1, keepdims=True)
+            take = bmax > rmin                                    # (B, 1)
+            sel = (colk == rarg) & take
+            rv = jnp.where(sel, bmax, rv)
+            ri = jnp.where(sel, base + barg, ri)
+            sc = jnp.where((col == barg) & take, NEG_INF, sc)
+            return sc, rv, ri
+
+        _, rv_f, ri_f = jax.lax.fori_loop(
+            0, k, body, (scores, rv_ref[:], ri_ref[:])
+        )
+        rv_ref[:] = rv_f
+        ri_ref[:] = ri_f
+
+    @pl.when(i == n_blocks - 1)
+    def _emit():
+        vals_out[:] = rv_ref[:]
+        idx_out[:] = ri_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
+def _dense_topk_pallas(
+    emb: jax.Array, queries: jax.Array, n_valid: jax.Array, k: int,
+    block_rows: int, interpret: bool,
+) -> Tuple[jax.Array, jax.Array]:
+    n_pad, d = emb.shape
+    b_pad, _ = queries.shape
+    grid = (n_pad // block_rows,)
+    kernel = functools.partial(_topk_kernel, k=k, block_rows=block_rows)
+    vals, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, k), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, k), jnp.float32),
+            pltpu.VMEM((b_pad, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d,
+            bytes_accessed=n_pad * d * emb.dtype.itemsize + b_pad * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_valid, queries, emb)
+    return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def dense_topk_xla(emb: jax.Array, queries: jax.Array, k: int, chunk: int = 65536) -> Tuple[jax.Array, jax.Array]:
+    """Reference/fallback: blockwise matmul + lax.top_k merge (pure XLA)."""
+    n, d = emb.shape
+    b = queries.shape[0]
+    k = min(k, n)
+    qf = queries.astype(jnp.float32)
+
+    n_chunks = max(1, -(-n // chunk))
+    padded_n = n_chunks * chunk
+    embp = jnp.pad(emb, ((0, padded_n - n), (0, 0)))
+
+    def scan_body(carry, blk_idx):
+        rv, ri = carry
+        e_blk = jax.lax.dynamic_slice(embp, (blk_idx * chunk, 0), (chunk, d))
+        s = jnp.dot(qf, e_blk.astype(jnp.float32).T, preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
+        gidx = blk_idx * chunk + col
+        s = jnp.where(gidx < n, s, NEG_INF)
+        merged_v = jnp.concatenate([rv, s], axis=1)
+        merged_i = jnp.concatenate([ri, gidx], axis=1)
+        tv, ti = jax.lax.top_k(merged_v, k)
+        return (tv, jnp.take_along_axis(merged_i, ti, axis=1)), None
+
+    init = (jnp.full((b, k), NEG_INF), jnp.zeros((b, k), jnp.int32))
+    (vals, idx), _ = jax.lax.scan(scan_body, init, jnp.arange(n_chunks))
+    return vals, idx
+
+
+def _sort_topk(vals: jax.Array, idx: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
+    sv, order = jax.lax.top_k(vals, k)
+    return sv, jnp.take_along_axis(idx, order, axis=1)
+
+
+def dense_topk(
+    emb,
+    queries,
+    k: int,
+    *,
+    block_rows: int = 1024,
+    use_pallas: bool | None = None,
+    interpret: bool | None = None,
+):
+    """Top-k inner-product search: returns (scores (B,k), indices (B,k)), sorted.
+
+    `emb` may be bf16 (recommended on TPU); accumulation is always f32.
+    Works on any backend: pallas-compiled on TPU, pallas-interpret or XLA
+    elsewhere.
+    """
+    emb = jnp.asarray(emb)
+    queries = jnp.asarray(queries)
+    n, d = emb.shape
+    b = queries.shape[0]
+    k_eff = min(k, n)
+
+    on_tpu = jax.default_backend() == "tpu"
+    if use_pallas is None:
+        use_pallas = on_tpu
+    if not use_pallas:
+        vals, idx = dense_topk_xla(emb, queries, k_eff)
+        return _pad_k(vals, idx, k, k_eff)
+
+    if interpret is None:
+        interpret = not on_tpu
+
+    block_rows = max(128, min(block_rows, _round_up(n, 128)))
+    n_pad = _round_up(n, block_rows)
+    b_pad = _round_up(max(b, 8), 8)
+    k_pad = _round_up(k_eff, 128)
+    k_pad = min(k_pad, _round_up(n, 128))
+
+    embp = jnp.pad(emb, ((0, n_pad - n), (0, 0)))
+    qp = jnp.pad(queries.astype(emb.dtype), ((0, b_pad - b), (0, 0)))
+    n_valid = jnp.array([n], dtype=jnp.int32)
+
+    vals, idx = _dense_topk_pallas(embp, qp, n_valid, k_pad, block_rows, interpret)
+    vals, idx = _sort_topk(vals[:b], idx[:b], k_pad)
+    vals, idx = vals[:, :k_eff], idx[:, :k_eff]
+    return _pad_k(vals, idx, k, k_eff)
+
+
+def _pad_k(vals, idx, k, k_eff):
+    if k_eff < k:
+        pad = ((0, 0), (0, k - k_eff))
+        vals = jnp.pad(vals, pad, constant_values=float(NEG_INF))
+        idx = jnp.pad(idx, pad, constant_values=-1)
+    return vals, idx
+
+
+def dense_topk_np(emb: np.ndarray, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Pure-numpy exact oracle (FAISS-Flat stand-in for tests/benchmarks)."""
+    scores = queries.astype(np.float32) @ emb.astype(np.float32).T
+    k = min(k, emb.shape[0])
+    part = np.argpartition(-scores, k - 1, axis=1)[:, :k]
+    part_scores = np.take_along_axis(scores, part, axis=1)
+    order = np.argsort(-part_scores, axis=1, kind="stable")
+    return np.take_along_axis(part_scores, order, axis=1), np.take_along_axis(part, order, axis=1)

@@ -5,10 +5,17 @@ XLA's host-platform device-count override (SURVEY.md §4).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment may point JAX at a tunneled TPU
+# (JAX_PLATFORMS=axon), which is slow and bf16-precision for unit tests.
+# The env var alone is overridden by the site plugin, so use jax.config.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

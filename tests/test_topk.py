@@ -1,0 +1,61 @@
+"""Fused top-k kernel parity vs numpy oracle (FAISS-Flat stand-in)."""
+import numpy as np
+import pytest
+
+from anorag_tpu.ops.topk import dense_topk, dense_topk_np, dense_topk_xla
+
+
+def _mk(n=700, d=64, b=5, seed=0):
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return emb, q
+
+
+@pytest.mark.parametrize("k", [1, 10, 33])
+def test_xla_matches_numpy(k):
+    emb, q = _mk()
+    vals, idx = dense_topk_xla(emb, q, k, chunk=256)
+    ref_vals, ref_idx = dense_topk_np(emb, q, k)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
+    # same score sets => same notes modulo ties
+    assert np.allclose(np.sort(np.asarray(vals), axis=1), np.sort(ref_vals, axis=1))
+
+
+@pytest.mark.parametrize("n,k", [(300, 10), (1500, 20), (1024, 128)])
+def test_pallas_interpret_matches_numpy(n, k):
+    emb, q = _mk(n=n)
+    vals, idx = dense_topk(emb, q, k, block_rows=256, use_pallas=True, interpret=True)
+    ref_vals, ref_idx = dense_topk_np(emb, q, k)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-4, atol=1e-4)
+    # indices must point at rows with the right scores
+    scores = q @ emb.T
+    got = np.take_along_axis(scores, np.asarray(idx), axis=1)
+    np.testing.assert_allclose(got, ref_vals, rtol=1e-4, atol=1e-4)
+
+
+def test_k_larger_than_n_pads():
+    emb, q = _mk(n=7)
+    vals, idx = dense_topk(emb, q, 10, use_pallas=False)
+    assert vals.shape == (5, 10)
+    assert np.all(np.asarray(idx)[:, 7:] == -1)
+
+
+def test_auto_backend_dispatch():
+    emb, q = _mk(n=200)
+    vals, idx = dense_topk(emb, q, 5)
+    ref_vals, _ = dense_topk_np(emb, q, 5)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
+
+
+def test_bf16_embeddings():
+    import jax.numpy as jnp
+
+    emb, q = _mk(n=512)
+    vals, idx = dense_topk(jnp.asarray(emb, jnp.bfloat16), q, 10,
+                           block_rows=128, use_pallas=True, interpret=True)
+    ref_vals, _ = dense_topk_np(emb, q, 10)
+    # bf16 tolerance
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=0.02, atol=0.02)
