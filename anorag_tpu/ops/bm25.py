@@ -1,0 +1,213 @@
+"""BM25 scoring with on-device sparse evaluation.
+
+Replaces rank_bm25 / the reference's exact-Okapi fallback
+(/root/reference/utils/bm25_search.py:16-63) with a precomputed per-(doc,
+term) weight CSR: at index-build time every posting's full Okapi weight
+  w(d,t) = idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*len_d/avgdl))
+  idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1)
+is computed once, so query scoring is a pure gather + segment-sum: the host
+maps query terms to posting ranges (tiny), the device gathers the postings
+and scatter-adds into per-query dense score rows. Scores match the Okapi
+formula bit-for-bit (verified against a numpy oracle in tests).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass
+class BM25Postings:
+    """CSC-by-term postings with precomputed Okapi weights."""
+
+    term_offsets: np.ndarray   # (V+1,) int64 into flat arrays
+    doc_ids: np.ndarray        # (nnz,) int32
+    weights: np.ndarray        # (nnz,) float32
+    n_docs: int
+    idf: np.ndarray            # (V,) float32 (for inspection/tests)
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.term_offsets) - 1
+
+
+def build_postings(
+    doc_terms: Sequence[Sequence[int]],
+    vocab_size: int,
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> BM25Postings:
+    """Build weighted postings from integer-tokenized docs (host-side)."""
+    n = len(doc_terms)
+    doc_len = np.array([len(d) for d in doc_terms], np.float32)
+    avgdl = float(doc_len.mean()) if n else 0.0
+
+    # df + per-doc tf
+    from collections import Counter
+
+    counters = [Counter(d) for d in doc_terms]
+    df = np.zeros(vocab_size, np.int64)
+    for c in counters:
+        for t in c:
+            df[t] += 1
+    idf = np.log((n - df + 0.5) / (df + 0.5) + 1.0).astype(np.float32)
+
+    nnz = int(df.sum())
+    term_offsets = np.zeros(vocab_size + 1, np.int64)
+    np.cumsum(df, out=term_offsets[1:])
+    doc_ids = np.zeros(nnz, np.int32)
+    weights = np.zeros(nnz, np.float32)
+    cursor = term_offsets[:-1].copy()
+    for d_idx, c in enumerate(counters):
+        denom_base = k1 * (1.0 - b + b * (doc_len[d_idx] / avgdl)) if avgdl > 0 else k1
+        for t, tf in c.items():
+            w = idf[t] * (tf * (k1 + 1.0)) / (tf + denom_base)
+            pos = cursor[t]
+            doc_ids[pos] = d_idx
+            weights[pos] = w
+            cursor[t] += 1
+    return BM25Postings(term_offsets, doc_ids, weights, n, idf)
+
+
+def gather_plan(
+    postings: BM25Postings,
+    query_terms: Sequence[Sequence[int]],
+    pad_multiple: int = 128,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host prep: per-query flat posting indices, padded to a static bucket.
+
+    Duplicate query terms contribute multiple times (Okapi sums over query
+    token occurrences, matching rank_bm25).
+    Returns (gather_idx (B, L) int32 — index into flat arrays, -1 pad).
+    """
+    rows: List[np.ndarray] = []
+    off = postings.term_offsets
+    for terms in query_terms:
+        spans = [np.arange(off[t], off[t + 1], dtype=np.int64)
+                 for t in terms if 0 <= t < postings.vocab_size]
+        rows.append(np.concatenate(spans) if spans else np.zeros(0, np.int64))
+    width = max((len(r) for r in rows), default=0)
+    width = max(pad_multiple, ((width + pad_multiple - 1) // pad_multiple) * pad_multiple)
+    out = np.full((len(rows), width), -1, np.int64)
+    lens = np.zeros(len(rows), np.int32)
+    for i, r in enumerate(rows):
+        out[i, : len(r)] = r
+        lens[i] = len(r)
+    return out.astype(np.int32), lens
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs",))
+def score_from_plan(
+    doc_ids: jax.Array,
+    weights: jax.Array,
+    gather_idx: jax.Array,
+    n_docs: int,
+) -> jax.Array:
+    """Device: gather postings, scatter-add into (B, n_docs) score rows."""
+    b, width = gather_idx.shape
+    valid = gather_idx >= 0
+    safe = jnp.maximum(gather_idx, 0)
+    w = jnp.where(valid, weights[safe], 0.0)           # (B, L)
+    d = jnp.where(valid, doc_ids[safe], n_docs)        # overflow row for pads
+
+    def per_query(w_row, d_row):
+        return jax.ops.segment_sum(w_row, d_row, num_segments=n_docs + 1)[:n_docs]
+
+    return jax.vmap(per_query)(w, d)
+
+
+def bm25_scores(
+    postings: BM25Postings,
+    query_terms: Sequence[Sequence[int]],
+    normalize: bool = False,
+) -> np.ndarray:
+    """Full pipeline: plan on host, score on device. Returns (B, N) f32.
+
+    normalize=True applies the reference's max-normalization to [0,1]
+    (/root/reference/utils/bm25_search.py:330-335).
+    """
+    gi, _ = gather_plan(postings, query_terms)
+    scores = np.asarray(
+        score_from_plan(
+            jnp.asarray(postings.doc_ids), jnp.asarray(postings.weights),
+            jnp.asarray(gi), postings.n_docs,
+        )
+    )
+    if normalize:
+        mx = scores.max(axis=1, keepdims=True)
+        scores = np.where(mx > 0, scores / np.maximum(mx, 1e-30), 0.0)
+    return scores
+
+
+def bm25_scores_np(
+    doc_terms: Sequence[Sequence[int]],
+    query_terms: Sequence[Sequence[int]],
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> np.ndarray:
+    """Exact-Okapi numpy oracle (the SimpleBM25 formula)."""
+    from collections import Counter
+
+    n = len(doc_terms)
+    doc_len = np.array([len(d) for d in doc_terms], np.float64)
+    avgdl = doc_len.mean() if n else 0.0
+    counters = [Counter(d) for d in doc_terms]
+    df = Counter()
+    for c in counters:
+        df.update(c.keys())
+    out = np.zeros((len(query_terms), n), np.float64)
+    for qi, terms in enumerate(query_terms):
+        for t in terms:
+            if t not in df:
+                continue
+            idf = np.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+            for d_idx, c in enumerate(counters):
+                tf = c.get(t, 0)
+                if tf:
+                    denom = tf + k1 * (1 - b + b * doc_len[d_idx] / avgdl)
+                    out[qi, d_idx] += idf * tf * (k1 + 1) / denom
+    return out.astype(np.float32)
+
+
+@dataclass
+class FieldWeightedPostings:
+    """Per-field postings + weights: score = sum_f field_weight_f * bm25_f.
+
+    Mirrors FieldWeightedBM25 (/root/reference/utils/bm25_search.py:66-146):
+    each field has its own doc lengths, avgdl, and idf table.
+    """
+
+    fields: List[str]
+    field_weights: np.ndarray            # (F,)
+    postings: List[BM25Postings]
+
+    def score(self, query_terms: Sequence[Sequence[int]], normalize: bool = False) -> np.ndarray:
+        total = None
+        for fw, p in zip(self.field_weights, self.postings):
+            s = bm25_scores(p, query_terms) * fw
+            total = s if total is None else total + s
+        if normalize and total is not None:
+            mx = total.max(axis=1, keepdims=True)
+            total = np.where(mx > 0, total / np.maximum(mx, 1e-30), 0.0)
+        return total
+
+
+def build_field_weighted(
+    field_doc_terms: dict,
+    vocab_size: int,
+    field_weights: dict | None = None,
+    k1: float = 1.5,
+    b: float = 0.75,
+) -> FieldWeightedPostings:
+    field_weights = field_weights or {"title": 2.0, "entities": 1.5, "content": 1.0}
+    fields = [f for f in field_weights if f in field_doc_terms]
+    return FieldWeightedPostings(
+        fields=fields,
+        field_weights=np.array([field_weights[f] for f in fields], np.float32),
+        postings=[build_postings(field_doc_terms[f], vocab_size, k1=k1, b=b) for f in fields],
+    )

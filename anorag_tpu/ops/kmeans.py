@@ -1,0 +1,92 @@
+"""Batched Lloyd k-means on device.
+
+Replaces the IVF training path of FAISS IVFFlat
+(/root/reference/vector_store/vector_index.py:95-155) and the GPU
+clustering path of TopicClustering (/root/reference/doc/clustering.py:48-108)
+with jit-compiled Lloyd iterations: assignment is one (N x K) matmul on the
+MXU, the update is a segment-sum — both batched and static-shaped.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
+def kmeans_fit(
+    x: jax.Array,
+    n_clusters: int,
+    iters: int = 15,
+    seed: int = 0,
+) -> Tuple[jax.Array, jax.Array]:
+    """Lloyd k-means. Returns (centroids (K, D) f32, assignments (N,) i32).
+
+    Init = random distinct-ish data points (deterministic by seed). Empty
+    clusters keep their previous centroid.
+    """
+    x = x.astype(jnp.float32)
+    n, d = x.shape
+    x_sq = jnp.sum(x * x, axis=1, keepdims=True)  # (N, 1)
+
+    # Farthest-point init (greedy k-center): robust against the collapsed
+    # clusters random init produces on well-separated data.
+    key = jax.random.PRNGKey(seed)
+    first = jax.random.randint(key, (), 0, n)
+    init = jnp.zeros((n_clusters, d), jnp.float32).at[0].set(x[first])
+    min_d = jnp.sum((x - x[first][None, :]) ** 2, axis=1)
+
+    def init_body(j, carry):
+        cents, mind = carry
+        nxt = jnp.argmax(mind)
+        cents = cents.at[j].set(x[nxt])
+        mind = jnp.minimum(mind, jnp.sum((x - x[nxt][None, :]) ** 2, axis=1))
+        return cents, mind
+
+    centroids, _ = jax.lax.fori_loop(1, n_clusters, init_body, (init, min_d))
+
+    def assign(c):
+        # squared L2 via matmul: |x|^2 - 2 x.c + |c|^2
+        cross = jnp.dot(x, c.T, preferred_element_type=jnp.float32)
+        c_sq = jnp.sum(c * c, axis=1)[None, :]
+        return jnp.argmin(x_sq - 2.0 * cross + c_sq, axis=1).astype(jnp.int32)
+
+    def body(_, c):
+        a = assign(c)
+        sums = jax.ops.segment_sum(x, a, num_segments=n_clusters)
+        counts = jax.ops.segment_sum(jnp.ones((n,), jnp.float32), a, num_segments=n_clusters)
+        new_c = sums / jnp.maximum(counts, 1.0)[:, None]
+        return jnp.where((counts > 0)[:, None], new_c, c)
+
+    centroids = jax.lax.fori_loop(0, iters, body, centroids)
+    return centroids, assign(centroids)
+
+
+def kmeans_inertia(x, centroids, assignments) -> float:
+    x = jnp.asarray(x, jnp.float32)
+    diff = x - jnp.asarray(centroids)[jnp.asarray(assignments)]
+    return float(jnp.sum(diff * diff))
+
+
+def auto_k(x: np.ndarray, max_k: int = 20, iters: int = 10, seed: int = 0) -> int:
+    """Elbow-style auto-K (the reference's CPU clustering auto-K,
+    /root/reference/doc/clustering.py:71-170): pick the K where marginal
+    inertia reduction drops below 15% of the first drop."""
+    n = x.shape[0]
+    max_k = max(2, min(max_k, n))
+    xs = jnp.asarray(x)
+    inertias = []
+    ks = list(range(1, max_k + 1))
+    for k in ks:
+        c, a = kmeans_fit(xs, k, iters=iters, seed=seed)
+        inertias.append(kmeans_inertia(xs, c, a))
+    drops = [inertias[i - 1] - inertias[i] for i in range(1, len(inertias))]
+    if not drops or drops[0] <= 0:
+        return min(2, n)
+    for i, d in enumerate(drops):
+        if d < 0.15 * drops[0]:
+            return ks[i]  # K before this drop
+    return ks[-1]

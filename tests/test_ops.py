@@ -1,0 +1,196 @@
+"""BM25, fusion, and graph op correctness vs oracles."""
+import numpy as np
+import pytest
+
+from anorag_tpu.ops import bm25 as bm25_ops
+from anorag_tpu.ops import fusion, graph as graph_ops
+
+
+# ------------------------------------------------------------------ BM25
+def _toy_docs():
+    # integer-tokenized docs over vocab of 10
+    return [[0, 1, 2, 2], [1, 3, 4], [5, 6, 0, 1, 1], [7, 8, 9, 3]]
+
+
+def test_bm25_device_matches_okapi_oracle():
+    docs = _toy_docs()
+    queries = [[1, 2], [0, 0, 3], [9]]
+    p = bm25_ops.build_postings(docs, vocab_size=10)
+    got = bm25_ops.bm25_scores(p, queries)
+    want = bm25_ops.bm25_scores_np(docs, queries)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_bm25_duplicate_query_terms_double_count():
+    docs = _toy_docs()
+    p = bm25_ops.build_postings(docs, vocab_size=10)
+    s1 = bm25_ops.bm25_scores(p, [[1]])
+    s2 = bm25_ops.bm25_scores(p, [[1, 1]])
+    np.testing.assert_allclose(s2, 2 * s1, rtol=1e-6)
+
+
+def test_bm25_normalization():
+    docs = _toy_docs()
+    p = bm25_ops.build_postings(docs, vocab_size=10)
+    s = bm25_ops.bm25_scores(p, [[1, 2]], normalize=True)
+    assert s.max() == pytest.approx(1.0)
+
+
+def test_bm25_out_of_vocab_ignored():
+    docs = _toy_docs()
+    p = bm25_ops.build_postings(docs, vocab_size=10)
+    s = bm25_ops.bm25_scores(p, [[99, -1]])
+    assert (s == 0).all()
+
+
+def test_field_weighted_bm25():
+    fields = {
+        "title": [[0], [1], [2], [0]],
+        "content": _toy_docs(),
+    }
+    fw = bm25_ops.build_field_weighted(fields, vocab_size=10,
+                                       field_weights={"title": 2.0, "content": 1.0})
+    got = fw.score([[0]])
+    want = (2.0 * bm25_ops.bm25_scores_np(fields["title"], [[0]])
+            + bm25_ops.bm25_scores_np(fields["content"], [[0]]))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------- fusion
+def test_linear_fusion_matches_reference_semantics():
+    sources = {
+        "dense": {"a": 0.8, "b": 0.4},
+        "bm25": {"b": 2.0, "c": 1.0},
+        "graph": {},
+        "path": {"a": 0.5},
+    }
+    res = fusion.fuse_candidate_table(
+        sources, method="linear",
+        weights={"dense": 1.0, "bm25": 0.5, "graph": 0.5, "path": 0.1},
+    )
+    by_id = {r["note_id"]: r for r in res}
+    # a: dense 0.8/0.8=1.0 *1.0 + path 0.5*0.1 = 1.05
+    assert by_id["a"]["final_similarity"] == pytest.approx(1.05)
+    # b: dense 0.5 + bm25 1.0*0.5 = 1.0
+    assert by_id["b"]["final_similarity"] == pytest.approx(1.0)
+    # c: bm25 0.5*0.5... c bm25 normalized = 0.5 -> 0.25
+    assert by_id["c"]["final_similarity"] == pytest.approx(0.25)
+    assert by_id["a"]["tags"]["is_bridge"] is True
+    assert by_id["c"]["tags"]["source"] == "semantic"
+    # sorted desc
+    finals = [r["final_similarity"] for r in res]
+    assert finals == sorted(finals, reverse=True)
+
+
+def test_rrf_fusion():
+    sources = {
+        "dense": {"a": 0.9, "b": 0.1},
+        "bm25": {"a": 1.0},
+        "graph": {},
+        "path": {"b": 1.0},
+    }
+    res = fusion.fuse_candidate_table(
+        sources, method="rrf",
+        weights={"dense": 1.0, "bm25": 1.0, "graph": 0.0, "path": 0.1},
+        rrf_k=60,
+    )
+    by_id = {r["note_id"]: r for r in res}
+    assert by_id["a"]["final_similarity"] == pytest.approx(1 / 61 + 1 / 61)
+    assert by_id["b"]["final_similarity"] == pytest.approx(1 / 62 + 0.1 * 1.0)
+
+
+def test_enhanced_v2_noise_filter_and_boosts():
+    import jax.numpy as jnp
+
+    final = fusion.enhanced_v2(
+        dense=jnp.array([0.5, 0.05, 0.05]),
+        sparse=jnp.array([0.5, 0.1, 0.1]),
+        noise_threshold=0.2,
+        satisfies_must_have=jnp.array([False, False, True]),
+        entity_boost=jnp.array([1.2, 1.0, 1.0]),
+    )
+    final = np.asarray(final)
+    assert final[0] == pytest.approx((0.5 + 0.3) * 1.2)
+    assert final[1] == 0.0           # below noise, no must-have
+    assert final[2] == pytest.approx(0.11)  # below noise but must-have kept
+
+
+# ----------------------------------------------------------------- graph
+def _toy_graph():
+    # 0-1-2 chain + 3 isolated + 4-0
+    edges = [(0, 1, 1.0, 0), (1, 2, 0.5, 1), (4, 0, 2.0, 0)]
+    return graph_ops.build_csr(5, edges)
+
+
+def test_csr_build():
+    g = _toy_graph()
+    assert g.n_nodes == 5
+    assert set(g.nbr[0][g.nbr[0] >= 0].tolist()) == {1, 4}
+    assert (g.nbr[3] == -1).all()
+
+
+def test_pagerank_sums_to_one_and_ranks_hub():
+    import jax.numpy as jnp
+
+    g = _toy_graph()
+    pr = np.asarray(graph_ops.pagerank(jnp.asarray(g.nbr), jnp.asarray(g.nbr_w)))
+    assert pr.sum() == pytest.approx(1.0, abs=1e-4)
+    assert pr[0] == pr.max()  # node 0 has highest weighted degree
+
+
+def test_pagerank_matches_networkx():
+    import jax.numpy as jnp
+    import networkx as nx
+
+    g = _toy_graph()
+    nxg = nx.Graph()
+    nxg.add_nodes_from(range(5))
+    for u, v, w, _ in [(0, 1, 1.0, 0), (1, 2, 0.5, 1), (4, 0, 2.0, 0)]:
+        nxg.add_edge(u, v, weight=w)
+    want = nx.pagerank(nxg, alpha=0.85, weight="weight")
+    got = np.asarray(graph_ops.pagerank(jnp.asarray(g.nbr), jnp.asarray(g.nbr_w), iters=60))
+    for i in range(5):
+        assert got[i] == pytest.approx(want[i], abs=1e-3)
+
+
+def test_k_hop_distances():
+    import jax.numpy as jnp
+
+    g = _toy_graph()
+    seed = np.zeros(5, bool)
+    seed[0] = True
+    dist, hops = graph_ops.k_hop_distances(
+        jnp.asarray(g.nbr), jnp.asarray(g.nbr_w), jnp.asarray(seed), 2
+    )
+    dist = np.asarray(dist)
+    assert dist[0] == 0
+    assert dist[1] == pytest.approx(1.0)
+    assert dist[2] == pytest.approx(1.5)
+    assert dist[4] == pytest.approx(2.0)
+    assert dist[3] > 1e30  # unreachable
+    assert np.asarray(hops).tolist()[:3] == [0, 1, 2]
+
+
+def test_k_hop_scores():
+    g = _toy_graph()
+    centrality = np.ones(5, np.float32)
+    s = graph_ops.k_hop_scores(g, [0], centrality, k_hops=2, eps=0.1)
+    assert s[1] == pytest.approx(1 / 1.1)
+    assert s[3] == 0.0
+
+
+def test_k_hop_frontier():
+    import jax.numpy as jnp
+
+    g = _toy_graph()
+    seed = np.zeros(5, bool)
+    seed[2] = True
+    out = np.asarray(graph_ops.k_hop_frontier(jnp.asarray(g.nbr), jnp.asarray(seed), 1))
+    assert out.tolist() == [False, True, True, False, False]
+
+
+def test_connected_components():
+    g = _toy_graph()
+    labels = graph_ops.connected_components(g)
+    assert labels[0] == labels[1] == labels[2] == labels[4]
+    assert labels[3] != labels[0]
