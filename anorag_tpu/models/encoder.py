@@ -1,0 +1,193 @@
+"""TPU transformer text encoder (bge-m3-class) with dp x tp sharding.
+
+The reference encodes notes/queries through sentence-transformers on CUDA
+(/root/reference/vector_store/embedding_manager.py:374-407). Here the
+encoder is a hand-rolled JAX transformer (XLM-R-large geometry by default:
+24 layers, 1024 hidden, 16 heads) whose parameters carry explicit
+PartitionSpecs over a ('data', 'model') mesh:
+  * attention heads and FFN intermediate dim are sharded over 'model'
+    (tensor parallelism — XLA inserts the psum after the second matmul);
+  * the batch is sharded over 'data';
+  * embeddings are L2-normalized bf16 activations, f32 accumulation.
+
+Also provides the contrastive (InfoNCE, in-batch negatives) training step
+used to fine-tune retrieval encoders and exercised by the multi-chip
+dry-run.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class EncoderConfig:
+    vocab_size: int = 250002
+    hidden_size: int = 1024
+    num_layers: int = 24
+    num_heads: int = 16
+    intermediate_size: int = 4096
+    max_position: int = 512
+    pooling: str = "cls"          # cls | mean
+    dtype: Any = jnp.bfloat16
+    normalize: bool = True
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    @staticmethod
+    def small() -> "EncoderConfig":
+        return EncoderConfig(vocab_size=1024, hidden_size=128, num_layers=2,
+                             num_heads=4, intermediate_size=256, max_position=128)
+
+    @staticmethod
+    def from_config(cfg: Dict[str, Any]) -> "EncoderConfig":
+        return EncoderConfig(
+            vocab_size=cfg.get("vocab_size", 250002),
+            hidden_size=cfg.get("hidden_size", 1024),
+            num_layers=cfg.get("num_layers", 24),
+            num_heads=cfg.get("num_heads", 16),
+            intermediate_size=cfg.get("intermediate_size", 4096),
+            max_position=cfg.get("max_position", 512),
+            pooling=cfg.get("pooling", "cls"),
+            dtype=jnp.bfloat16 if cfg.get("dtype", "bfloat16") == "bfloat16" else jnp.float32,
+        )
+
+
+def init_params(key: jax.Array, cfg: EncoderConfig) -> Params:
+    keys = jax.random.split(key, 4 + cfg.num_layers)
+    h, i_sz = cfg.hidden_size, cfg.intermediate_size
+    scale = 0.02
+
+    def dense(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    params: Params = {
+        "tok_emb": dense(keys[0], (cfg.vocab_size, h)),
+        "pos_emb": dense(keys[1], (cfg.max_position, h)),
+        "emb_ln": {"scale": jnp.ones((h,), jnp.float32), "bias": jnp.zeros((h,), jnp.float32)},
+        "layers": [],
+    }
+    for l in range(cfg.num_layers):
+        k = jax.random.split(keys[4 + l], 8)
+        params["layers"].append(
+            {
+                "qkv": dense(k[0], (h, 3, cfg.num_heads, cfg.head_dim)),
+                "qkv_b": jnp.zeros((3, cfg.num_heads, cfg.head_dim), cfg.dtype),
+                "attn_out": dense(k[1], (cfg.num_heads, cfg.head_dim, h)),
+                "attn_out_b": jnp.zeros((h,), cfg.dtype),
+                "ln1": {"scale": jnp.ones((h,), jnp.float32), "bias": jnp.zeros((h,), jnp.float32)},
+                "ffn_in": dense(k[2], (h, i_sz)),
+                "ffn_in_b": jnp.zeros((i_sz,), cfg.dtype),
+                "ffn_out": dense(k[3], (i_sz, h)),
+                "ffn_out_b": jnp.zeros((h,), cfg.dtype),
+                "ln2": {"scale": jnp.ones((h,), jnp.float32), "bias": jnp.zeros((h,), jnp.float32)},
+            }
+        )
+    return params
+
+
+def param_pspecs(cfg: EncoderConfig, model_axis: str = "model") -> Params:
+    """PartitionSpec tree: heads/intermediate sharded over the model axis."""
+    m = model_axis
+    layer = {
+        "qkv": P(None, None, m, None),
+        "qkv_b": P(None, m, None),
+        "attn_out": P(m, None, None),
+        "attn_out_b": P(),
+        "ln1": {"scale": P(), "bias": P()},
+        "ffn_in": P(None, m),
+        "ffn_in_b": P(m),
+        "ffn_out": P(m, None),
+        "ffn_out_b": P(),
+        "ln2": {"scale": P(), "bias": P()},
+    }
+    return {
+        "tok_emb": P(m, None),   # vocab-sharded embedding table
+        "pos_emb": P(),
+        "emb_ln": {"scale": P(), "bias": P()},
+        "layers": [layer for _ in range(cfg.num_layers)],
+    }
+
+
+def _layer_norm(x: jnp.ndarray, ln: Dict[str, jnp.ndarray], eps: float = 1e-5) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean((xf - mu) ** 2, axis=-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps) * ln["scale"] + ln["bias"]).astype(x.dtype)
+
+
+def _attention(x: jnp.ndarray, mask: jnp.ndarray, lp: Params, cfg: EncoderConfig) -> jnp.ndarray:
+    b, s, h = x.shape
+    qkv = jnp.einsum("bsh,htnd->tbsnd", x, lp["qkv"]) + lp["qkv_b"][:, None, None]
+    q, k, v = qkv[0], qkv[1], qkv[2]                      # (B, S, N, Dh)
+    logits = jnp.einsum("bsnd,btnd->bnst", q, k).astype(jnp.float32)
+    logits = logits / np.sqrt(cfg.head_dim)
+    neg = jnp.finfo(jnp.float32).min
+    logits = jnp.where(mask[:, None, None, :] > 0, logits, neg)
+    probs = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    ctx = jnp.einsum("bnst,btnd->bsnd", probs, v)
+    return jnp.einsum("bsnd,ndh->bsh", ctx, lp["attn_out"]) + lp["attn_out_b"]
+
+
+def _block(x: jnp.ndarray, mask: jnp.ndarray, lp: Params, cfg: EncoderConfig) -> jnp.ndarray:
+    x = _layer_norm(x + _attention(x, mask, lp, cfg), lp["ln1"])
+    ff = jnp.dot(x, lp["ffn_in"]) + lp["ffn_in_b"]
+    ff = jax.nn.gelu(ff)
+    ff = jnp.dot(ff, lp["ffn_out"]) + lp["ffn_out_b"]
+    return _layer_norm(x + ff, lp["ln2"])
+
+
+def encode(params: Params, token_ids: jnp.ndarray, mask: jnp.ndarray,
+           cfg: EncoderConfig) -> jnp.ndarray:
+    """(B, L) ids + mask -> (B, H) f32 (L2-normalized) embeddings."""
+    b, s = token_ids.shape
+    x = params["tok_emb"][token_ids] + params["pos_emb"][:s][None, :, :]
+    x = _layer_norm(x.astype(cfg.dtype), params["emb_ln"])
+    for lp in params["layers"]:
+        x = _block(x, mask, lp, cfg)
+    if cfg.pooling == "mean":
+        m = mask[:, :, None].astype(jnp.float32)
+        pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / jnp.maximum(m.sum(axis=1), 1.0)
+    else:
+        pooled = x[:, 0, :].astype(jnp.float32)
+    if cfg.normalize:
+        pooled = pooled / jnp.maximum(jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9)
+    return pooled
+
+
+# ------------------------------------------------------------- training
+def info_nce_loss(params: Params, batch: Dict[str, jnp.ndarray], cfg: EncoderConfig,
+                  temperature: float = 0.05) -> jnp.ndarray:
+    """Contrastive loss: query i matches positive i, in-batch negatives."""
+    q = encode(params, batch["q_ids"], batch["q_mask"], cfg)
+    p = encode(params, batch["p_ids"], batch["p_mask"], cfg)
+    logits = jnp.dot(q, p.T) / temperature                 # (B, B)
+    labels = jnp.arange(q.shape[0])
+    return jnp.mean(
+        -jax.nn.log_softmax(logits, axis=-1)[labels, labels]
+        - jax.nn.log_softmax(logits, axis=0)[labels, labels]
+    ) * 0.5
+
+
+def make_train_step(cfg: EncoderConfig, optimizer):
+    """Returns train_step(params, opt_state, batch) -> (params, opt_state, loss)."""
+
+    def train_step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(lambda p: info_nce_loss(p, batch, cfg))(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(
+            lambda a, b: (a + b).astype(a.dtype), params, updates
+        )
+        return params, opt_state, loss
+
+    return train_step

@@ -1,0 +1,103 @@
+"""Encoder forward/training, tokenizers, hash embedder, multi-chip search."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from anorag_tpu.models.encoder import (
+    EncoderConfig, encode, info_nce_loss, init_params, make_train_step, param_pspecs,
+)
+from anorag_tpu.models.hash_embedder import HashEmbedder
+from anorag_tpu.models.tokenizer import HashTokenizer, get_tokenizer
+from anorag_tpu.ops.topk import dense_topk_np
+from anorag_tpu.parallel.mesh import make_mesh, shard_rows
+from anorag_tpu.parallel.sharded_search import sharded_topk
+
+
+def test_hash_tokenizer_deterministic():
+    tok = HashTokenizer(vocab_size=1000, max_length=32)
+    ids1, m1 = tok.encode_batch(["hello world", "hello"])
+    ids2, _ = tok.encode_batch(["hello world", "hello"])
+    assert (ids1 == ids2).all()
+    assert m1[1].sum() == 3  # CLS + hello + SEP
+    assert ids1.shape[1] % 128 == 0 or ids1.shape[1] == 32
+
+
+def test_encoder_forward_shapes_and_norm():
+    cfg = EncoderConfig.small()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tok = HashTokenizer(vocab_size=cfg.vocab_size, max_length=cfg.max_position)
+    ids, mask = tok.encode_batch(["a b c", "d e f g h"], max_length=64)
+    emb = encode(params, jnp.asarray(ids), jnp.asarray(mask), cfg)
+    assert emb.shape == (2, cfg.hidden_size)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(emb), axis=1), 1.0, rtol=1e-4)
+
+
+def test_encoder_mask_invariance():
+    """Padding must not change the embedding."""
+    cfg = EncoderConfig.small()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    ids, mask = tok.encode_batch(["some text here"], max_length=16)
+    ids2 = np.full((1, 32), 2, np.int32)
+    ids2[:, : ids.shape[1]] = ids
+    mask2 = np.zeros((1, 32), np.int32)
+    mask2[:, : mask.shape[1]] = mask
+    e1 = encode(params, jnp.asarray(ids), jnp.asarray(mask), cfg)
+    e2 = encode(params, jnp.asarray(ids2), jnp.asarray(mask2), cfg)
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(e2), atol=2e-2)
+
+
+def test_train_step_reduces_loss():
+    cfg = EncoderConfig.small()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    step = jax.jit(make_train_step(cfg, opt))
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    q_ids, q_mask = tok.encode_batch(["alpha beta", "gamma delta", "epsilon zeta", "eta theta"], 16)
+    p_ids, p_mask = tok.encode_batch(["alpha beta more", "gamma delta words", "epsilon zeta x", "eta theta y"], 16)
+    batch = {k: jnp.asarray(v) for k, v in
+             {"q_ids": q_ids, "q_mask": q_mask, "p_ids": p_ids, "p_mask": p_mask}.items()}
+    losses = []
+    for _ in range(5):
+        params, opt_state, loss = step(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_param_pspecs_tree_matches_params():
+    cfg = EncoderConfig.small()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    specs = param_pspecs(cfg)
+    jax.tree.map(lambda a, b: None, params, specs)  # same structure or raises
+
+
+def test_hash_embedder_similarity_structure():
+    he = HashEmbedder(dim=256)
+    embs = he.encode([
+        "the quick brown fox", "the quick brown fox jumps", "completely different words here",
+    ])
+    sim_close = embs[0] @ embs[1]
+    sim_far = embs[0] @ embs[2]
+    assert sim_close > 0.5 > sim_far
+
+
+def test_sharded_topk_matches_oracle():
+    mesh = make_mesh()  # all 8 virtual cpu devices
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((500, 64)).astype(np.float32)
+    q = rng.standard_normal((4, 64)).astype(np.float32)
+    emb_sharded, n = shard_rows(mesh, emb)
+    vals, idx = sharded_topk(mesh, emb_sharded, q, k=10, n_total=n)
+    ref_vals, ref_idx = dense_topk_np(emb, q, 10)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
+    scores = q @ emb.T
+    got = np.take_along_axis(scores, np.asarray(idx), axis=1)
+    np.testing.assert_allclose(got, ref_vals, rtol=1e-5, atol=1e-5)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(n_devices=8, model_parallel=2)
+    assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
