@@ -1,0 +1,195 @@
+"""VectorIndex: the dense ANN index (FAISS replacement).
+
+Parity target: /root/reference/vector_store/vector_index.py — index types,
+cosine-as-inner-product with explicit normalization (:265-282), dynamic
+nlist shrink when training data is scarce (:140-155), search result rows
+{index, score, rank, similarity} (:206-263), save/load with a metadata
+sidecar (:284-364), and nprobe autotuning to a target recall (:428-491).
+
+TPU design: embeddings live in HBM (optionally bf16); Flat search is the
+fused Pallas matmul+top-k kernel; IVFFlat is the cluster-pruned variant.
+HNSW/IVFPQ/LSH requests degrade gracefully (HNSW/LSH -> Flat, IVFPQ ->
+IVFFlat) — on TPU the brute-force kernel IS the fast path, so graph/LSH
+structures would only lose recall.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from anorag_tpu.ops.ivf import build_ivf, ivf_search, tune_nprobe
+from anorag_tpu.ops.topk import dense_topk, dense_topk_np
+from anorag_tpu.utils.logging import get_logger
+
+logger = get_logger("anorag.index")
+
+_DEGRADE = {"HNSW": "Flat", "LSH": "Flat", "IVFPQ": "IVFFlat"}
+
+
+class VectorIndex:
+    def __init__(
+        self,
+        dimension: int = 1024,
+        index_type: str = "IVFFlat",
+        metric: str = "cosine",
+        nlist: int = 20,
+        nprobe: int = 4,
+        storage_dtype: str = "bfloat16",
+        use_pallas: Optional[bool] = None,
+    ):
+        if index_type in _DEGRADE:
+            logger.info("index type %s degrades to %s on TPU", index_type, _DEGRADE[index_type])
+            index_type = _DEGRADE[index_type]
+        assert index_type in ("Flat", "IVFFlat"), index_type
+        self.dimension = dimension
+        self.index_type = index_type
+        self.metric = metric
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.storage_dtype = storage_dtype
+        self.use_pallas = use_pallas
+        self._emb_f32: Optional[np.ndarray] = None   # host copy (original order)
+        self._device_emb = None                       # flat: (N,D); ivf: sorted
+        self._layout = None
+        self._dirty = False
+
+    # ----------------------------------------------------------- building
+    @property
+    def ntotal(self) -> int:
+        return 0 if self._emb_f32 is None else len(self._emb_f32)
+
+    def _preprocess(self, vecs: np.ndarray) -> np.ndarray:
+        """cosine => L2-normalize so inner product == cosine (the explicit
+        normalization contract, reference :265-282)."""
+        vecs = np.ascontiguousarray(vecs, np.float32)
+        if self.metric == "cosine":
+            norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+            vecs = vecs / np.maximum(norms, 1e-12)
+        return vecs
+
+    def add(self, vectors: np.ndarray) -> None:
+        vecs = self._preprocess(vectors)
+        assert vecs.shape[1] == self.dimension, (vecs.shape, self.dimension)
+        self._emb_f32 = vecs if self._emb_f32 is None else np.concatenate([self._emb_f32, vecs])
+        self._dirty = True
+
+    def _effective_nlist(self, n: int) -> int:
+        # shrink nlist when training data is scarce (reference :140-155)
+        nlist = self.nlist
+        while nlist > 1 and n < 2 * nlist:
+            nlist //= 2
+        return max(1, nlist)
+
+    def _materialize(self) -> None:
+        if not self._dirty or self._emb_f32 is None:
+            return
+        dtype = jnp.bfloat16 if self.storage_dtype == "bfloat16" else jnp.float32
+        if self.index_type == "Flat":
+            self._device_emb = jnp.asarray(self._emb_f32, dtype)
+            self._layout = None
+        else:
+            nlist = self._effective_nlist(self.ntotal)
+            self._layout, sorted_emb = build_ivf(self._emb_f32, nlist=nlist)
+            self._device_emb = jnp.asarray(sorted_emb, dtype)
+        self._dirty = False
+
+    # ------------------------------------------------------------- search
+    def search(self, queries: np.ndarray, top_k: int = 10,
+               nprobe: Optional[int] = None) -> List[List[Dict[str, Any]]]:
+        """Row dicts {index, score, rank, similarity} per query; `index` -1
+        rows (fewer than k valid hits) are dropped."""
+        scores, idx = self.search_arrays(queries, top_k, nprobe)
+        out: List[List[Dict[str, Any]]] = []
+        for qi in range(len(scores)):
+            rows = []
+            for rank in range(scores.shape[1]):
+                i = int(idx[qi, rank])
+                if i < 0:
+                    continue
+                s = float(scores[qi, rank])
+                rows.append({"index": i, "score": s, "rank": rank, "similarity": s})
+            out.append(rows)
+        return out
+
+    def search_arrays(self, queries: np.ndarray, top_k: int,
+                      nprobe: Optional[int] = None):
+        """(scores (B,k), indices (B,k) with -1 padding)."""
+        if self.ntotal == 0:
+            b = len(np.atleast_2d(queries))
+            return np.full((b, top_k), -np.inf, np.float32), np.full((b, top_k), -1, np.int64)
+        self._materialize()
+        q = self._preprocess(np.atleast_2d(queries))
+        if self.index_type == "Flat":
+            vals, idx = dense_topk(self._device_emb, jnp.asarray(q, self._device_emb.dtype),
+                                   top_k, use_pallas=self.use_pallas)
+            return np.asarray(vals), np.asarray(idx, np.int64)
+        vals, idx = ivf_search(
+            self._layout, self._device_emb, q, top_k,
+            nprobe=nprobe or self.nprobe, use_pallas=self.use_pallas,
+        )
+        return vals, idx.astype(np.int64)
+
+    def reconstruct(self, i: int) -> np.ndarray:
+        return self._emb_f32[i]
+
+    # ------------------------------------------------------------- tuning
+    def optimize_search_params(self, sample_queries: np.ndarray, top_k: int = 10,
+                               target_recall: float = 0.9) -> int:
+        """Sweep nprobe to the smallest value reaching target recall."""
+        if self.index_type != "IVFFlat" or self.ntotal == 0:
+            return self.nprobe
+        self._materialize()
+        q = self._preprocess(np.atleast_2d(sample_queries))
+        self.nprobe = tune_nprobe(
+            self._layout, self._device_emb, self._emb_f32, q,
+            k=top_k, target_recall=target_recall, use_pallas=self.use_pallas,
+        )
+        logger.info("nprobe tuned to %d for recall>=%.2f", self.nprobe, target_recall)
+        return self.nprobe
+
+    def measure_recall(self, sample_queries: np.ndarray, top_k: int = 10) -> float:
+        q = self._preprocess(np.atleast_2d(sample_queries))
+        _, exact = dense_topk_np(self._emb_f32, q, top_k)
+        _, got = self.search_arrays(q, top_k)
+        return float(np.mean([
+            len(set(got[i]) & set(exact[i])) / top_k for i in range(len(q))
+        ]))
+
+    # -------------------------------------------------------- persistence
+    def save(self, path: str | Path) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(str(path.with_suffix(".npz")), embeddings=self._emb_f32)
+        meta = {
+            "dimension": self.dimension,
+            "index_type": self.index_type,
+            "metric": self.metric,
+            "nlist": self.nlist,
+            "nprobe": self.nprobe,
+            "ntotal": self.ntotal,
+            "storage_dtype": self.storage_dtype,
+        }
+        with open(path.with_name(path.stem + "_metadata.json"), "w") as fh:
+            json.dump(meta, fh, indent=2)
+
+    @classmethod
+    def load(cls, path: str | Path, use_pallas: Optional[bool] = None) -> "VectorIndex":
+        path = Path(path)
+        with open(path.with_name(path.stem + "_metadata.json")) as fh:
+            meta = json.load(fh)
+        idx = cls(
+            dimension=meta["dimension"], index_type=meta["index_type"],
+            metric=meta["metric"], nlist=meta["nlist"], nprobe=meta["nprobe"],
+            storage_dtype=meta.get("storage_dtype", "bfloat16"), use_pallas=use_pallas,
+        )
+        data = np.load(str(path.with_suffix(".npz")))
+        emb = data["embeddings"]
+        if len(emb):
+            # already normalized at save time; bypass re-normalization
+            idx._emb_f32 = np.ascontiguousarray(emb, np.float32)
+            idx._dirty = True
+        return idx
