@@ -1,0 +1,251 @@
+"""Relation extraction: typed, weighted note-note edges.
+
+Parity target: /root/reference/graph/relation_extractor.py — the seven
+rule-based extractors (reference :390, entity co-occurrence :418,
+source-context :483, topic :543, semantic similarity :591, personal :631,
+lightweight business :947), the relation type -> (weight, reasoning_value)
+table (:36-57), and dedup/filter/per-note caps (:793-894).
+
+TPU design notes: the O(N^2) semantic-similarity pass — the reference's
+hot loop #3 (SURVEY.md §3.1) — runs as the fused Pallas top-k kernel over
+the embedding matrix (each note queries the corpus), not a materialized
+similarity matrix. String-feature extractors stay on host where they
+belong.
+"""
+from __future__ import annotations
+
+import re
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from anorag_tpu.ops.topk import dense_topk
+from anorag_tpu.utils.logging import get_logger
+
+logger = get_logger("anorag.graph")
+
+# relation type -> (edge weight, reasoning value)
+RELATION_TYPES: Dict[str, Tuple[float, float]] = {
+    "reference": (1.0, 0.4),
+    "entity_coexistence": (0.8, 0.3),
+    "context": (0.6, 0.5),
+    "topic": (0.7, 0.4),
+    "semantic_similarity": (0.5, 0.6),
+    "personal": (0.9, 0.3),
+    "causal": (0.9, 1.0),
+    "temporal": (0.8, 0.8),
+    "definition": (0.7, 0.7),
+    "comparison": (0.6, 0.6),
+    "elaboration": (0.5, 0.5),
+    "contradiction": (0.8, 0.9),
+    "succession": (0.85, 0.9),
+    "acquisition": (0.9, 0.95),
+    "ownership": (0.8, 0.8),
+    "subsidiary": (0.75, 0.7),
+    "partnership": (0.7, 0.6),
+    "merger": (0.9, 0.95),
+}
+RELATION_TYPE_IDS = {name: i for i, name in enumerate(RELATION_TYPES)}
+
+_BUSINESS_PATTERNS = {
+    "succession": r"\bsucceed(?:ed|s)?\b|\bsuccessor\b|\breplaced\b",
+    "acquisition": r"\bacquir(?:e|ed|es|ing)\b|\bbought\b|\bpurchased\b",
+    "ownership": r"\bown(?:s|ed|ership)?\b|\bbelongs? to\b",
+    "subsidiary": r"\bsubsidiary\b|\bdivision of\b|\bunit of\b",
+    "partnership": r"\bpartner(?:ship|ed)?\b|\bcollaborat(?:e|ed|ion)\b|\bjoint venture\b",
+    "merger": r"\bmerg(?:e|ed|er|ing)\b",
+}
+_PERSONAL_PATTERN = re.compile(
+    r"\bspouse\b|\bmarried\b|\bwife\b|\bhusband\b|\bfather\b|\bmother\b|\bson\b|"
+    r"\bdaughter\b|\bbrother\b|\bsister\b|\bpartner\b", re.IGNORECASE,
+)
+
+
+class RelationExtractor:
+    def __init__(
+        self,
+        semantic_threshold: float = 0.7,
+        max_semantic_edges_per_note: int = 5,
+        max_edges_per_note: int = 20,
+        weights: Optional[Dict[str, float]] = None,
+    ):
+        self.semantic_threshold = semantic_threshold
+        self.max_semantic_edges = max_semantic_edges_per_note
+        self.max_edges_per_note = max_edges_per_note
+        self.weights = {k: (weights or {}).get(k, w) for k, (w, _) in RELATION_TYPES.items()}
+
+    # ----------------------------------------------------------- extractors
+    def extract_all_relations(
+        self,
+        notes: Sequence[Dict[str, Any]],
+        embeddings: Optional[np.ndarray] = None,
+        topic_groups: Optional[Sequence[Sequence[str]]] = None,
+    ) -> List[Dict[str, Any]]:
+        if not notes:
+            return []
+        relations: List[Dict[str, Any]] = []
+        relations += self._reference_relations(notes)
+        relations += self._entity_cooccurrence(notes)
+        relations += self._source_context(notes)
+        if topic_groups:
+            relations += self._topic_relations(notes, topic_groups)
+        if embeddings is not None and len(embeddings) == len(notes):
+            relations += self._semantic_similarity(notes, embeddings)
+        relations += self._personal_relations(notes)
+        relations += self._business_relations(notes)
+        relations = self._dedup_and_cap(relations)
+        logger.info("extracted %d relations from %d notes", len(relations), len(notes))
+        return relations
+
+    def _rel(self, src: int, dst: int, rtype: str, extra: float = 0.0, **meta) -> Dict[str, Any]:
+        w, rv = RELATION_TYPES[rtype]
+        return {
+            "source": src,
+            "target": dst,
+            "relation_type": rtype,
+            "weight": self.weights.get(rtype, w) + extra,
+            "reasoning_value": rv,
+            **meta,
+        }
+
+    def _reference_relations(self, notes) -> List[Dict[str, Any]]:
+        """note i's text mentions note j's title."""
+        out = []
+        titles = [(j, (n.get("title") or "").strip().lower()) for j, n in enumerate(notes)]
+        titles = [(j, t) for j, t in titles if len(t) >= 4]
+        for i, n in enumerate(notes):
+            text = (n.get("content") or "").lower()
+            own = (n.get("title") or "").strip().lower()
+            for j, t in titles:
+                if j != i and t != own and t in text:
+                    out.append(self._rel(i, j, "reference"))
+        return out
+
+    def _entity_cooccurrence(self, notes) -> List[Dict[str, Any]]:
+        """shared entities => edge; weight scaled by overlap count."""
+        by_entity: Dict[str, List[int]] = defaultdict(list)
+        for i, n in enumerate(notes):
+            for e in set(str(x).lower() for x in (n.get("entities") or [])):
+                by_entity[e].append(i)
+        pair_count: Dict[Tuple[int, int], int] = defaultdict(int)
+        for ids in by_entity.values():
+            if len(ids) < 2 or len(ids) > 50:   # skip hub entities
+                continue
+            for a in range(len(ids)):
+                for b in range(a + 1, len(ids)):
+                    pair_count[(ids[a], ids[b])] += 1
+        return [
+            self._rel(i, j, "entity_coexistence", extra=0.05 * min(c - 1, 4),
+                      shared_entities=c)
+            for (i, j), c in pair_count.items()
+        ]
+
+    def _source_context(self, notes) -> List[Dict[str, Any]]:
+        """same doc, adjacent paragraph indices."""
+        by_doc: Dict[str, List[int]] = defaultdict(list)
+        for i, n in enumerate(notes):
+            by_doc[str(n.get("doc_id"))].append(i)
+        out = []
+        for ids in by_doc.values():
+            for a in range(len(ids)):
+                for b in range(a + 1, len(ids)):
+                    pa = notes[ids[a]].get("paragraph_idxs") or []
+                    pb = notes[ids[b]].get("paragraph_idxs") or []
+                    if pa and pb and min(abs(x - y) for x in pa for y in pb) <= 1:
+                        out.append(self._rel(ids[a], ids[b], "context"))
+        return out
+
+    def _topic_relations(self, notes, topic_groups) -> List[Dict[str, Any]]:
+        id_to_idx = {n.get("note_id"): i for i, n in enumerate(notes)}
+        out = []
+        for group in topic_groups:
+            idxs = [id_to_idx[g] for g in group if g in id_to_idx]
+            for a in range(len(idxs)):
+                for b in range(a + 1, min(len(idxs), a + 6)):  # cap fan-out per group
+                    out.append(self._rel(idxs[a], idxs[b], "topic"))
+        return out
+
+    def _semantic_similarity(self, notes, embeddings: np.ndarray) -> List[Dict[str, Any]]:
+        """top-k nearest neighbors per note above threshold — the fused
+        kernel replaces the reference's dense N x N similarity matrix."""
+        emb = np.asarray(embeddings, np.float32)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        emb = emb / np.maximum(norms, 1e-9)
+        k = min(self.max_semantic_edges + 1, len(notes))
+        vals, idx = dense_topk(emb, emb, k)
+        vals, idx = np.asarray(vals), np.asarray(idx)
+        out = []
+        for i in range(len(notes)):
+            for r in range(vals.shape[1]):
+                j = int(idx[i, r])
+                s = float(vals[i, r])
+                if j == i or j < 0 or s < self.semantic_threshold:
+                    continue
+                if j > i:  # undirected: emit once
+                    out.append(self._rel(i, j, "semantic_similarity",
+                                         extra=0.2 * (s - self.semantic_threshold),
+                                         similarity=s))
+        return out
+
+    def _personal_relations(self, notes) -> List[Dict[str, Any]]:
+        """notes sharing a person entity where either text has a personal cue."""
+        person_notes: Dict[str, List[int]] = defaultdict(list)
+        for i, n in enumerate(notes):
+            for e in n.get("entities") or []:
+                e = str(e)
+                if e and e[0].isupper() and " " in e:   # crude person-shaped entity
+                    person_notes[e.lower()].append(i)
+        out = []
+        for ids in person_notes.values():
+            if len(ids) < 2 or len(ids) > 20:
+                continue
+            for a in range(len(ids)):
+                for b in range(a + 1, len(ids)):
+                    ta = notes[ids[a]].get("content") or ""
+                    tb = notes[ids[b]].get("content") or ""
+                    if _PERSONAL_PATTERN.search(ta) or _PERSONAL_PATTERN.search(tb):
+                        out.append(self._rel(ids[a], ids[b], "personal"))
+        return out
+
+    def _business_relations(self, notes) -> List[Dict[str, Any]]:
+        tagged: Dict[str, List[int]] = defaultdict(list)
+        for i, n in enumerate(notes):
+            text = (n.get("content") or "").lower()
+            for rtype, pat in _BUSINESS_PATTERNS.items():
+                if re.search(pat, text):
+                    tagged[rtype].append(i)
+        out = []
+        for rtype, ids in tagged.items():
+            ent_sets = {
+                i: set(str(e).lower() for e in (notes[i].get("entities") or [])) for i in ids
+            }
+            for a in range(len(ids)):
+                for b in range(a + 1, len(ids)):
+                    if ent_sets[ids[a]] & ent_sets[ids[b]]:
+                        out.append(self._rel(ids[a], ids[b], rtype))
+        return out
+
+    # ----------------------------------------------------------- filtering
+    def _dedup_and_cap(self, relations: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        """Keep the strongest edge per (u, v) pair; cap per-note degree,
+        dropping weakest edges first (reference :793-894)."""
+        best: Dict[Tuple[int, int], Dict[str, Any]] = {}
+        for r in relations:
+            u, v = sorted((r["source"], r["target"]))
+            if u == v:
+                continue
+            key = (u, v)
+            if key not in best or r["weight"] > best[key]["weight"]:
+                best[key] = r
+        edges = sorted(best.values(), key=lambda r: -r["weight"])
+        degree: Dict[int, int] = defaultdict(int)
+        kept = []
+        for r in edges:
+            u, v = r["source"], r["target"]
+            if degree[u] >= self.max_edges_per_note or degree[v] >= self.max_edges_per_note:
+                continue
+            degree[u] += 1
+            degree[v] += 1
+            kept.append(r)
+        return kept
