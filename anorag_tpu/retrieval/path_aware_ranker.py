@@ -1,0 +1,209 @@
+"""PathAwareRanker: per-query entity-graph reranking.
+
+Parity target: /root/reference/retrieval/path_aware_ranker.py — a
+self-contained reranker that (1) extracts entities/relations from the query
+and candidate texts with rules (:248-392), (2) builds an in-memory
+lightweight entity graph with BFS path finding and k-hop expansion
+(:77-246), (3) scores each candidate
+    path_score = 0.4*key_entity_coverage + 0.3*expanded_coverage
+               + 0.3*avg_path_score                        (:712-759)
+and blends
+    final = w_sem*semantic + w_ent*entity_overlap + w_cons*path_consistency
+          + w_path*path_score, x0.7 soft penalty when the query has no
+    extractable entities (:510-624), attaching path explanations (:761-810).
+"""
+from __future__ import annotations
+
+import re
+from collections import defaultdict, deque
+from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
+
+import numpy as np
+
+from anorag_tpu.utils.logging import log_performance
+from anorag_tpu.utils.text import extract_entities_fallback, tokenize_no_stop
+
+_PREDICATE_MAP = {
+    "performed_by": r"\bperform(?:ed|s)? by\b|\bperformer\b|\bsings?\b|\bsang\b",
+    "spouse_of": r"\bspouse\b|\bmarried\b|\bwife\b|\bhusband\b",
+    "born_in": r"\bborn (?:in|at)\b|\bbirthplace\b",
+    "member_of": r"\bmember of\b|\bjoined\b|\bbelongs to\b",
+    "located_in": r"\blocated in\b|\bsituated\b|\bcapital of\b",
+    "founded_by": r"\bfounded\b|\bfounder\b|\bestablished\b",
+    "directed_by": r"\bdirect(?:ed|or)\b",
+    "released_in": r"\breleased?\b",
+}
+
+
+class EntityGraph:
+    """Tiny per-query entity graph: nodes = lowercase entities, edges tagged
+    with predicates + the contributing candidate index."""
+
+    def __init__(self):
+        self.adj: Dict[str, List[Tuple[str, str, int]]] = defaultdict(list)
+
+    def add(self, a: str, b: str, rel: str, cand_idx: int) -> None:
+        a, b = a.lower(), b.lower()
+        if a == b:
+            return
+        self.adj[a].append((b, rel, cand_idx))
+        self.adj[b].append((a, rel, cand_idx))
+
+    def k_hop(self, seeds: Sequence[str], k: int = 2) -> Set[str]:
+        seen = set(s.lower() for s in seeds if s.lower() in self.adj)
+        frontier = set(seen)
+        for _ in range(k):
+            nxt = set()
+            for u in frontier:
+                for v, _, _ in self.adj[u]:
+                    if v not in seen:
+                        nxt.add(v)
+            seen |= nxt
+            frontier = nxt
+        return seen
+
+    def find_paths(self, src: str, dst: str, max_len: int = 3) -> List[List[str]]:
+        src, dst = src.lower(), dst.lower()
+        if src not in self.adj:
+            return []
+        out, q = [], deque([[src]])
+        while q:
+            path = q.popleft()
+            if len(path) > max_len:
+                continue
+            u = path[-1]
+            if u == dst and len(path) > 1:
+                out.append(path)
+                continue
+            for v, _, _ in self.adj[u]:
+                if v not in path:
+                    q.append(path + [v])
+        return out
+
+
+class PathAwareRanker:
+    def __init__(
+        self,
+        w_semantic: float = 0.4,
+        w_entity: float = 0.2,
+        w_consistency: float = 0.15,
+        w_path: float = 0.25,
+        no_entity_penalty: float = 0.7,
+        k_hop: int = 2,
+    ):
+        self.w_semantic = w_semantic
+        self.w_entity = w_entity
+        self.w_consistency = w_consistency
+        self.w_path = w_path
+        self.no_entity_penalty = no_entity_penalty
+        self.k_hop = k_hop
+
+    # ---------------------------------------------------------- extraction
+    @staticmethod
+    def extract_entities(text: str) -> List[str]:
+        return extract_entities_fallback(text, max_entities=12)
+
+    @staticmethod
+    def extract_predicates(text: str) -> List[str]:
+        low = (text or "").lower()
+        return [p for p, pat in _PREDICATE_MAP.items() if re.search(pat, low)]
+
+    def _build_graph(self, candidates: Sequence[Dict[str, Any]]) -> EntityGraph:
+        g = EntityGraph()
+        for i, c in enumerate(candidates):
+            text = f"{c.get('title','')} {c.get('content','')}"
+            ents = [str(e) for e in (c.get("entities") or [])] or self.extract_entities(text)
+            preds = self.extract_predicates(text)
+            rel = preds[0] if preds else "related_to"
+            for a in range(len(ents)):
+                for b in range(a + 1, min(len(ents), a + 5)):
+                    g.add(ents[a], ents[b], rel, i)
+        return g
+
+    # ------------------------------------------------------------- ranking
+    @log_performance
+    def rerank_candidates(self, query: str, candidates: List[Dict[str, Any]],
+                          top_k: Optional[int] = None) -> List[Dict[str, Any]]:
+        if not candidates:
+            return []
+        q_entities = [e.lower() for e in self.extract_entities(query)]
+        graph = self._build_graph(candidates)
+        expanded = graph.k_hop(q_entities, self.k_hop) if q_entities else set()
+        q_tokens = set(tokenize_no_stop(query))
+
+        n = len(candidates)
+        semantic = np.array(
+            [float(c.get("final_score", c.get("similarity", 0.0))) for c in candidates],
+            np.float32,
+        )
+        mx = semantic.max()
+        if mx > 0:
+            semantic = semantic / mx
+
+        key_cov = np.zeros(n, np.float32)
+        exp_cov = np.zeros(n, np.float32)
+        ent_overlap = np.zeros(n, np.float32)
+        consistency = np.zeros(n, np.float32)
+        for i, c in enumerate(candidates):
+            c_ents = set(str(e).lower() for e in (c.get("entities") or []))
+            text_toks = set(tokenize_no_stop(f"{c.get('title','')} {c.get('content','')}"))
+            if q_entities:
+                key_cov[i] = len(c_ents & set(q_entities)) / len(q_entities)
+                if expanded:
+                    exp_cov[i] = len(c_ents & expanded) / len(expanded)
+            if c_ents:
+                ent_overlap[i] = len(text_toks & q_tokens) / max(len(q_tokens), 1)
+            preds = self.extract_predicates(c.get("content") or "")
+            q_preds = self.extract_predicates(query)
+            if q_preds:
+                consistency[i] = len(set(preds) & set(q_preds)) / len(set(q_preds))
+
+        # avg path score: candidates contributing edges on paths between
+        # query entities get credit
+        avg_path = np.zeros(n, np.float32)
+        if len(q_entities) >= 2:
+            contributing: Dict[int, int] = defaultdict(int)
+            for a in range(len(q_entities)):
+                for b in range(a + 1, len(q_entities)):
+                    for path in graph.find_paths(q_entities[a], q_entities[b], max_len=3)[:8]:
+                        for u, v in zip(path, path[1:]):
+                            for (w, _, ci) in graph.adj[u]:
+                                if w == v:
+                                    contributing[ci] += 1
+            if contributing:
+                top = max(contributing.values())
+                for ci, cnt in contributing.items():
+                    avg_path[ci] = cnt / top
+
+        path_score = 0.4 * key_cov + 0.3 * exp_cov + 0.3 * avg_path
+        final = (
+            self.w_semantic * semantic + self.w_entity * ent_overlap
+            + self.w_consistency * consistency + self.w_path * path_score
+        )
+        if not q_entities:
+            final = final * self.no_entity_penalty
+
+        order = np.argsort(-final, kind="stable")
+        out = []
+        for i in order[: top_k or n]:
+            c = dict(candidates[int(i)])
+            c["path_aware_score"] = float(final[i])
+            c["final_score"] = float(final[i])
+            c["path_info"] = {
+                "key_entity_coverage": float(key_cov[i]),
+                "expanded_coverage": float(exp_cov[i]),
+                "avg_path_score": float(avg_path[i]),
+                "explanation": self._explain(candidates[int(i)], q_entities),
+            }
+            out.append(c)
+        return out
+
+    @staticmethod
+    def _explain(candidate: Dict[str, Any], q_entities: Sequence[str]) -> str:
+        hits = [
+            str(e) for e in (candidate.get("entities") or [])
+            if str(e).lower() in set(q_entities)
+        ]
+        if hits:
+            return f"covers query entities: {', '.join(hits)}"
+        return "no direct query-entity coverage"

@@ -1,0 +1,256 @@
+"""VectorRetriever: the dense-retrieval facade over notes.
+
+Parity target: /root/reference/vector_store/retriever.py — build index from
+notes (embed -> index -> add) with a lexical fallback index (:924-956),
+batched `search` with threshold filtering and `retrieval_info` tagging
+(:186-272), the enhanced 4-stage `retrieve` (over-fetch x3, filter_fn,
+must-have-terms penalty x0.6 / entity boost x1.2 / predicate boost x1.15,
+threshold+sort, :339-512), incremental add/remove/update with rebuilds
+(:514-629), persistence (atomic_notes.json + note_embeddings.npz +
+id_mappings.json, :724-749), and namespace-fallback search (:1004-1035).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from anorag_tpu.index.bm25_index import BM25Index
+from anorag_tpu.index.vector_index import VectorIndex
+from anorag_tpu.models.embedding_manager import EmbeddingManager
+from anorag_tpu.utils.file_io import read_json, write_json
+from anorag_tpu.utils.logging import get_logger, log_performance
+from anorag_tpu.utils.text import tokenize
+
+logger = get_logger("anorag.retrieval")
+
+MISS_PENALTY = 0.6
+ENTITY_BOOST = 1.2
+PREDICATE_BOOST = 1.15
+OVERFETCH = 3
+
+
+class VectorRetriever:
+    def __init__(
+        self,
+        embedding_manager: Optional[EmbeddingManager] = None,
+        dimension: int = 1024,
+        index_type: str = "IVFFlat",
+        similarity_threshold: float = 0.5,
+        top_k: int = 20,
+        nlist: int = 20,
+        nprobe: int = 4,
+        use_pallas: Optional[bool] = None,
+    ):
+        self.em = embedding_manager or EmbeddingManager(singleton=False)
+        self.dimension = self.em.dim or dimension
+        self.index_type = index_type
+        self.similarity_threshold = similarity_threshold
+        self.top_k = top_k
+        self._index_kw = dict(nlist=nlist, nprobe=nprobe, use_pallas=use_pallas)
+        self.notes: List[Dict[str, Any]] = []
+        self.embeddings: Optional[np.ndarray] = None
+        self.index: Optional[VectorIndex] = None
+        self._lexical: Optional[BM25Index] = None   # fallback sparse index
+
+    # ------------------------------------------------------------- build
+    @log_performance
+    def build_index(self, notes: Sequence[Dict[str, Any]],
+                    embeddings: Optional[np.ndarray] = None) -> None:
+        self.notes = list(notes)
+        self.embeddings = (
+            np.asarray(embeddings, np.float32)
+            if embeddings is not None
+            else self.em.encode_atomic_notes(self.notes)
+        )
+        self._rebuild()
+
+    def _rebuild(self) -> None:
+        self.index = VectorIndex(
+            dimension=self.embeddings.shape[1] if len(self.notes) else self.dimension,
+            index_type=self.index_type, **self._index_kw,
+        )
+        if len(self.notes):
+            self.index.add(self.embeddings)
+        self._lexical = BM25Index(self.notes) if self.notes else None
+
+    # ------------------------------------------------------------- search
+    def search(
+        self,
+        queries: Sequence[str],
+        top_k: Optional[int] = None,
+        threshold: Optional[float] = None,
+    ) -> List[List[Dict[str, Any]]]:
+        """Per query: notes with retrieval_info, filtered by threshold."""
+        if not self.notes:
+            return [[] for _ in queries]
+        top_k = top_k or self.top_k
+        threshold = self.similarity_threshold if threshold is None else threshold
+        q_emb = self.em.encode_queries(list(queries))
+        scores, idx = self.index.search_arrays(q_emb, top_k)
+        out: List[List[Dict[str, Any]]] = []
+        for qi, query in enumerate(queries):
+            rows = []
+            for rank in range(scores.shape[1]):
+                i = int(idx[qi, rank])
+                s = float(scores[qi, rank])
+                if i < 0 or s < threshold:
+                    continue
+                note = dict(self.notes[i])
+                note["retrieval_info"] = {
+                    "similarity": s, "rank": rank, "query": query, "method": "dense",
+                }
+                note["similarity"] = s
+                note["final_score"] = s
+                rows.append(note)
+            out.append(rows)
+        return out
+
+    @log_performance
+    def retrieve(
+        self,
+        query: str,
+        top_k: Optional[int] = None,
+        filter_fn: Optional[Callable[[Dict[str, Any]], bool]] = None,
+        must_have_terms: Sequence[str] = (),
+        boost_entities: Sequence[str] = (),
+        boost_predicates: Sequence[str] = (),
+        threshold: Optional[float] = None,
+    ) -> List[Dict[str, Any]]:
+        """4-stage enhanced retrieval: over-fetch, filter, adjust, cut."""
+        if not self.notes:
+            return []
+        top_k = top_k or self.top_k
+        threshold = self.similarity_threshold if threshold is None else threshold
+
+        # stage 1: over-fetch
+        q_emb = self.em.encode_queries([query])
+        fetch = min(top_k * OVERFETCH, len(self.notes))
+        scores, idx = self.index.search_arrays(q_emb, fetch)
+        cands: List[Dict[str, Any]] = []
+        for rank in range(scores.shape[1]):
+            i = int(idx[0, rank])
+            if i < 0:
+                continue
+            note = dict(self.notes[i])
+            note["similarity"] = float(scores[0, rank])
+            cands.append(note)
+
+        # stage 2: filter
+        if filter_fn:
+            cands = [c for c in cands if filter_fn(c)]
+
+        # stage 3: score adjustments (vectorized over the pool)
+        if cands:
+            sims = np.array([c["similarity"] for c in cands], np.float32)
+            if must_have_terms:
+                terms = [t.lower() for t in must_have_terms]
+                has = np.array([
+                    all(t in f"{c.get('title','')} {c.get('content','')}".lower() for t in terms)
+                    for c in cands
+                ])
+                sims = np.where(has, sims, sims * MISS_PENALTY)
+            if boost_entities:
+                be = set(e.lower() for e in boost_entities)
+                hit = np.array([
+                    bool(be & set(str(e).lower() for e in (c.get("entities") or [])))
+                    for c in cands
+                ])
+                sims = np.where(hit, sims * ENTITY_BOOST, sims)
+            if boost_predicates:
+                bp = [p.lower() for p in boost_predicates]
+                hit = np.array([
+                    any(p in (c.get("content") or "").lower() for p in bp) for c in cands
+                ])
+                sims = np.where(hit, sims * PREDICATE_BOOST, sims)
+            for c, s in zip(cands, sims):
+                c["adjusted_score"] = float(s)
+                c["final_score"] = float(s)
+
+        # stage 4: threshold + sort + cut
+        cands = [c for c in cands if c.get("adjusted_score", 0.0) >= threshold]
+        cands.sort(key=lambda c: -c["adjusted_score"])
+        return cands[:top_k]
+
+    def lexical_fallback_search(self, query: str, top_k: int = 20) -> List[Dict[str, Any]]:
+        """Sparse fallback when dense retrieval returns nothing usable."""
+        if not self._lexical:
+            return []
+        s, idx = self._lexical.topk(query, k=top_k)
+        out = []
+        for score, i in zip(s, idx):
+            if score <= 0:
+                continue
+            note = dict(self.notes[int(i)])
+            note["similarity"] = float(score)
+            note["final_score"] = float(score)
+            note["retrieval_info"] = {"method": "lexical_fallback"}
+            out.append(note)
+        return out
+
+    def search_with_namespace_fallback(self, query: str, namespace: Optional[str],
+                                       top_k: int = 20) -> List[Dict[str, Any]]:
+        """Dense search filtered to a doc namespace; lexical fallback within
+        the namespace when empty."""
+        in_ns = (lambda c: namespace is None or str(c.get("doc_id")) == str(namespace))
+        res = self.retrieve(query, top_k=top_k, filter_fn=in_ns, threshold=0.0)
+        if not res:
+            res = [c for c in self.lexical_fallback_search(query, top_k * 2) if in_ns(c)][:top_k]
+        return res
+
+    # -------------------------------------------------------- incremental
+    def add_notes(self, new_notes: Sequence[Dict[str, Any]]) -> None:
+        if not new_notes:
+            return
+        new_emb = self.em.encode_atomic_notes(list(new_notes))
+        self.notes.extend(new_notes)
+        self.embeddings = (
+            new_emb if self.embeddings is None
+            else np.concatenate([self.embeddings, new_emb])
+        )
+        self._rebuild()
+
+    def remove_notes(self, note_ids: Sequence[str]) -> int:
+        drop = set(note_ids)
+        keep = [i for i, n in enumerate(self.notes) if n.get("note_id") not in drop]
+        removed = len(self.notes) - len(keep)
+        self.notes = [self.notes[i] for i in keep]
+        self.embeddings = self.embeddings[keep] if self.embeddings is not None else None
+        self._rebuild()
+        return removed
+
+    def update_note(self, note: Dict[str, Any]) -> bool:
+        nid = note.get("note_id")
+        for i, n in enumerate(self.notes):
+            if n.get("note_id") == nid:
+                self.notes[i] = dict(note)
+                self.embeddings[i] = self.em.encode_atomic_notes([note])[0]
+                self._rebuild()
+                return True
+        return False
+
+    # -------------------------------------------------------- persistence
+    def save(self, data_dir: str | Path) -> None:
+        d = Path(data_dir)
+        d.mkdir(parents=True, exist_ok=True)
+        write_json(d / "atomic_notes.json", self.notes)
+        np.savez_compressed(d / "note_embeddings.npz", embeddings=self.embeddings)
+        write_json(d / "id_mappings.json",
+                   {n.get("note_id"): i for i, n in enumerate(self.notes)})
+        write_json(d / "model_signature.json", self.em.model_signature())
+
+    def load(self, data_dir: str | Path, check_signature: bool = True) -> bool:
+        d = Path(data_dir)
+        if not (d / "atomic_notes.json").exists():
+            return False
+        sig_path = d / "model_signature.json"
+        if check_signature and sig_path.exists():
+            if not self.em.check_signature(read_json(sig_path)):
+                logger.warning("model signature mismatch; refusing stale index at %s", d)
+                return False
+        self.notes = read_json(d / "atomic_notes.json")
+        with np.load(d / "note_embeddings.npz") as z:
+            self.embeddings = z["embeddings"]
+        self._rebuild()
+        return True
