@@ -1,0 +1,93 @@
+"""Relation-chain answer selector.
+
+Parity target: /root/reference/pipeline/answer_selector.py:24-130 (+ root
+shim answer_selector.py) — extract a relation chain from the question (e.g.
+performer -> spouse), beam_search over the NoteGraph from anchor keys, and
+answer verbatim with the terminal key of the best completed path. Applied
+before the LLM when `answer_selector.apply_before_llm` is on.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from anorag_tpu.graph.beam_search import beam_search
+from anorag_tpu.graph.note_graph import NoteGraph
+from anorag_tpu.utils.text import extract_entities_fallback
+
+# question cue -> relation
+_CUE_RELS = [
+    (r"\bspouse\b|\bmarried\b|\bwife\b|\bhusband\b", "spouse_of|partner_of"),
+    (r"\bperform(?:ed|er|s)?\b|\bsing(?:er|s)?\b|\bsang\b", "performed_by"),
+    (r"\bborn\b|\bbirthplace\b", "born_in"),
+    (r"\bmember\b", "member_of"),
+    (r"\breleased?\b", "released_in"),
+]
+
+
+def extract_rel_chain(question: str,
+                      configured_chains: Optional[Sequence[Sequence[str]]] = None,
+                      relax_last_hop: Optional[Sequence[str]] = None) -> Optional[List[str]]:
+    """Order cue hits by the grammatical nesting: in 'spouse of the performer
+    of X' the innermost relation (performer) resolves first."""
+    low = (question or "").lower()
+    hits: List[Tuple[int, str]] = []
+    for pat, rel in _CUE_RELS:
+        m = re.search(pat, low)
+        if m:
+            hits.append((m.start(), rel))
+    if len(hits) < 2:
+        if configured_chains:
+            for chain in configured_chains:
+                if all(any(re.search(p, low) for p, r in _CUE_RELS if r.split("|")[0] in c or c in r)
+                       for c in chain):
+                    return list(chain)
+        return None
+    # innermost (= later position in "X of the Y of Z") resolves first
+    hits.sort(key=lambda t: -t[0])
+    chain = [rel for _, rel in hits]
+    if relax_last_hop and chain:
+        for relaxed in relax_last_hop:
+            if chain[-1] in relaxed.split("|"):
+                chain[-1] = relaxed
+    return chain
+
+
+def answer_question(
+    question: str,
+    note_graph: NoteGraph,
+    anchor_top_k: int = 5,
+    rel_chains: Optional[Sequence[Sequence[str]]] = None,
+    relax_last_hop: Optional[Sequence[str]] = None,
+    max_hops: int = 4,
+    beam_size: int = 8,
+    branch: int = 6,
+) -> Optional[Dict[str, Any]]:
+    """Returns {answer, support_note_ids, path, score} or None."""
+    chain = extract_rel_chain(question, rel_chains, relax_last_hop)
+    if not chain:
+        return None
+    # anchors: entities from the question that exist as head keys, else seeds
+    anchors = [e for e in extract_entities_fallback(question) if note_graph.neighbors(e)]
+    if not anchors:
+        seed_ids = note_graph.seed_recall(question, top_k=anchor_top_k)
+        anchors = [
+            note_graph.notes[nid].get("head_key")
+            for nid in seed_ids
+            if note_graph.notes[nid].get("head_key")
+        ][:anchor_top_k]
+    if not anchors:
+        return None
+    paths = beam_search(note_graph, anchors, rel_chain=chain,
+                        max_hops=max_hops, beam_size=beam_size, branch=branch)
+    complete = [p for p in paths if len(p.rels) == len(chain)]
+    if not complete:
+        return None
+    best = complete[0]
+    return {
+        "answer": best.keys[-1],
+        "support_note_ids": best.notes,
+        "path": best.keys,
+        "relations": best.rels,
+        "score": best.score,
+    }

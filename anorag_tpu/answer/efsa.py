@@ -1,0 +1,142 @@
+"""EFSA: Entity-Focused Score Aggregation short answering.
+
+Parity target: /root/reference/answer/efsa_answer.py (math documented in
+README_EFSA.md:40-60). Over the top-N final candidates, every entity
+(excluding the bridge entity) accumulates evidence
+    w(note) = final_score * 0.85^(hop-1) * (1 + 0.10*coverage + 0.05*consistency)
+where coverage = |path_entities ∩ note_entities| / |path_entities| and
+consistency = 1 iff the note text mentions a path entity; an entity's total
+is then multiplied by the doc-diversity bonus 1 + 0.03*min(n_docs-1, 3); the
+argmax entity is the answer and its top-2 contributing notes supply the
+support idxs.
+
+TPU shape: the aggregation is a segment-sum over (note, entity) incidence —
+vectorized here with numpy over entity ids (the candidate set is tiny, ~20).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from anorag_tpu.utils.file_io import read_jsonl
+
+HOP_DECAY = 0.85
+COV_BONUS = 0.10
+CONS_BONUS = 0.05
+DIVERSITY_STEP = 0.03
+DIVERSITY_CAP = 3
+
+
+def compute_cov_cons(note: Dict[str, Any], path_entities: Sequence[str]) -> Tuple[float, int]:
+    pe = {e.lower() for e in (path_entities or [])}
+    if not pe:
+        return 0.0, 0
+    ne = {str(e).lower() for e in (note.get("entities") or [])}
+    cov = len(ne & pe) / max(1, len(pe))
+    text = f"{note.get('title','')} {note.get('content','')}".lower()
+    cons = 1 if any(e in text for e in pe) else 0
+    return float(cov), int(cons)
+
+
+def efsa_answer(
+    candidates: Sequence[Dict[str, Any]],
+    query: str = "",
+    bridge_entity: Optional[str] = None,
+    path_entities: Optional[Sequence[str]] = None,
+    topN: int = 20,
+) -> Tuple[Optional[str], List[Any], float]:
+    """(answer entity | None, support idxs, score)."""
+    pool = list(candidates)[:topN]
+    if not pool:
+        return None, [], 0.0
+    be = (bridge_entity or "").lower()
+    pe = list(path_entities or [])
+
+    # note weights (vector)
+    hops = np.array([int(n.get("hop_no", 1)) for n in pool], np.float64)
+    base = np.array([float(n.get("final_score", 0.0)) for n in pool], np.float64)
+    cov_cons = np.array([compute_cov_cons(n, pe) for n in pool], np.float64)
+    w = base * (HOP_DECAY ** (hops - 1)) * (1 + COV_BONUS * cov_cons[:, 0] + CONS_BONUS * cov_cons[:, 1])
+
+    # (note, entity) incidence -> segment-sum per entity id
+    ent_ids: Dict[str, int] = {}
+    ent_names: List[str] = []
+    rows: List[Tuple[int, int]] = []   # (note_idx, entity_id)
+    for i, n in enumerate(pool):
+        for e in n.get("entities") or []:
+            e = str(e)
+            if be and e.lower() == be:
+                continue
+            eid = ent_ids.get(e)
+            if eid is None:
+                eid = ent_ids[e] = len(ent_names)
+                ent_names.append(e)
+            rows.append((i, eid))
+    if not rows:
+        return None, [], 0.0
+    note_idx = np.array([r[0] for r in rows])
+    eid_arr = np.array([r[1] for r in rows])
+    n_ents = len(ent_names)
+    score = np.zeros(n_ents, np.float64)
+    np.add.at(score, eid_arr, w[note_idx])
+
+    # doc diversity bonus
+    docs_per_ent = [set() for _ in range(n_ents)]
+    for i, eid in rows:
+        docs_per_ent[eid].add(pool[i].get("doc_id"))
+    ndocs = np.array([len(d) for d in docs_per_ent], np.float64)
+    score *= 1 + DIVERSITY_STEP * np.minimum(np.maximum(ndocs - 1, 0), DIVERSITY_CAP)
+
+    best = int(np.argmax(score))
+    answer = ent_names[best]
+    # support: top-2 contributing notes for the winning entity
+    contrib = [(float(w[i]), pool[i]) for (i, eid) in rows if eid == best]
+    contrib.sort(key=lambda t: -t[0])
+    support: List[Any] = []
+    for _, note in contrib[:2]:
+        pidx = note.get("paragraph_idxs")
+        key = pidx[0] if pidx else note.get("note_id")
+        if key is not None and key not in support:
+            support.append(key)
+    return answer, support, float(score[best])
+
+
+def efsa_answer_with_fallback(
+    candidates: Optional[Sequence[Dict[str, Any]]] = None,
+    query: str = "",
+    bridge_entity: Optional[str] = None,
+    path_entities: Optional[Sequence[str]] = None,
+    topN: int = 20,
+    fallback_func: Optional[Callable] = None,
+    final_recall_path: Optional[str] = None,
+) -> Tuple[Optional[str], List[Any], float]:
+    if final_recall_path and Path(final_recall_path).exists():
+        try:
+            candidates = read_jsonl(final_recall_path)
+        except Exception:
+            candidates = candidates or []
+    if not candidates:
+        return None, [], 0.0
+    answer, support, score = efsa_answer(candidates, query, bridge_entity, path_entities, topN)
+    if answer is not None:
+        return answer, support, score
+    if fallback_func:
+        fb_answer, fb_support = fallback_func(list(candidates), query)
+        return fb_answer, fb_support, 0.0
+    first = candidates[0]
+    content = (first.get("content") or "")[:50].strip() or None
+    pidx = first.get("paragraph_idxs") or []
+    return content, pidx[:1], 0.0
+
+
+def extract_bridge_info_from_candidates(
+    candidates: Sequence[Dict[str, Any]],
+) -> Tuple[Optional[str], List[str]]:
+    bridge = None
+    path_entities: List[str] = []
+    for c in candidates:
+        bridge = bridge or c.get("bridge_entity")
+        path_entities.extend(c.get("bridge_path") or [])
+    return bridge, sorted(set(path_entities))

@@ -1,0 +1,76 @@
+"""AnswerVerifier: entailment-style answer verification / correction.
+
+Parity target: /root/reference/answer/verify_shell.py:20-535 — features
+(answer-context overlap, answer-type consistency with the question, evidence
+quality, linguistic sanity), a trainable entailment head with a heuristic
+fallback, and `finalize_answer` which can keep, correct (to the best span),
+or mark the answer insufficient.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from anorag_tpu.answer.span_picker import SpanPicker
+from anorag_tpu.reasoning.qa_coverage import question_type
+from anorag_tpu.utils.text import normalize_answer, tokenize_no_stop
+
+
+class AnswerVerifier:
+    def __init__(self, accept_threshold: float = 0.45, correct_threshold: float = 0.25,
+                 span_picker: Optional[SpanPicker] = None):
+        self.accept_threshold = accept_threshold
+        self.correct_threshold = correct_threshold
+        self.span_picker = span_picker or SpanPicker()
+        self.w: Optional[np.ndarray] = None
+        self.b = 0.0
+
+    # ------------------------------------------------------------ features
+    def features(self, question: str, answer: str, context: str) -> np.ndarray:
+        a_toks = set(tokenize_no_stop(answer))
+        c_toks = set(tokenize_no_stop(context))
+        q_toks = set(tokenize_no_stop(question))
+        verbatim = normalize_answer(answer) in normalize_answer(context)
+        qt = question_type(question)
+        looks_person = bool(answer) and answer[:1].isupper() and 1 <= len(answer.split()) <= 4
+        looks_time = any(t.isdigit() and len(t) == 4 for t in answer.split())
+        type_ok = {
+            "person": looks_person, "time": looks_time, "place": looks_person,
+        }.get(qt, True)
+        return np.array(
+            [
+                float(verbatim),
+                len(a_toks & c_toks) / max(len(a_toks), 1),
+                float(type_ok),
+                1.0 - len(a_toks & q_toks) / max(len(a_toks), 1),  # not parroting the question
+                min(len(answer) / 60.0, 1.0),
+                float(0 < len(answer.split()) <= 8),
+            ],
+            np.float32,
+        )
+
+    def verify_score(self, question: str, answer: str, context: str) -> float:
+        f = self.features(question, answer, context)
+        if self.w is not None:
+            return float(1.0 / (1.0 + np.exp(-(f @ self.w + self.b))))
+        return float(0.30 * f[0] + 0.25 * f[1] + 0.15 * f[2] + 0.15 * f[3]
+                     + 0.05 * f[4] + 0.10 * f[5])
+
+    # -------------------------------------------------------------- entry
+    def finalize_answer(self, question: str, answer: Optional[str],
+                        context: str) -> Dict[str, Any]:
+        """{answer, verified, corrected, score} — may replace the answer with
+        the best extractive span or mark it insufficient."""
+        answer = (answer or "").strip()
+        score = self.verify_score(question, answer, context) if answer else 0.0
+        if answer and score >= self.accept_threshold:
+            return {"answer": answer, "verified": True, "corrected": False, "score": score}
+        best = self.span_picker.pick_best_span(question, context)
+        if best and best["score"] > max(score, self.correct_threshold):
+            return {"answer": best["span"], "verified": True, "corrected": True,
+                    "score": best["score"]}
+        if answer and score >= self.correct_threshold:
+            return {"answer": answer, "verified": False, "corrected": False, "score": score}
+        return {"answer": answer or "insufficient information", "verified": False,
+                "corrected": False, "score": score}

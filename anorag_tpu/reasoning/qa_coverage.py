@@ -1,0 +1,99 @@
+"""QACoverageScorer: question <-> sentence answerability scoring.
+
+Parity target: /root/reference/reasoning/qa_coverage.py:19-418 — feature-
+based scoring of whether a sentence can answer the question (token overlap,
+entity hits, wh-type/answer-type agreement, position), a trainable logistic
+head with a heuristic fallback, and best sentence/paragraph selection.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from anorag_tpu.utils.text import extract_entities_fallback, split_sentences, tokenize_no_stop
+
+_WH_TYPES = {
+    "who": "person", "whom": "person", "whose": "person",
+    "where": "place", "when": "time", "what": "thing",
+    "which": "thing", "how": "manner", "why": "reason",
+}
+_TIME_RE = re.compile(r"\b(1[0-9]{3}|20[0-9]{2})\b|\b(january|february|march|april|may|june|july|august|september|october|november|december)\b", re.IGNORECASE)
+_PERSON_RE = re.compile(r"\b[A-Z][a-z]+ [A-Z][a-z]+\b")
+_PLACE_CUES = re.compile(r"\b(in|at|near|city|country|state|town|capital)\b", re.IGNORECASE)
+
+
+def question_type(question: str) -> str:
+    first = (tokenize_no_stop(question)[:1] or [""])[0]
+    m = re.match(r"\s*(\w+)", question or "")
+    w = (m.group(1).lower() if m else first)
+    return _WH_TYPES.get(w, "thing")
+
+
+class QACoverageScorer:
+    def __init__(self):
+        self.w: Optional[np.ndarray] = None
+        self.b: float = 0.0
+
+    # ------------------------------------------------------------ features
+    def features(self, question: str, sentence: str) -> np.ndarray:
+        q_toks = set(tokenize_no_stop(question))
+        s_toks = set(tokenize_no_stop(sentence))
+        q_ents = set(e.lower() for e in extract_entities_fallback(question))
+        s_ents = set(e.lower() for e in extract_entities_fallback(sentence))
+        qt = question_type(question)
+        type_hit = {
+            "person": bool(_PERSON_RE.search(sentence)),
+            "time": bool(_TIME_RE.search(sentence)),
+            "place": bool(_PLACE_CUES.search(sentence)),
+        }.get(qt, True)
+        return np.array(
+            [
+                len(q_toks & s_toks) / max(len(q_toks), 1),
+                len(q_ents & s_ents) / max(len(q_ents), 1) if q_ents else 0.0,
+                float(type_hit),
+                min(len(s_toks) / 20.0, 1.0),
+            ],
+            np.float32,
+        )
+
+    # ------------------------------------------------------------- scoring
+    def score(self, question: str, sentence: str) -> float:
+        f = self.features(question, sentence)
+        if self.w is not None:
+            z = float(f @ self.w + self.b)
+            return 1.0 / (1.0 + np.exp(-z))
+        # heuristic fallback weights
+        return float(0.5 * f[0] + 0.3 * f[1] + 0.15 * f[2] + 0.05 * f[3])
+
+    def best_sentence(self, question: str, text: str) -> Tuple[str, float]:
+        sents = split_sentences(text)
+        if not sents:
+            return "", 0.0
+        scores = [self.score(question, s) for s in sents]
+        i = int(np.argmax(scores))
+        return sents[i], float(scores[i])
+
+    def best_paragraphs(self, question: str, paragraphs: Sequence[str],
+                        top_k: int = 2) -> List[int]:
+        scored = [(i, self.best_sentence(question, p)[1]) for i, p in enumerate(paragraphs)]
+        scored.sort(key=lambda t: -t[1])
+        return [i for i, _ in scored[:top_k]]
+
+    # ------------------------------------------------------------ training
+    def train(self, pairs: Sequence[Tuple[str, str, float]], epochs: int = 300,
+              lr: float = 0.5) -> float:
+        x = np.stack([self.features(q, s) for q, s, _ in pairs])
+        y = np.array([lab for _, _, lab in pairs], np.float32)
+        w = np.zeros(x.shape[1], np.float32)
+        b = 0.0
+        for _ in range(epochs):
+            z = x @ w + b
+            p = 1.0 / (1.0 + np.exp(-z))
+            g = p - y
+            w -= lr * (x.T @ g) / len(y)
+            b -= lr * float(g.mean())
+        self.w, self.b = w, b
+        p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+        return float(np.mean((p > 0.5) == (y > 0.5)))
