@@ -1,0 +1,246 @@
+"""AtomicNoteGenerator: chunks -> validated atomic notes via LLM.
+
+Parity target: /root/reference/llm/atomic_note_generator.py — per-chunk v2
+prompt, sentinel fast path ('~' = no notes), robust JSON parse with ONE
+retry on a shortened chunk (:404-474), rule fallback notes
+(:enable_rule_fallback), completeness/quality filtering, stable note ids,
+raw_span evidence, entity fallback extraction, predicate normalization, and
+bucketed per-paragraph note limits (notes_llm.limit).
+"""
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import defaultdict
+from typing import Any, Dict, List, Optional, Sequence
+
+from anorag_tpu.llm.early_stop import StreamingEarlyStop
+from anorag_tpu.llm.prompts import ATOMIC_NOTE_SENTINEL, build_atomic_note_prompt
+from anorag_tpu.utils.json_parser import extract_json
+from anorag_tpu.utils.logging import get_logger
+from anorag_tpu.utils.text import extract_entities_fallback, split_sentences
+from anorag_tpu.validators.note_validator import normalize_note
+
+logger = get_logger("anorag.notes")
+
+_PREDICATE_NORM = {
+    "performs": "performed_by", "performed by": "performed_by", "sung by": "performed_by",
+    "spouse": "spouse_of", "married to": "spouse_of", "wife of": "spouse_of",
+    "husband of": "spouse_of", "born": "born_in", "birthplace": "born_in",
+    "member": "member_of", "released": "released_in", "located": "located_in",
+}
+
+
+def stable_note_id(doc_id: str, chunk_index: int, text: str) -> str:
+    h = hashlib.sha1(f"{doc_id}|{chunk_index}|{text}".encode()).hexdigest()[:12]
+    return f"note_{h}"
+
+
+def normalize_predicate(rel: Optional[str]) -> str:
+    r = (rel or "").strip().lower().replace("-", "_").replace(" ", "_")
+    return _PREDICATE_NORM.get((rel or "").strip().lower(), r or "related_to")
+
+
+class NoteQualityFilter:
+    """Completeness/quality gates (parity: utils/note_validator.py,
+    note_completeness.py, notes_quality_filter.py in the reference)."""
+
+    def __init__(self, min_chars: int = 20, max_chars: int = 400,
+                 min_salience: float = 0.3, require_entities: bool = False,
+                 require_sentence_terminal: bool = True, min_word_count: int = 4):
+        self.min_chars = min_chars
+        self.max_chars = max_chars
+        self.min_salience = min_salience
+        self.require_entities = require_entities
+        self.require_sentence_terminal = require_sentence_terminal
+        self.min_word_count = min_word_count
+
+    def check(self, note: Dict[str, Any]) -> List[str]:
+        issues = []
+        text = (note.get("text") or note.get("content") or "").strip()
+        if len(text) < self.min_chars:
+            issues.append("too_short")
+        if len(text) > self.max_chars:
+            issues.append("too_long")
+        if len(text.split()) < self.min_word_count:
+            issues.append("too_few_words")
+        if self.require_sentence_terminal and text and text[-1] not in ".!?\"'":
+            issues.append("no_sentence_terminal")
+        if self.require_entities and not note.get("entities"):
+            issues.append("no_entities")
+        sal = note.get("salience")
+        if sal is not None and float(sal) < self.min_salience:
+            issues.append("low_salience")
+        return issues
+
+    def passes(self, note: Dict[str, Any]) -> bool:
+        return not self.check(note)
+
+
+class AtomicNoteGenerator:
+    def __init__(self, llm, cfg: Optional[Any] = None):
+        from anorag_tpu.config import config as global_config
+
+        self.llm = llm
+        self.cfg = cfg or global_config
+        nl = self.cfg.get("notes_llm", {}) or {}
+        self.sentinel = nl.get("sentinel_char", ATOMIC_NOTE_SENTINEL)
+        self.retry_on_parse_error = nl.get("retry_once_on_parse_error", True)
+        self.shorten_chars = nl.get("shorten_on_retry_chars", 1000)
+        self.max_notes_per_chunk = nl.get("max_notes_per_chunk", 12)
+        self.max_note_chars = nl.get("max_note_chars", 200)
+        self.enable_rule_fallback = nl.get("enable_rule_fallback", True)
+        self.entities_fallback = (nl.get("entities_fallback") or {}).get("enabled", True)
+        limit = nl.get("limit") or {}
+        self.limit_strategy = limit.get("strategy", "bucketed")
+        self.quota_per_bucket = ((limit.get("bucket") or {}).get("quota_per_bucket", 1))
+        qf = self.cfg.get("quality_filter", {}) or {}
+        nc = self.cfg.get("note_completeness", {}) or {}
+        self.filter = NoteQualityFilter(
+            min_chars=nl.get("min_chars", qf.get("min_chars", 20)),
+            max_chars=nl.get("max_chars", 400),
+            min_salience=nl.get("min_salience", qf.get("min_salience", 0.3)),
+            require_entities=qf.get("require_entities", False),
+            require_sentence_terminal=nc.get("require_sentence_terminal", True),
+            min_word_count=nc.get("min_word_count_en", 4),
+        )
+        self.early_stop = StreamingEarlyStop(self.sentinel)
+        self.stats = defaultdict(int)
+
+    # --------------------------------------------------------------- entry
+    def generate_atomic_notes(self, chunks: Sequence[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        notes: List[Dict[str, Any]] = []
+        for chunk in chunks:
+            notes.extend(self.generate_for_chunk(chunk))
+        logger.info("generated %d notes from %d chunks (%s)",
+                    len(notes), len(chunks), dict(self.stats))
+        return notes
+
+    def generate_for_chunk(self, chunk: Dict[str, Any]) -> List[Dict[str, Any]]:
+        text = chunk.get("text") or ""
+        if not text.strip():
+            return []
+        sentences = chunk.get("sentences") or split_sentences(text)
+        prompt = build_atomic_note_prompt(text, sentences,
+                                          chunk.get("entity_cards") or [])
+        raw = self._call(prompt)
+        if StreamingEarlyStop.is_empty_result(raw, self.sentinel):
+            self.stats["sentinel_empty"] += 1
+            return []
+        parsed = extract_json(raw)
+        if not isinstance(parsed, list):
+            self.stats["parse_fail"] += 1
+            if self.retry_on_parse_error:
+                short = text[: self.shorten_chars]
+                retry_prompt = build_atomic_note_prompt(
+                    short, split_sentences(short), chunk.get("entity_cards") or []
+                )
+                parsed = extract_json(self._call(retry_prompt))
+                if isinstance(parsed, list):
+                    self.stats["parse_retry_ok"] += 1
+        if not isinstance(parsed, list):
+            if self.enable_rule_fallback:
+                self.stats["rule_fallback"] += 1
+                parsed = self._rule_fallback(text, sentences)
+            else:
+                return []
+        return self._post_process(parsed, chunk)
+
+    def _call(self, prompt: str) -> str:
+        try:
+            if hasattr(self.llm, "generate_notes"):
+                return self.llm.generate_notes(prompt)
+            return self.llm.generate(prompt)
+        except Exception as e:
+            logger.warning("note LLM call failed: %s", e)
+            self.stats["llm_error"] += 1
+            return ""
+
+    # ------------------------------------------------------------ fallback
+    def _rule_fallback(self, text: str, sentences: Sequence[str]) -> List[Dict[str, Any]]:
+        """One note per informative sentence: the sentence IS the fact."""
+        out = []
+        for i, s in enumerate(sentences):
+            s = s.strip()
+            if len(s) < self.filter.min_chars:
+                continue
+            out.append({
+                "text": s[: self.max_note_chars],
+                "entities": extract_entities_fallback(s),
+                "source_sent_ids": [i],
+                "salience": 0.5,
+            })
+        return out[: self.max_notes_per_chunk]
+
+    # -------------------------------------------------------- post process
+    def _post_process(self, raw_notes: List[Any], chunk: Dict[str, Any]) -> List[Dict[str, Any]]:
+        doc_id = str(chunk.get("doc_id", "unknown"))
+        chunk_index = int(chunk.get("chunk_index", 0))
+        allowed = chunk.get("sentence_ids")
+        allowed_set = set(int(x) for x in allowed) if allowed else None
+        sentences = chunk.get("sentences") or split_sentences(chunk.get("text") or "")
+
+        out: List[Dict[str, Any]] = []
+        for raw in raw_notes[: self.max_notes_per_chunk]:
+            if not isinstance(raw, dict):
+                continue
+            text = str(raw.get("text") or "").strip()[: self.max_note_chars]
+            if not text:
+                continue
+            sids_raw = [int(s) for s in (raw.get("source_sent_ids") or [])
+                        if str(s).lstrip("-").isdigit()]
+            if allowed_set is not None and sids_raw and not set(sids_raw) <= allowed_set:
+                self.stats["sent_id_violation"] += 1
+                continue
+            sids = [s for s in sids_raw if 0 <= s < len(sentences)]
+            entities = [str(e) for e in (raw.get("entities") or []) if str(e).strip()]
+            if not entities and self.entities_fallback:
+                entities = extract_entities_fallback(text)
+            raw_span = " ".join(sentences[s] for s in sids) if sids else text
+            note = normalize_note({
+                "note_id": stable_note_id(doc_id, chunk_index, text),
+                "doc_id": doc_id,
+                "chunk_index": chunk_index,
+                "title": chunk.get("title") or chunk.get("document_title") or "",
+                "content": text,
+                "text": text,
+                "raw_span": raw_span,
+                "entities": entities,
+                "paragraph_idxs": self._paragraph_idxs(raw, chunk),
+                "source_sent_ids": sids,
+                "salience": float(raw.get("salience", 0.5) or 0.5),
+                "head_key": str(raw.get("head_key") or ""),
+                "rel": normalize_predicate(raw.get("rel")),
+                "tail_key": str(raw.get("tail_key") or ""),
+            })
+            if self.filter.passes(note):
+                out.append(note)
+            else:
+                self.stats["quality_filtered"] += 1
+        return self._apply_limits(out)
+
+    @staticmethod
+    def _paragraph_idxs(raw: Dict[str, Any], chunk: Dict[str, Any]) -> List[int]:
+        """chunk.paragraph_idx always leads (the reference's unified
+        priority, atomic_note_generator.py:585-607)."""
+        cur = [int(x) for x in (raw.get("paragraph_idxs") or [])
+               if str(x).lstrip("-").isdigit()]
+        pid = chunk.get("paragraph_idx")
+        if pid is not None and str(pid).lstrip("-").isdigit():
+            pid = int(pid)
+            cur = [pid] + [i for i in cur if i != pid]
+        return cur
+
+    def _apply_limits(self, notes: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        if self.limit_strategy != "bucketed" or not notes:
+            return notes
+        buckets: Dict[Any, List[Dict[str, Any]]] = defaultdict(list)
+        for n in notes:
+            key = (n.get("paragraph_idxs") or [None])[0]
+            buckets[key].append(n)
+        out = []
+        for key, group in buckets.items():
+            group.sort(key=lambda n: -float(n.get("salience", 0.5)))
+            quota = self.quota_per_bucket if key is not None else len(group)
+            out.extend(group[: max(quota, 1)])
+        return out

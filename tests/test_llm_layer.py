@@ -1,0 +1,263 @@
+"""LLM layer with mock transports: clients, factory, dispatcher,
+note generation, early stop, CoR, auditor."""
+import json
+
+import pytest
+
+from anorag_tpu.config import ConfigLoader
+from anorag_tpu.llm.base import clean_response, with_retry
+from anorag_tpu.llm.clients import LMStudioClient, OllamaClient, OpenAIClient
+from anorag_tpu.llm.cor_controller import chain_of_retrieval
+from anorag_tpu.llm.early_stop import StreamingEarlyStop
+from anorag_tpu.llm.factory import LLMFactory
+from anorag_tpu.llm.local_llm import LocalLLM
+from anorag_tpu.llm.multi_model import HybridLLMDispatcher, MultiModelClient, TaskClassifier
+from anorag_tpu.llm.note_generator import AtomicNoteGenerator, normalize_predicate, stable_note_id
+from anorag_tpu.llm.parallel_note_gen import ParallelAtomicNoteGenerator, ParallelTaskAtomicNoteGenerator
+from anorag_tpu.llm.summary_auditor import SummaryAuditor
+from anorag_tpu.graph.note_graph import NoteGraph
+
+
+def ollama_transport(reply):
+    def t(url, payload, timeout):
+        assert "/api/generate" in url
+        return {"response": reply(payload) if callable(reply) else reply}
+    return t
+
+
+def openai_transport(reply):
+    def t(url, payload, timeout):
+        assert "/chat/completions" in url
+        content = reply(payload) if callable(reply) else reply
+        return {"choices": [{"message": {"content": content}}]}
+    return t
+
+
+class FailingTransport:
+    def __init__(self, fail_times=999):
+        self.fail_times = fail_times
+        self.calls = 0
+
+    def __call__(self, url, payload, timeout):
+        self.calls += 1
+        if self.calls <= self.fail_times:
+            raise ConnectionError("endpoint down")
+        return {"response": "ok", "choices": [{"message": {"content": "ok"}}]}
+
+
+def test_clean_response_strips_think_tags():
+    assert clean_response("<think>reasoning</think>  answer\x01") == "answer"
+
+
+def test_with_retry():
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 2:
+            raise ValueError("x")
+        return "done"
+
+    assert with_retry(flaky, max_times=2, backoff=0) == "done"
+
+
+def test_ollama_client_generate():
+    c = OllamaClient(transport=ollama_transport("hello"))
+    assert c.generate("hi") == "hello"
+    assert c.stats["calls"] == 1
+
+
+def test_lmstudio_pool_balances():
+    c = LMStudioClient(instances=2, transport=openai_transport("x"))
+    for _ in range(4):
+        c.generate("q")
+    stats = c.instance_stats()
+    assert len(stats) == 2
+    assert all(s["calls"] == 2 for s in stats)
+
+
+def test_openai_client():
+    c = OpenAIClient(transport=openai_transport("resp"))
+    assert c.generate("q", system_prompt="sys") == "resp"
+
+
+def test_factory_creation():
+    c = LLMFactory.create_provider("ollama", {"model": "m"})
+    assert isinstance(c, OllamaClient) and c.model == "m"
+    with pytest.raises(ValueError):
+        LLMFactory.create_provider("nope")
+
+
+def test_multi_model_failover():
+    bad = OllamaClient(transport=FailingTransport())
+    good = OllamaClient(transport=ollama_transport("fine"))
+    mm = MultiModelClient([bad, good], strategy="round_robin", max_retries=2)
+    assert mm.generate("q") == "fine"
+    stats = mm.pool_stats()
+    assert any(not s["healthy"] for s in stats)
+
+
+def test_multi_model_batch():
+    mm = MultiModelClient([OllamaClient(transport=ollama_transport(
+        lambda p: p["prompt"].upper()))])
+    out = mm.batch_generate(["a", "b", "c"], max_workers=2)
+    assert out == ["A", "B", "C"]
+
+
+def test_task_classifier():
+    tc = TaskClassifier()
+    assert tc.classify_task("extract atomic note JSON from this") == "heavy"
+    assert tc.classify_task("yes or no: is it red?") == "light"
+    assert tc.classify_task("short", task_type="atomic_note") == "heavy"
+
+
+def test_hybrid_dispatcher_routes_and_falls_back():
+    light = OllamaClient(transport=ollama_transport("light-ans"))
+    heavy = OllamaClient(transport=ollama_transport("heavy-ans"))
+    d = HybridLLMDispatcher(light, heavy)
+    assert d.generate("yes or no: x?") == "light-ans"
+    assert d.generate("produce json atomic note") == "heavy-ans"
+    # heavy fails -> falls back to light
+    d2 = HybridLLMDispatcher(light, OllamaClient(transport=FailingTransport()))
+    assert d2.generate("produce json atomic note") == "light-ans"
+
+
+def test_local_llm_facade():
+    loader = ConfigLoader(auto_load=False)
+    loader.set("llm.provider", "ollama")
+    llm = LocalLLM(cfg=loader, transport=ollama_transport("out"))
+    assert llm.generate("hi") == "out"
+    assert llm.batch_generate(["a", "b"]) == ["out", "out"]
+
+
+def test_early_stop_sentinel():
+    es = StreamingEarlyStop()
+    text, stopped = es.consume(iter(["~", "ignored", "tokens"]))
+    assert stopped and text == "~"
+    text2, stopped2 = es.consume(iter(["real ", "content"]))
+    assert not stopped2 and text2 == "real content"
+
+
+def _chunk():
+    return {
+        "doc_id": "d1", "chunk_index": 0, "title": "Doc Title",
+        "paragraph_idx": 3,
+        "text": "Aurora Lane performed Blue Horizon. The album sold a million copies.",
+        "sentences": ["Aurora Lane performed Blue Horizon.",
+                      "The album sold a million copies."],
+    }
+
+
+def _note_llm(notes_json):
+    loader = ConfigLoader(auto_load=False)
+    loader.set("llm.provider", "ollama")
+    return LocalLLM(cfg=loader, transport=ollama_transport(notes_json))
+
+
+def test_note_generator_happy_path():
+    reply = json.dumps([{
+        "text": "Aurora Lane performed the song Blue Horizon.",
+        "entities": ["Aurora Lane", "Blue Horizon"],
+        "head_key": "Blue Horizon", "rel": "performed by", "tail_key": "Aurora Lane",
+        "source_sent_ids": [0], "salience": 0.9,
+    }])
+    gen = AtomicNoteGenerator(_note_llm(reply), ConfigLoader(auto_load=False))
+    notes = gen.generate_atomic_notes([_chunk()])
+    assert len(notes) == 1
+    n = notes[0]
+    assert n["rel"] == "performed_by"          # predicate normalized
+    assert n["paragraph_idxs"][0] == 3          # chunk paragraph_idx leads
+    assert n["raw_span"] == "Aurora Lane performed Blue Horizon."
+    assert n["note_id"].startswith("note_")
+    assert n["retrieval_method"] == "hybrid"
+
+
+def test_note_generator_sentinel_fast_path():
+    gen = AtomicNoteGenerator(_note_llm("~"), ConfigLoader(auto_load=False))
+    assert gen.generate_atomic_notes([_chunk()]) == []
+    assert gen.stats["sentinel_empty"] == 1
+
+
+def test_note_generator_rule_fallback():
+    gen = AtomicNoteGenerator(_note_llm("not json at all {{{"),
+                              ConfigLoader(auto_load=False))
+    notes = gen.generate_atomic_notes([_chunk()])
+    assert notes  # rule fallback produced sentence notes
+    assert gen.stats["rule_fallback"] == 1
+    assert all(n["entities"] for n in notes)
+
+
+def test_note_generator_sent_id_violation():
+    reply = json.dumps([{"text": "A fabricated fact sentence here today.",
+                         "source_sent_ids": [7], "salience": 0.9}])
+    gen = AtomicNoteGenerator(_note_llm(reply), ConfigLoader(auto_load=False))
+    chunk = dict(_chunk(), sentence_ids=[0, 1])
+    assert gen.generate_for_chunk(chunk) == []
+    assert gen.stats["sent_id_violation"] == 1
+
+
+def test_parallel_task_generator_fallback():
+    good = _note_llm(json.dumps([{
+        "text": "Aurora Lane performed the song Blue Horizon.",
+        "entities": ["Aurora Lane"], "source_sent_ids": [0], "salience": 0.9}]))
+    loader = ConfigLoader(auto_load=False)
+    loader.set("llm.provider", "ollama")
+    bad = LocalLLM(cfg=loader, transport=FailingTransport())
+    gen = ParallelTaskAtomicNoteGenerator([bad, good], loader)
+    notes = gen.generate_atomic_notes([_chunk(), _chunk()])
+    assert notes  # bad endpoint's chunks recovered via good
+
+
+def test_parallel_generator_quality_selection():
+    rich = _note_llm(json.dumps([
+        {"text": "Aurora Lane performed the song Blue Horizon.",
+         "entities": ["Aurora Lane"], "source_sent_ids": [0], "salience": 0.9},
+        {"text": "The album sold a million copies worldwide.",
+         "entities": ["Blue Horizon"], "source_sent_ids": [1], "salience": 0.8},
+    ]))
+    poor = _note_llm("~")
+    gen = ParallelAtomicNoteGenerator([poor, rich], ConfigLoader(auto_load=False),
+                                      strategy="quality_selection")
+    notes = gen.generate_atomic_notes([_chunk()])
+    assert len(notes) >= 1
+
+
+def test_cor_controller_converges():
+    ng = NoteGraph()
+    ng.add_notes([
+        {"note_id": "n1", "text": "Blue Horizon is performed by Aurora Lane",
+         "head_key": "Blue Horizon", "rel": "performed_by", "tail_key": "Aurora Lane"},
+        {"note_id": "n2", "text": "Aurora Lane's spouse is Chris Reed",
+         "head_key": "Aurora Lane", "rel": "spouse_of", "tail_key": "Chris Reed"},
+    ])
+    res = chain_of_retrieval("Who is the spouse of the performer of Blue Horizon?",
+                             ng, max_rounds=3, confidence_tau=0.5)
+    assert res["notes"]
+    assert res["coverage"] > 0
+    assert res["stopped_reason"] in ("confidence", "no_missing_entities", "max_rounds")
+
+
+def test_summary_auditor_stage1_pass():
+    a = SummaryAuditor()
+    res = a.audit_note("Aurora Lane sang in Boston.",
+                       {"note_id": "n", "content": "Aurora Lane sang in Boston.",
+                        "entities": ["Aurora Lane", "Boston"]})
+    assert not res["needs_rewrite"] and res["stage"] == 1
+
+
+def test_summary_auditor_flags_missing():
+    a = SummaryAuditor()  # no LLM -> rule verdict
+    res = a.audit_note("Aurora Lane sang with Marcus Webb in Boston at Nexus Labs.",
+                       {"note_id": "n", "content": "Someone sang.", "entities": []})
+    assert res["needs_rewrite"]
+    report = a.audit_batch([
+        ("Aurora Lane sang with Marcus Webb in Boston at Nexus Labs.",
+         {"note_id": "n", "content": "Someone sang.", "entities": []}),
+    ])
+    assert report["flagged"] == 1
+
+
+def test_stable_ids_and_predicates():
+    assert stable_note_id("d", 0, "x") == stable_note_id("d", 0, "x")
+    assert normalize_predicate("married to") == "spouse_of"
+    assert normalize_predicate(None) == "related_to"
