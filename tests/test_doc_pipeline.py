@@ -1,0 +1,167 @@
+"""Offline document pipeline: chunker, clustering, incremental cache,
+consistency, DocumentProcessor end-to-end (LLM-free rule notes)."""
+import json
+
+import numpy as np
+import pytest
+
+from anorag_tpu.config import ConfigLoader
+from anorag_tpu.doc.chunker import DocumentChunker
+from anorag_tpu.doc.clustering import TopicClustering
+from anorag_tpu.doc.consistency import ConsistencyChecker
+from anorag_tpu.doc.incremental import IncrementalProcessor
+from anorag_tpu.doc.processor import DocumentProcessor
+from anorag_tpu.models.embedding_manager import EmbeddingManager
+from anorag_tpu.models.hash_embedder import HashEmbedder
+
+from conftest import make_notes
+
+DOC = {
+    "id": "doc1",
+    "title": "Aurora Lane",
+    "text": (
+        "Aurora Lane is an American singer. She released Blue Horizon in 1999. "
+        "The album sold a million copies.\n\n"
+        "Lane married Chris Reed in 2003. They live in Boston. "
+        "Reed founded Nexus Labs."
+    ),
+}
+
+MUSIQUE_DOC = {
+    "id": "m1",
+    "paragraphs": [
+        {"idx": 0, "title": "Blue Horizon", "paragraph_text": "Blue Horizon is an album by Aurora Lane."},
+        {"idx": 1, "title": "Aurora Lane", "paragraph_text": "Aurora Lane married Chris Reed."},
+    ],
+}
+
+
+def test_chunker_paragraph_and_sentence_structure():
+    ch = DocumentChunker(max_chunk_chars=100)
+    chunks = ch.chunk_document(DOC)
+    assert chunks
+    assert all(c["doc_id"] == "doc1" for c in chunks)
+    # paragraph idxs preserved
+    assert {c["paragraph_idx"] for c in chunks} == {0, 1}
+    # sentence budget respected
+    assert all(len(c["text"]) <= 120 for c in chunks)
+    # chunk_index sequential
+    assert [c["chunk_index"] for c in chunks] == list(range(len(chunks)))
+
+
+def test_chunker_musique_paragraphs():
+    ch = DocumentChunker()
+    chunks = ch.chunk_document(MUSIQUE_DOC)
+    assert {c["paragraph_idx"] for c in chunks} == {0, 1}
+
+
+def test_chunker_overlap():
+    ch = DocumentChunker(max_chunk_chars=80, overlap_chars=40)
+    chunks = ch.chunk_document(DOC)
+    texts = [c["text"] for c in chunks]
+    # some sentence should repeat across adjacent chunks
+    assert any(
+        any(s in texts[i + 1] for s in chunks[i]["sentences"])
+        for i in range(len(chunks) - 1)
+    )
+
+
+def test_chunker_event_aware():
+    ch = DocumentChunker(max_chunk_chars=300, strategy="event_aware")
+    chunks = ch.chunk_document(DOC)
+    # married + founded cues keep neighbors together
+    joined = [c["text"] for c in chunks]
+    assert any("married" in t for t in joined)
+
+
+def test_chunker_filters_junk():
+    ch = DocumentChunker(min_chunk_chars=20)
+    chunks = ch.chunk_document({"id": "x", "text": "!!! ??? ###\n\nok"})
+    assert chunks == []
+
+
+def test_chunk_file_roundtrip(tmp_path):
+    p = tmp_path / "docs.jsonl"
+    p.write_text(json.dumps(DOC) + "\n")
+    ch = DocumentChunker()
+    assert ch.chunk_file(p)
+    t = tmp_path / "doc.txt"
+    t.write_text("Plain text document. With two sentences.")
+    assert ch.chunk_file(t)
+
+
+def test_clustering_pools(notes):
+    emb = HashEmbedder(dim=64).encode([n["content"] for n in notes])
+    tc = TopicClustering(n_clusters=4)
+    out = tc.cluster_notes(notes, emb)
+    assert out["n_clusters"] == 4
+    assert len(out["labels"]) == len(notes)
+    total = sum(p["size"] for p in out["topic_pools"])
+    assert total == len(notes)
+    assert all(p["keywords"] for p in out["topic_pools"])
+
+
+def test_incremental_plan(tmp_path):
+    f1 = tmp_path / "a.txt"
+    f1.write_text("one")
+    inc = IncrementalProcessor(tmp_path / "cache")
+    plan = inc.get_processing_plan([f1])
+    assert plan["to_process"] == [str(f1)]
+    inc.commit(plan["_hashes"])
+    plan2 = inc.get_processing_plan([f1])
+    assert plan2["to_process"] == [] and plan2["skip"] == [str(f1)]
+    f1.write_text("changed")
+    plan3 = inc.get_processing_plan([f1])
+    assert plan3["to_process"] == [str(f1)]
+
+
+def test_consistency_checker(notes):
+    emb = np.zeros((len(notes), 8), np.float32)
+    ck = ConsistencyChecker()
+    report = ck.check_consistency(notes, emb, {"nodes": [{"id": n["note_id"]} for n in notes],
+                                               "links": []})
+    assert report["consistent"], report["issues"]
+    bad = ck.check_consistency(notes, emb[:3])
+    assert not bad["consistent"]
+
+
+def _cfg():
+    loader = ConfigLoader(auto_load=False)
+    loader.set("embedding.backend", "hash")
+    loader.set("embedding.dim", 64)
+    loader.set("clustering.n_clusters", 2)
+    return loader
+
+
+def test_document_processor_end_to_end(tmp_path):
+    cfg = _cfg()
+    dp = DocumentProcessor(tmp_path / "out", llm=None, cfg=cfg,
+                           embedding_manager=EmbeddingManager(cfg=cfg, singleton=False))
+    result = dp.process_documents(documents=[DOC, MUSIQUE_DOC])
+    assert result["atomic_notes"]
+    assert result["consistency"]["consistent"], result["consistency"]["issues"]
+    assert (tmp_path / "out" / "chunks.jsonl").exists()
+    assert (tmp_path / "out" / "atomic_notes.json").exists()
+    assert (tmp_path / "out" / "embeddings.npy").exists()
+    assert (tmp_path / "out" / "clustering.json").exists()
+    assert (tmp_path / "out" / "graph.json").exists()
+    assert (tmp_path / "out" / "graph.graphml").exists()
+    assert (tmp_path / "out" / "result.json").exists()
+    # all notes carry the schema contract
+    n = result["atomic_notes"][0]
+    for field in ("note_id", "doc_id", "content", "raw_span", "entities",
+                  "paragraph_idxs", "retrieval_method", "hop_no"):
+        assert field in n
+
+
+def test_document_processor_caching(tmp_path):
+    cfg = _cfg()
+    em = EmbeddingManager(cfg=cfg, singleton=False)
+    dp = DocumentProcessor(tmp_path / "out", cfg=cfg, embedding_manager=em)
+    r1 = dp.process_documents(documents=[DOC])
+    t1 = r1["processing_stats"]["elapsed_s"]
+    dp2 = DocumentProcessor(tmp_path / "out", cfg=cfg, embedding_manager=em)
+    r2 = dp2.process_documents(documents=[DOC])
+    assert len(r2["atomic_notes"]) == len(r1["atomic_notes"])
+    # second run is pure cache hits (no rebuild of chunks/notes)
+    assert r2["processing_stats"]["n_chunks"] == r1["processing_stats"]["n_chunks"]
