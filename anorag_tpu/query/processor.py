@@ -1,0 +1,634 @@
+"""QueryProcessor: the online retrieval + answer orchestrator.
+
+Parity target: /root/reference/query/query_processor.py (4.3 kLoC). The
+reference interleaves dozens of toggles in one control flow; here each
+behavior is a pure stage over a candidate list so every toggle is
+independently testable (SURVEY.md §7.3 "Behavioral sprawl").
+
+Pipeline (traditional path, reference :1941-2639):
+  1  dense recall                      (VectorRetriever.search)
+  2  namespace filter stage 1         (dataset guard)
+  3  enhanced hybrid v2 fusion        (1.0*dense + 0.6*sparse, penalties,
+                                       noise zeroing, boosts, optional
+                                       listwise rerank)         [:1089-1211]
+  4  two-hop bridge-entity expansion  (entity extraction from top-M, per-
+                                       bridge second-hop via the entity
+                                       inverted index, hop_no=2, cluster
+                                       suppression)             [:1328-1637]
+  5  path-aware rerank                (PathAwareRanker)
+  6  recall optimization              (EnhancedRecallOptimizer)
+  7  graph expansion                  (MultiHopQueryProcessor reasoning
+                                       paths)
+  8  multi-hop safety net             (per-hop top-M keepalive + lower
+                                       threshold)               [:4196-4258]
+  9  dispatch/schedule + post-select  (ContextDispatcher / scheduler;
+                                       EvidenceReranker + PathValidator)
+  10 namespace stage 4 + BM25 fallback
+  11 answer                           (relation-chain selector -> EFSA ->
+                                       LLM evidence-first generation with
+                                       validation + support fill)
+  12 audit                            (final_recall.jsonl + SHA1 assertion)
+"""
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from anorag_tpu.answer.answer_selector import answer_question
+from anorag_tpu.answer.efsa import efsa_answer_with_fallback, extract_bridge_info_from_candidates
+from anorag_tpu.answer.evidence_rerank import EvidenceReranker
+from anorag_tpu.answer.path_validator import PathValidator
+from anorag_tpu.answer.support_fill import fill_support_idxs_noid
+from anorag_tpu.answer.verifier import AnswerVerifier
+from anorag_tpu.config import config as global_config
+from anorag_tpu.context.dispatcher import ContextDispatcher
+from anorag_tpu.context.packer import ContextPacker
+from anorag_tpu.context.scheduler import ContextScheduler, MultiHopContextScheduler
+from anorag_tpu.graph.graph_index import GraphIndex
+from anorag_tpu.graph.multi_hop import MultiHopQueryProcessor
+from anorag_tpu.graph.note_graph import NoteGraph
+from anorag_tpu.index.bm25_index import BM25Index
+from anorag_tpu.index.entity_index import EntityInvertedIndex
+from anorag_tpu.llm.prompts import FINAL_ANSWER_SYSTEM, build_final_answer_prompt
+from anorag_tpu.models.embedding_manager import EmbeddingManager
+from anorag_tpu.query.evidence_merger import EvidenceMerger
+from anorag_tpu.query.subquestion import SubQuestionPlanner
+from anorag_tpu.retrieval.diversity import DiversityScheduler
+from anorag_tpu.retrieval.path_aware_ranker import PathAwareRanker
+from anorag_tpu.retrieval.recall_optimizer import EnhancedRecallOptimizer
+from anorag_tpu.retrieval.reranker import ListwiseReranker, fuse_scores, sort_desc
+from anorag_tpu.retrieval.retriever import VectorRetriever
+from anorag_tpu.support.k_estimator import KEstimator
+from anorag_tpu.utils.file_io import append_jsonl, jsonl_sha1, read_jsonl, write_jsonl
+from anorag_tpu.utils.json_parser import extract_prediction
+from anorag_tpu.utils.logging import get_logger, log_performance
+from anorag_tpu.utils.text import extract_entities_fallback, tokenize_no_stop
+from anorag_tpu.validators import validate_final_answer
+from anorag_tpu.validators.note_validator import normalize_note
+
+logger = get_logger("anorag.query")
+
+
+def filter_notes_by_namespace(candidates: List[Dict[str, Any]],
+                              namespace: Optional[str]) -> List[Dict[str, Any]]:
+    """Dataset guard: keep candidates from the active dataset namespace
+    (parity: utils/dataset_guard in the reference, applied at 4 stages)."""
+    if not namespace:
+        return candidates
+    return [c for c in candidates if str(c.get("namespace", c.get("dataset", namespace))) == str(namespace)]
+
+
+class QueryProcessor:
+    def __init__(
+        self,
+        atomic_notes: Sequence[Dict[str, Any]],
+        embeddings: Optional[np.ndarray] = None,
+        graph_file: Optional[str] = None,
+        llm: Optional[Any] = None,
+        cfg: Optional[Any] = None,
+        embedding_manager: Optional[EmbeddingManager] = None,
+        work_dir: Optional[str] = None,
+    ):
+        self.cfg = cfg or global_config
+        self.llm = llm
+        self.work_dir = Path(work_dir) if work_dir else None
+        self.notes = [normalize_note(n) for n in atomic_notes]
+
+        # --- dense retrieval -------------------------------------------------
+        vs = self.cfg.get("vector_store", {}) or {}
+        self.em = embedding_manager or EmbeddingManager(cfg=self.cfg, singleton=False)
+        self.retriever = VectorRetriever(
+            embedding_manager=self.em,
+            index_type=vs.get("index_type", "IVFFlat"),
+            similarity_threshold=0.0,
+            top_k=vs.get("top_k", 20),
+            nlist=(self.cfg.get("tpu.ivf", {}) or {}).get("nlist", 20),
+            nprobe=(self.cfg.get("tpu.ivf", {}) or {}).get("nprobe", 4),
+        )
+        self.retriever.build_index(self.notes, embeddings)
+        self.embeddings = self.retriever.embeddings
+
+        # --- sparse ----------------------------------------------------------
+        bm = self.cfg.get("hybrid_search.bm25", {}) or {}
+        self.bm25 = BM25Index(self.notes, text_field=bm.get("corpus_field", "title_raw_span"),
+                              k1=bm.get("k1", 1.2), b=bm.get("b", 0.75))
+
+        # --- graph -----------------------------------------------------------
+        self.multi_hop_enabled = bool(self.cfg.get("retrieval.multi_hop.enabled", True))
+        mh_kwargs = {
+            "max_hops": self.cfg.get("retrieval.multi_hop.max_hops", 3),
+            "max_paths": self.cfg.get("retrieval.multi_hop.max_paths", 10),
+            "min_path_score": self.cfg.get("retrieval.multi_hop.min_path_score", 0.3),
+            "min_path_score_floor": self.cfg.get("retrieval.multi_hop.min_path_score_floor", 0.1),
+            "min_path_score_step": self.cfg.get("retrieval.multi_hop.min_path_score_step", 0.05),
+            "path_diversity_threshold": self.cfg.get(
+                "retrieval.multi_hop.path_diversity_threshold", 0.7),
+            "max_initial_candidates": self.cfg.get(
+                "retrieval.multi_hop.max_initial_candidates", 20),
+        }
+        self.multi_hop = MultiHopQueryProcessor(
+            notes=self.notes, embeddings=self.embeddings, graph_file=graph_file,
+            retriever_kwargs=mh_kwargs,
+        ) if self.multi_hop_enabled else None
+
+        # literal-keyed note graph for the relation-chain answer selector
+        self.note_graph = NoteGraph.from_config(self.cfg)
+        self.note_graph.add_notes(self.notes)
+
+        # --- entity inverted index --------------------------------------------
+        self.entity_index = EntityInvertedIndex()
+        self.entity_index.build_index(self.notes, extract_from_text=False)
+
+        # --- stages & helpers ---------------------------------------------------
+        hs = self.cfg.get("hybrid_search", {}) or {}
+        self.fusion_dense_w = (hs.get("linear") or {}).get("vector_weight", 1.0)
+        self.fusion_sparse_w = 0.6   # the v2 fusion constant (reference :1110)
+        lf = hs.get("lexical_fallback") or {}
+        self.lexical_fallback_enabled = lf.get("enabled", True)
+        self.miss_penalty = lf.get("miss_penalty", 0.6)
+        self.noise_threshold = lf.get("noise_threshold", 0.20)
+        self.section_filtering_enabled = (hs.get("section_filtering") or {}).get("enabled", True)
+        th = hs.get("two_hop_expansion") or {}
+        self.two_hop_enabled = th.get("enabled", True)
+        self.two_hop_top_m = th.get("top_m_candidates", 20)
+        self.two_hop_max_second = th.get("max_second_hop_candidates", 15)
+        safety = self.cfg.get("safety", {}) or {}
+        self.per_hop_keep_top_m = safety.get("per_hop_keep_top_m", 5)
+        self.lower_threshold = safety.get("lower_threshold", 0.1)
+        cluster = safety.get("cluster") or {}
+        self.cluster_suppress_enabled = cluster.get("enabled", False)
+        self.cluster_cos_threshold = cluster.get("cos_threshold", 0.85)
+        self.keep_per_cluster = cluster.get("keep_per_cluster", 3)
+        self.candidate_pool = self.cfg.get("retrieval.candidate_pool", 50)
+
+        self.path_ranker = PathAwareRanker() if self.cfg.get("path_aware.enabled", True) else None
+        self.recall_optimizer = EnhancedRecallOptimizer(
+            retrieve_fn=lambda q: self.retriever.retrieve(q, top_k=10, threshold=0.0))
+        self.reranker = (
+            ListwiseReranker(max_candidates=self.cfg.get("rerank.listt5_input_topk", 24),
+                             embedding_manager=self.em)
+            if self.cfg.get("rerank.enabled", False) else None
+        )
+        self.dispatcher_enabled = bool(self.cfg.get("context_dispatcher.enabled", True))
+        self.dispatcher = ContextDispatcher.from_config(self.cfg)
+        self.scheduler = MultiHopContextScheduler(
+            max_notes=self.cfg.get("context.max_notes_for_llm", 20),
+            hop_decay=self.cfg.get("hybrid_search.multi_hop.hop_decay", 0.85),
+        )
+        self.diversity = DiversityScheduler()
+        self.evidence_reranker = EvidenceReranker(self.cfg.get("evidence_rerank", {}) or {})
+        self.path_validator = PathValidator(
+            rel_chains=self.cfg.get("answering.rel_chains", []),
+            allow_partial=self.cfg.get("validator.allow_partial", True),
+        )
+        self.verifier = AnswerVerifier()
+        self.packer = ContextPacker(max_tokens=self.cfg.get("context.max_tokens"),
+                                    k_estimator=KEstimator())
+        self.subq_planner = SubQuestionPlanner(llm)
+        self.evidence_merger = EvidenceMerger(
+            strategy=self.cfg.get("query.merge_strategy", "weighted"))
+        self.answer_selector_enabled = bool(self.cfg.get("answer_selector.enabled", True))
+        self.answer_selector_before_llm = bool(
+            self.cfg.get("answer_selector.apply_before_llm", True))
+
+    # ======================================================================
+    # entry
+    # ======================================================================
+    @log_performance
+    def process(self, query: str, dataset: Optional[str] = None,
+                qid: Optional[str] = None) -> Dict[str, Any]:
+        if self.cfg.get("query.use_subquestion_decomposition", False):
+            return self._process_with_subquestion_decomposition(query, dataset, qid)
+        return self._process_traditional(query, dataset, qid)
+
+    # ======================================================================
+    # traditional path
+    # ======================================================================
+    def _process_traditional(self, query: str, dataset: Optional[str] = None,
+                             qid: Optional[str] = None) -> Dict[str, Any]:
+        trace: Dict[str, Any] = {"query": query, "qid": qid}
+
+        # [1] dense recall
+        dense = self.retriever.search([query], top_k=self.cfg.get("vector_store.top_k", 20),
+                                      threshold=0.0)[0]
+        # [2] namespace stage 1
+        dense = filter_notes_by_namespace(dense, dataset)
+        trace["n_dense"] = len(dense)
+
+        # BM25 recall pool (bm25_topk_hop1)
+        bm25_scores, bm25_idx = self.bm25.topk(query, k=min(40, len(self.notes)))
+        sparse_pool = []
+        for s, i in zip(bm25_scores, bm25_idx):
+            if s <= 0:
+                continue
+            note = dict(self.notes[int(i)])
+            note["sparse_score"] = float(s)
+            sparse_pool.append(note)
+        candidates = self._union(dense, sparse_pool)
+
+        # [3] enhanced hybrid v2
+        candidates = self._enhanced_hybrid_search_v2(query, candidates)
+        trace["n_fused"] = len(candidates)
+
+        # [4] two-hop expansion
+        bridge_entities: List[str] = []
+        if self.two_hop_enabled and candidates:
+            candidates, bridge_entities = self._two_hop_expansion(query, candidates)
+        trace["bridge_entities"] = bridge_entities
+
+        # cluster suppression
+        if self.cluster_suppress_enabled:
+            candidates = self._cluster_suppress(candidates)
+
+        # [5] path-aware rerank
+        if self.path_ranker and candidates:
+            candidates = self.path_ranker.rerank_candidates(query, candidates)
+
+        # [6] recall optimization
+        candidates = self.recall_optimizer.optimize_recall(query, candidates,
+                                                           top_k=self.candidate_pool)
+
+        # [7] graph expansion
+        if self.multi_hop is not None and candidates:
+            q_emb = self.em.encode_queries([query])[0]
+            g_notes, _ = self.multi_hop.retrieve(
+                query_emb=q_emb,
+                top_k=self.cfg.get("retrieval.graph.expand_top_m", 20),
+                keywords=tokenize_no_stop(query)[:8],
+                entities=extract_entities_fallback(query),
+            )
+            candidates = self._union(candidates, filter_notes_by_namespace(g_notes, dataset))
+
+        # [8] multi-hop safety net
+        candidates = self._filter_with_multihop_safety(candidates)
+        trace["n_after_safety"] = len(candidates)
+
+        # [9] dispatch / schedule + post-select
+        if self.dispatcher_enabled:
+            selected = self.dispatcher.dispatch(candidates, query)
+        else:
+            selected = self.scheduler.schedule_for_multi_hop(
+                candidates, bridge_entity=bridge_entities[0] if bridge_entities else None)
+        selected = self._post_select_processing(selected, candidates, query)
+
+        # [10] namespace stage 4 + bm25 fallback
+        selected = filter_notes_by_namespace(selected, dataset)
+        if not selected:
+            selected = self._bm25_namespace_fallback(query, dataset)
+        trace["n_selected"] = len(selected)
+
+        # [11] answer
+        answer_payload = self._answer(query, selected, candidates, bridge_entities)
+
+        # [12] audit
+        audit = self._write_final_recall(selected, qid)
+        trace.update(audit)
+
+        return {
+            "query": query,
+            "answer": answer_payload["answer"],
+            "predicted_answer": answer_payload["answer"],
+            "predicted_support_idxs": answer_payload["support_idxs"],
+            "predicted_answerable": answer_payload["answerable"],
+            "answer_method": answer_payload["method"],
+            "notes": selected,
+            "candidate_notes": candidates,
+            "context": answer_payload.get("context", ""),
+            "trace": trace,
+        }
+
+    # ------------------------------------------------------------ stages
+    @staticmethod
+    def _union(a: List[Dict[str, Any]], b: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        seen = {n.get("note_id") for n in a}
+        out = list(a)
+        for n in b:
+            if n.get("note_id") not in seen:
+                out.append(n)
+                seen.add(n.get("note_id"))
+        return out
+
+    def _enhanced_hybrid_search_v2(
+        self,
+        query: str,
+        candidates: List[Dict[str, Any]],
+        must_have_terms: Optional[Sequence[str]] = None,
+        boost_entities: Optional[Sequence[str]] = None,
+        boost_predicates: Optional[Sequence[str]] = None,
+    ) -> List[Dict[str, Any]]:
+        """final_base = 1.0*dense + 0.6*sparse with penalties/boosts; zero
+        scores are filtered; optional listwise rerank on the head."""
+        if not candidates:
+            return []
+        idx_of = {n["note_id"]: i for i, n in enumerate(self.notes)}
+        rows = [idx_of.get(c.get("note_id"), -1) for c in candidates]
+        q_emb = self.em.encode_queries([query])[0]
+        dense = np.zeros(len(candidates), np.float32)
+        for j, (c, i) in enumerate(zip(candidates, rows)):
+            if "similarity" in c:
+                dense[j] = float(c["similarity"])
+            elif i >= 0 and self.embeddings is not None:
+                e = self.embeddings[i]
+                dense[j] = float(e @ q_emb / max(np.linalg.norm(e) * np.linalg.norm(q_emb), 1e-9))
+        all_sparse = self.bm25.scores([query], normalize=True)[0] if len(self.notes) else np.zeros(0)
+        sparse = np.array([
+            float(c.get("sparse_score", all_sparse[i] if i >= 0 else 0.0))
+            for c, i in zip(candidates, rows)
+        ], np.float32)
+
+        final = self.fusion_dense_w * dense + self.fusion_sparse_w * sparse
+        if self.section_filtering_enabled:
+            final = final * self._section_penalties(query, candidates)
+        if self.lexical_fallback_enabled and must_have_terms:
+            has = self._satisfies_terms(candidates, must_have_terms)
+            final = np.where(has, final, final * self.miss_penalty)
+        else:
+            has = np.zeros(len(candidates), bool)
+        final = np.where((final < self.noise_threshold) & ~has, 0.0, final)
+        if boost_entities:
+            be = {e.lower() for e in boost_entities}
+            hit = np.array([
+                bool(be & {str(e).lower() for e in (c.get("entities") or [])})
+                for c in candidates])
+            final = np.where(hit, final * 1.2, final)
+        if boost_predicates:
+            bp = [p.lower() for p in boost_predicates]
+            hit = np.array([any(p in (c.get("content") or "").lower() for p in bp)
+                            for c in candidates])
+            final = np.where(hit, final * 1.15, final)
+
+        out = []
+        for c, f, d, s in zip(candidates, final, dense, sparse):
+            if f <= 0:
+                continue
+            m = dict(c)
+            m["final_base_score"] = float(f)
+            m["final_score"] = float(f)
+            m["dense_score"] = float(d)
+            m["sparse_score"] = float(s)
+            out.append(m)
+        out.sort(key=lambda c: -c["final_base_score"])
+
+        if self.reranker and out:
+            topk = self.cfg.get("rerank.listt5_input_topk", 24)
+            head = out[:topk]
+            scores = self.reranker.score(query, head)
+            fused = sort_desc(fuse_scores(head, scores,
+                                          {"listt5_weight": self.cfg.get(
+                                              "calibration.listt5_weight", 0.35)}),
+                              "fused_score")
+            keep = self.cfg.get("rerank.keep_after_listt5", 16)
+            out = fused[:keep] + out[topk:]
+        return out
+
+    def _section_penalties(self, query: str, candidates) -> np.ndarray:
+        """Main-entity-related section filter: candidates whose title shares
+        nothing with the query's entities get a soft penalty."""
+        q_ents = {e.lower() for e in extract_entities_fallback(query)}
+        q_toks = set(tokenize_no_stop(query))
+        out = np.ones(len(candidates), np.float32)
+        if not q_ents and not q_toks:
+            return out
+        for j, c in enumerate(candidates):
+            title_toks = set(tokenize_no_stop(c.get("title") or ""))
+            ents = {str(e).lower() for e in (c.get("entities") or [])}
+            related = bool(title_toks & q_toks) or bool(ents & q_ents)
+            if not related:
+                out[j] = 0.85
+        return out
+
+    @staticmethod
+    def _satisfies_terms(candidates, terms) -> np.ndarray:
+        t = [x.lower() for x in terms]
+        return np.array([
+            all(x in f"{c.get('title','')} {c.get('content','')}".lower() for x in t)
+            for c in candidates
+        ])
+
+    # two-hop ---------------------------------------------------------------
+    def _extract_entities_from_candidates(self, candidates, top_m: int) -> List[str]:
+        counts: Dict[str, int] = {}
+        for c in candidates[:top_m]:
+            for e in c.get("entities") or []:
+                e = str(e)
+                counts[e] = counts.get(e, 0) + 1
+        return [e for e, _ in sorted(counts.items(), key=lambda kv: -kv[1])][:10]
+
+    def _two_hop_expansion(self, query, candidates):
+        bridges = self._extract_entities_from_candidates(candidates, self.two_hop_top_m)
+        q_ents = {e.lower() for e in extract_entities_fallback(query)}
+        bridges = [b for b in bridges if b.lower() not in q_ents][:5]
+        added: List[Dict[str, Any]] = []
+        have = {c.get("note_id") for c in candidates}
+        idx_of = {n["note_id"]: i for i, n in enumerate(self.notes)}
+        for b in bridges:
+            pool_ids = self.entity_index.lookup(b, fuzzy=False)
+            pool_notes = []
+            for nid in pool_ids:
+                if nid in have:
+                    continue
+                i = idx_of.get(nid)
+                if i is not None:
+                    pool_notes.append(dict(self.notes[i]))
+            if not pool_notes:  # fallback: dense retrieval on bridge+query
+                pool_notes = [
+                    n for n in self.retriever.retrieve(f"{b} {query}", top_k=5, threshold=0.0)
+                    if n.get("note_id") not in have
+                ]
+            # rescore second-hop pool against "bridge + query"
+            if pool_notes:
+                scored = self._enhanced_hybrid_search_v2(f"{b} {query}", pool_notes)
+                for n in scored[: self.two_hop_max_second]:
+                    n["hop_no"] = 2
+                    n["bridge_entity"] = b
+                    n["bridge_path"] = [b]
+                    n["retrieval_method"] = "prf_bridge"
+                    n["final_score"] = float(n.get("final_base_score", 0.0)) * 0.8
+                    added.append(n)
+                    have.add(n.get("note_id"))
+        return candidates + added, bridges
+
+    def _cluster_suppress(self, candidates):
+        """Near-duplicate suppression: within cosine >= threshold clusters,
+        keep the top `keep_per_cluster` (reference :1637)."""
+        if len(candidates) < 2 or self.embeddings is None:
+            return candidates
+        idx_of = {n["note_id"]: i for i, n in enumerate(self.notes)}
+        rows = [idx_of.get(c.get("note_id"), -1) for c in candidates]
+        emb = np.stack([
+            self.embeddings[i] if i >= 0 else np.zeros(self.embeddings.shape[1])
+            for i in rows
+        ]).astype(np.float32)
+        emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
+        sims = emb @ emb.T
+        kept: List[int] = []
+        cluster_count: Dict[int, int] = {}
+        for j in range(len(candidates)):
+            owner = next((k for k in kept if sims[j, k] >= self.cluster_cos_threshold), None)
+            if owner is None:
+                kept.append(j)
+                cluster_count[j] = 1
+            elif cluster_count[owner] < self.keep_per_cluster:
+                kept.append(j)
+                cluster_count[owner] += 1
+        return [candidates[j] for j in sorted(kept)]
+
+    def _filter_with_multihop_safety(self, candidates):
+        """Per-hop top-M keepalive + lower threshold for the rest
+        (reference :4196-4258)."""
+        by_hop: Dict[int, List[Dict[str, Any]]] = {}
+        for c in candidates:
+            by_hop.setdefault(int(c.get("hop_no", 1)), []).append(c)
+        kept = []
+        for hop, group in by_hop.items():
+            group.sort(key=lambda c: -float(c.get("final_score", 0.0)))
+            kept.extend(group[: self.per_hop_keep_top_m])
+            kept.extend(
+                c for c in group[self.per_hop_keep_top_m:]
+                if float(c.get("final_score", 0.0)) >= self.lower_threshold
+            )
+        kept.sort(key=lambda c: -float(c.get("final_score", 0.0)))
+        return kept
+
+    def _post_select_processing(self, selected, candidates, query):
+        selected = self.evidence_reranker.rerank(selected, query)
+        return self.path_validator.ensure_valid_bundle(selected, candidates, query)
+
+    def _bm25_namespace_fallback(self, query, dataset):
+        s, idx = self.bm25.topk(query, k=10)
+        out = []
+        for score, i in zip(s, idx):
+            if score <= 0:
+                continue
+            n = dict(self.notes[int(i)])
+            n["final_score"] = float(score)
+            n["retrieval_method"] = "bm25"
+            out.append(n)
+        return filter_notes_by_namespace(out, dataset)
+
+    # answer ------------------------------------------------------------------
+    def _answer(self, query, selected, candidates, bridge_entities) -> Dict[str, Any]:
+        context, support = self.packer.pack_context(selected, query)
+        # (a) relation-chain selector
+        if self.answer_selector_enabled and self.answer_selector_before_llm:
+            sel = answer_question(
+                query, self.note_graph,
+                anchor_top_k=self.cfg.get("answer_selector.anchor_top_k", 5),
+                rel_chains=self.cfg.get("answering.rel_chains", []),
+                relax_last_hop=self.cfg.get("answering.relax_last_hop", []),
+                max_hops=self.cfg.get("multi_hop.max_hops", 4),
+                beam_size=self.cfg.get("multi_hop.beam_size", 8),
+                branch=self.cfg.get("multi_hop.branch_factor", 6),
+            )
+            if sel:
+                id_to_note = {n["note_id"]: n for n in self.notes}
+                sup = fill_support_idxs_noid(
+                    sel["answer"],
+                    [id_to_note[nid] for nid in sel["support_note_ids"] if nid in id_to_note]
+                    or selected, query=query)
+                return {"answer": sel["answer"], "support_idxs": sup,
+                        "answerable": True, "method": "answer_selector",
+                        "context": context}
+        # (b) EFSA
+        bridge, path_entities = extract_bridge_info_from_candidates(selected)
+        bridge = bridge or (bridge_entities[0] if bridge_entities else None)
+        efsa_ans, efsa_sup, efsa_score = efsa_answer_with_fallback(
+            selected, query, bridge, path_entities,
+            topN=self.cfg.get("context.max_notes_for_llm", 20),
+        )
+        efsa_threshold = self.cfg.get("answering.efsa_hint.threshold", 0.70)
+        if self.llm is None:
+            if efsa_ans is not None:
+                sup = [s for s in efsa_sup if isinstance(s, int)] or \
+                    fill_support_idxs_noid(efsa_ans or "", selected, query=query)
+                verified = self.verifier.finalize_answer(query, efsa_ans, context)
+                return {"answer": verified["answer"], "support_idxs": sup,
+                        "answerable": True, "method": "efsa", "context": context}
+            return {"answer": "insufficient information", "support_idxs": [],
+                    "answerable": False, "method": "none", "context": context}
+        if efsa_ans is not None and efsa_score >= efsa_threshold and not \
+                self.cfg.get("answering.final_evidence_first", True):
+            sup = [s for s in efsa_sup if isinstance(s, int)] or support
+            return {"answer": efsa_ans, "support_idxs": sup, "answerable": True,
+                    "method": "efsa", "context": context}
+        # (c) LLM generation (evidence-first), EFSA answer as noisy hint
+        hint = efsa_ans if self.cfg.get("answering.efsa_hint.enabled", True) else None
+        prompt = build_final_answer_prompt(query, context, efsa_hint=hint)
+        try:
+            raw = self.llm.generate(prompt, system_prompt=FINAL_ANSWER_SYSTEM,
+                                    task_type="final_answer")
+        except Exception as e:
+            logger.warning("final answer LLM failed: %s", e)
+            raw = ""
+        pred = extract_prediction(raw)
+        ok, issues, norm = validate_final_answer(
+            pred, context,
+            require_verbatim_spans=self.cfg.get("answering.require_verbatim_spans", True),
+            force_insufficient_if_no_spans=self.cfg.get(
+                "answering.force_insufficient_if_no_spans", True),
+        )
+        answer = norm["answer"]
+        answerable = not norm["insufficient"]
+        if not answerable and efsa_ans is not None:
+            answer, answerable = efsa_ans, True  # EFSA rescue
+        sup = [s for s in pred.get("support_idxs", []) if isinstance(s, int)]
+        sup = fill_support_idxs_noid(answer, selected, existing_idxs=sup, query=query)
+        return {"answer": answer, "support_idxs": sup, "answerable": answerable,
+                "method": "llm", "context": context}
+
+    # audit -----------------------------------------------------------------------
+    def _write_final_recall(self, selected, qid) -> Dict[str, Any]:
+        if not self.work_dir:
+            return {}
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+        path = self.work_dir / "final_recall.jsonl"
+        rows = [
+            {k: v for k, v in n.items() if not isinstance(v, (np.ndarray,))}
+            for n in selected
+        ]
+        write_jsonl(path, rows)
+        sha_written = jsonl_sha1(rows)
+        sha_read = jsonl_sha1(read_jsonl(path))
+        assert sha_written == sha_read, "final_recall.jsonl readback mismatch"
+        return {"final_recall_path": str(path), "final_recall_sha1": sha_written}
+
+    # ======================================================================
+    # sub-question decomposition path
+    # ======================================================================
+    def _process_with_subquestion_decomposition(self, query, dataset=None, qid=None):
+        subs = self.subq_planner.plan(query)
+        per_sub: Dict[str, List[Dict[str, Any]]] = {}
+        for sq in subs:
+            res = self._process_traditional(sq, dataset, qid=None)
+            per_sub[sq] = res["notes"]
+        q_emb = self.em.encode_queries([query])[0]
+        note_embs = {}
+        idx_of = {n["note_id"]: i for i, n in enumerate(self.notes)}
+        for notes in per_sub.values():
+            for n in notes:
+                i = idx_of.get(n.get("note_id"))
+                if i is not None and self.embeddings is not None:
+                    note_embs[n["note_id"]] = self.embeddings[i]
+        merged = self.evidence_merger.merge_evidence(
+            per_sub, query_emb=q_emb, note_embeddings=note_embs,
+            top_k=self.cfg.get("context.max_notes_for_llm", 20),
+        )
+        bridge_entities: List[str] = []
+        answer_payload = self._answer(query, merged, merged, bridge_entities)
+        audit = self._write_final_recall(merged, qid)
+        return {
+            "query": query,
+            "answer": answer_payload["answer"],
+            "predicted_answer": answer_payload["answer"],
+            "predicted_support_idxs": answer_payload["support_idxs"],
+            "predicted_answerable": answer_payload["answerable"],
+            "answer_method": answer_payload["method"],
+            "notes": merged,
+            "candidate_notes": merged,
+            "sub_questions": subs,
+            "merge_stats": self.evidence_merger.last_stats,
+            "trace": {"qid": qid, **audit},
+        }
