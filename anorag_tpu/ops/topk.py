@@ -36,7 +36,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _topk_kernel(nvalid_ref, q_ref, e_ref, vals_out, idx_out, rv_ref, ri_ref, *, k: int, block_rows: int):
+def _topk_kernel(nvalid_ref, q_ref, e_ref, *rest,
+                 k: int, block_rows: int, has_bias: bool = False,
+                 bias_weight: float = 1.0):
+    if has_bias:
+        bias_ref, vals_out, idx_out, rv_ref, ri_ref = rest
+    else:
+        bias_ref = None
+        vals_out, idx_out, rv_ref, ri_ref = rest
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
 
@@ -51,6 +58,11 @@ def _topk_kernel(nvalid_ref, q_ref, e_ref, vals_out, idx_out, rv_ref, ri_ref, *,
         q, e, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )                                  # (B, block_rows)
+    if bias_ref is not None:
+        # fused hybrid search: the (pre-normalized) sparse score slice is
+        # added while the dense block is in VMEM — no (B, N) fused-score
+        # matrix ever reaches HBM.
+        scores = scores + bias_weight * bias_ref[:]
 
     base = i * block_rows
     b_dim, nb = scores.shape
@@ -94,23 +106,33 @@ def _topk_kernel(nvalid_ref, q_ref, e_ref, vals_out, idx_out, rv_ref, ri_ref, *,
         idx_out[:] = ri_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret", "bias_weight"))
 def _dense_topk_pallas(
     emb: jax.Array, queries: jax.Array, n_valid: jax.Array, k: int,
     block_rows: int, interpret: bool,
+    bias: jax.Array | None = None, bias_weight: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
     n_pad, d = emb.shape
     b_pad, _ = queries.shape
     grid = (n_pad // block_rows,)
-    kernel = functools.partial(_topk_kernel, k=k, block_rows=block_rows)
+    has_bias = bias is not None
+    kernel = functools.partial(_topk_kernel, k=k, block_rows=block_rows,
+                               has_bias=has_bias, bias_weight=bias_weight)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((b_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    inputs = [n_valid, queries, emb]
+    if has_bias:
+        in_specs.append(
+            pl.BlockSpec((b_pad, block_rows), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        inputs.append(bias)
     vals, idx = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((b_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_rows, d), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((b_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((b_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
@@ -129,7 +151,7 @@ def _dense_topk_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(n_valid, queries, emb)
+    )(*inputs)
     return vals, idx
 
 
@@ -175,10 +197,14 @@ def dense_topk(
     block_rows: int = 1024,
     use_pallas: bool | None = None,
     interpret: bool | None = None,
+    bias=None,
+    bias_weight: float = 1.0,
 ):
     """Top-k inner-product search: returns (scores (B,k), indices (B,k)), sorted.
 
     `emb` may be bf16 (recommended on TPU); accumulation is always f32.
+    `bias` (B, N) f32, when given, is fused into the scan:
+    score = q.e + bias_weight * bias — the hybrid dense+sparse search.
     Works on any backend: pallas-compiled on TPU, pallas-interpret or XLA
     elsewhere.
     """
@@ -192,7 +218,13 @@ def dense_topk(
     if use_pallas is None:
         use_pallas = on_tpu
     if not use_pallas:
-        vals, idx = dense_topk_xla(emb, queries, k_eff)
+        if bias is None:
+            vals, idx = dense_topk_xla(emb, queries, k_eff)
+        else:
+            scores = jnp.dot(queries.astype(jnp.float32), emb.astype(jnp.float32).T,
+                             preferred_element_type=jnp.float32)
+            scores = scores + bias_weight * jnp.asarray(bias, jnp.float32)
+            vals, idx = jax.lax.top_k(scores, k_eff)
         return _pad_k(vals, idx, k, k_eff)
 
     if interpret is None:
@@ -207,8 +239,13 @@ def dense_topk(
     embp = jnp.pad(emb, ((0, n_pad - n), (0, 0)))
     qp = jnp.pad(queries.astype(emb.dtype), ((0, b_pad - b), (0, 0)))
     n_valid = jnp.array([n], dtype=jnp.int32)
+    biasp = None
+    if bias is not None:
+        biasp = jnp.pad(jnp.asarray(bias, jnp.float32),
+                        ((0, b_pad - b), (0, n_pad - n)))
 
-    vals, idx = _dense_topk_pallas(embp, qp, n_valid, k_pad, block_rows, interpret)
+    vals, idx = _dense_topk_pallas(embp, qp, n_valid, k_pad, block_rows, interpret,
+                                   bias=biasp, bias_weight=bias_weight)
     vals, idx = _sort_topk(vals[:b], idx[:b], k_pad)
     vals, idx = vals[:, :k_eff], idx[:, :k_eff]
     return _pad_k(vals, idx, k, k_eff)

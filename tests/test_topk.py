@@ -59,3 +59,24 @@ def test_bf16_embeddings():
     ref_vals, _ = dense_topk_np(emb, q, 10)
     # bf16 tolerance
     np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=0.02, atol=0.02)
+
+
+def test_hybrid_bias_fusion():
+    emb, q = _mk(n=400)
+    rng = np.random.default_rng(7)
+    bias = rng.random((5, 400)).astype(np.float32)
+    vals, idx = dense_topk(emb, q, 10, block_rows=128, use_pallas=True,
+                           interpret=True, bias=bias, bias_weight=0.6)
+    scores = q @ emb.T + 0.6 * bias
+    want_vals = np.sort(scores, axis=1)[:, ::-1][:, :10]
+    np.testing.assert_allclose(np.asarray(vals), want_vals, rtol=1e-4, atol=1e-4)
+    got = np.take_along_axis(scores, np.asarray(idx), axis=1)
+    np.testing.assert_allclose(got, want_vals, rtol=1e-4, atol=1e-4)
+
+
+def test_hybrid_bias_xla_path():
+    emb, q = _mk(n=150)
+    bias = np.zeros((5, 150), np.float32)
+    bias[:, 7] = 100.0
+    vals, idx = dense_topk(emb, q, 3, use_pallas=False, bias=bias, bias_weight=1.0)
+    assert (np.asarray(idx)[:, 0] == 7).all()
