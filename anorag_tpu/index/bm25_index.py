@@ -63,13 +63,25 @@ class BM25Index:
         k1: float = 1.5,
         b: float = 0.75,
         text_fn: Optional[Callable[[Dict[str, Any]], str]] = None,
+        use_native: bool = True,
     ):
         self.text_field = text_field
         self.vocab = Vocab()
         fn = text_fn or (lambda n: note_text(n, text_field))
-        doc_terms = [self.vocab.encode(tokenize(fn(n)), grow=True) for n in notes]
-        self.n_docs = len(doc_terms)
-        self.postings: BM25Postings = build_postings(doc_terms, max(len(self.vocab), 1), k1=k1, b=b)
+        texts = [fn(n) for n in notes]
+        self.n_docs = len(texts)
+        built = None
+        if use_native and self.n_docs:
+            from anorag_tpu import native
+
+            out = native.build_postings_native(texts, k1=k1, b=b)
+            if out is not None:
+                built, vocab_map = out
+                self.vocab._map = vocab_map
+        if built is None:
+            doc_terms = [self.vocab.encode(tokenize(t), grow=True) for t in texts]
+            built = build_postings(doc_terms, max(len(self.vocab), 1), k1=k1, b=b)
+        self.postings: BM25Postings = built
 
     def query_terms(self, query: str) -> List[int]:
         return self.vocab.encode(tokenize(query))

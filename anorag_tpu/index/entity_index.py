@@ -17,11 +17,19 @@ from anorag_tpu.utils.text import extract_entities_fallback, normalize_entity
 
 
 def levenshtein_ratio(a: str, b: str) -> float:
-    """Similarity in [0,1] = 1 - dist/max_len (iterative DP, O(len_a*len_b))."""
+    """Similarity in [0,1] = 1 - dist/max_len.
+
+    Uses the native C++ implementation when built, else iterative-DP Python.
+    """
     if a == b:
         return 1.0
     if not a or not b:
         return 0.0
+    from anorag_tpu import native
+
+    got = native.levenshtein_ratio_native(a, b) if native.available() else None
+    if got is not None:
+        return got
     prev = list(range(len(b) + 1))
     for i, ca in enumerate(a, 1):
         cur = [i]

@@ -1,0 +1,142 @@
+"""ctypes bindings for the native host runtime (native/anorag_native.cpp).
+
+The C++ library owns the host-side hot loops: corpus tokenization + BM25
+postings construction (the reference leans on rank_bm25/FAISS C++ for this,
+SURVEY.md §2.11) and Levenshtein matching. Auto-builds with `make` on first
+use; every entry point has a pure-Python fallback, so the framework works
+without a compiler.
+"""
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from anorag_tpu.utils.logging import get_logger
+
+logger = get_logger("anorag.native")
+
+_NATIVE_DIR = Path(__file__).resolve().parent.parent / "native"
+_LIB_PATH = _NATIVE_DIR / "libanorag_native.so"
+_lib: Optional[ctypes.CDLL] = None
+_load_attempted = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
+                       capture_output=True, timeout=120)
+        return _LIB_PATH.exists()
+    except Exception as e:
+        logger.info("native build unavailable: %s", e)
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_attempted
+    if _lib is not None or _load_attempted:
+        return _lib
+    _load_attempted = True
+    if not _LIB_PATH.exists() and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.anorag_bm25_build.restype = ctypes.c_void_p
+        lib.anorag_bm25_build.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        ]
+        for fn in ("anorag_bm25_vocab_size", "anorag_bm25_nnz",
+                   "anorag_bm25_vocab_blob_size"):
+            getattr(lib, fn).restype = ctypes.c_int64
+            getattr(lib, fn).argtypes = [ctypes.c_void_p]
+        lib.anorag_bm25_export.restype = None
+        lib.anorag_bm25_export.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_char_p,
+        ]
+        lib.anorag_bm25_free.restype = None
+        lib.anorag_bm25_free.argtypes = [ctypes.c_void_p]
+        lib.anorag_levenshtein_ratio.restype = ctypes.c_double
+        lib.anorag_levenshtein_ratio.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64,
+        ]
+        lib.anorag_tokenize_count.restype = ctypes.c_int64
+        lib.anorag_tokenize_count.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        _lib = lib
+        logger.info("native runtime loaded: %s", _LIB_PATH)
+    except Exception as e:
+        logger.info("native runtime load failed: %s", e)
+    return _lib
+
+
+def available() -> bool:
+    return load() is not None
+
+
+def build_postings_native(
+    texts: List[str], k1: float = 1.5, b: float = 0.75
+) -> Optional[Tuple["BM25Postings", Dict[str, int]]]:
+    """Build BM25 postings + vocab from raw texts in C++.
+
+    Returns None when the native library is unavailable. The weights are
+    bit-compatible with anorag_tpu.ops.bm25.build_postings over the same
+    tokenizer (C++ tokenizes bytes; pure-ASCII corpora match exactly).
+    """
+    lib = load()
+    if lib is None:
+        return None
+    from anorag_tpu.ops.bm25 import BM25Postings
+
+    blobs = [t.encode("utf-8") for t in texts]
+    corpus = b"".join(blobs)
+    offsets = np.zeros(len(blobs) + 1, np.int64)
+    np.cumsum([len(x) for x in blobs], out=offsets[1:])
+
+    handle = lib.anorag_bm25_build(
+        corpus, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(texts), k1, b,
+    )
+    try:
+        vocab_size = lib.anorag_bm25_vocab_size(handle)
+        nnz = lib.anorag_bm25_nnz(handle)
+        blob_size = lib.anorag_bm25_vocab_blob_size(handle)
+        term_offsets = np.zeros(vocab_size + 1, np.int64)
+        doc_ids = np.zeros(max(nnz, 1), np.int32)
+        weights = np.zeros(max(nnz, 1), np.float32)
+        idf = np.zeros(max(vocab_size, 1), np.float32)
+        vocab_blob = ctypes.create_string_buffer(max(int(blob_size), 1))
+        lib.anorag_bm25_export(
+            handle,
+            term_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            doc_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            weights.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            idf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            vocab_blob,
+        )
+    finally:
+        lib.anorag_bm25_free(handle)
+
+    terms = vocab_blob.raw[:blob_size].split(b"\0")[:-1] if blob_size else []
+    vocab = {t.decode("utf-8", "replace"): i for i, t in enumerate(terms)}
+    postings = BM25Postings(
+        term_offsets=term_offsets,
+        doc_ids=doc_ids[:nnz],
+        weights=weights[:nnz],
+        n_docs=len(texts),
+        idf=idf[:vocab_size],
+    )
+    return postings, vocab
+
+
+def levenshtein_ratio_native(a: str, b: str) -> Optional[float]:
+    lib = load()
+    if lib is None:
+        return None
+    ab, bb = a.encode("utf-8"), b.encode("utf-8")
+    return float(lib.anorag_levenshtein_ratio(ab, len(ab), bb, len(bb)))

@@ -1,0 +1,189 @@
+// anorag_native: host-side runtime kernels for anorag-tpu.
+//
+// The TPU owns the compute path (JAX/XLA/Pallas); this library owns the
+// host-side hot loops that feed it:
+//   * corpus tokenization + vocabulary construction,
+//   * BM25 postings building with precomputed Okapi weights
+//     (the index-build path of anorag_tpu/ops/bm25.py — identical math:
+//      idf = ln((N - df + 0.5)/(df + 0.5) + 1),
+//      w   = idf * tf*(k1+1)/(tf + k1*(1 - b + b*len/avgdl)) ),
+//   * Levenshtein ratio for fuzzy entity matching.
+//
+// C ABI only (loaded via ctypes). Build: make -C native
+#include <algorithm>
+#include <cctype>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <string>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+struct Posting {
+  int32_t doc;
+  float weight;
+};
+
+struct BM25Handle {
+  std::vector<int64_t> term_offsets;  // V+1
+  std::vector<int32_t> doc_ids;       // nnz
+  std::vector<float> weights;         // nnz
+  std::vector<float> idf;             // V
+  std::string vocab_blob;             // null-separated terms, id order
+  int64_t n_docs = 0;
+};
+
+inline bool is_word(unsigned char c) {
+  // mirror python \w for ASCII (alnum + underscore); keep non-ASCII bytes
+  return std::isalnum(c) || c == '_' || c >= 0x80;
+}
+
+// Lowercased word tokens of one document appended to `out`.
+void tokenize(const char* text, int64_t len, std::vector<std::string>& out) {
+  std::string cur;
+  for (int64_t i = 0; i < len; ++i) {
+    unsigned char c = text[i];
+    if (is_word(c)) {
+      cur.push_back(static_cast<char>(std::tolower(c)));
+    } else if (!cur.empty()) {
+      out.push_back(cur);
+      cur.clear();
+    }
+  }
+  if (!cur.empty()) out.push_back(cur);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build BM25 postings from a concatenated corpus.
+//  corpus:      all documents' text back to back (UTF-8)
+//  doc_offsets: n_docs+1 byte offsets into corpus
+// Returns an opaque handle (free with anorag_bm25_free).
+void* anorag_bm25_build(const char* corpus, const int64_t* doc_offsets,
+                        int64_t n_docs, double k1, double b) {
+  auto* h = new BM25Handle();
+  h->n_docs = n_docs;
+
+  std::unordered_map<std::string, int32_t> vocab;
+  std::vector<std::vector<std::pair<int32_t, int32_t>>> doc_tf(n_docs);  // (term, tf)
+  std::vector<int32_t> doc_len(n_docs, 0);
+  double total_len = 0.0;
+
+  std::vector<std::string> toks;
+  std::unordered_map<int32_t, int32_t> counts;
+  for (int64_t d = 0; d < n_docs; ++d) {
+    toks.clear();
+    counts.clear();
+    tokenize(corpus + doc_offsets[d], doc_offsets[d + 1] - doc_offsets[d], toks);
+    doc_len[d] = static_cast<int32_t>(toks.size());
+    total_len += toks.size();
+    for (auto& t : toks) {
+      auto it = vocab.find(t);
+      int32_t id;
+      if (it == vocab.end()) {
+        id = static_cast<int32_t>(vocab.size());
+        vocab.emplace(t, id);
+      } else {
+        id = it->second;
+      }
+      counts[id]++;
+    }
+    doc_tf[d].assign(counts.begin(), counts.end());
+  }
+
+  const int64_t V = static_cast<int64_t>(vocab.size());
+  std::vector<int64_t> df(V, 0);
+  for (auto& row : doc_tf)
+    for (auto& [t, tf] : row) df[t]++;
+
+  h->idf.resize(V);
+  for (int64_t t = 0; t < V; ++t)
+    h->idf[t] = static_cast<float>(
+        std::log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0));
+
+  h->term_offsets.assign(V + 1, 0);
+  for (int64_t t = 0; t < V; ++t) h->term_offsets[t + 1] = h->term_offsets[t] + df[t];
+  const int64_t nnz = h->term_offsets[V];
+  h->doc_ids.resize(nnz);
+  h->weights.resize(nnz);
+
+  const double avgdl = n_docs ? total_len / n_docs : 0.0;
+  std::vector<int64_t> cursor(h->term_offsets.begin(), h->term_offsets.end() - 1);
+  for (int64_t d = 0; d < n_docs; ++d) {
+    const double denom_base =
+        avgdl > 0 ? k1 * (1.0 - b + b * (doc_len[d] / avgdl)) : k1;
+    for (auto& [t, tf] : doc_tf[d]) {
+      const int64_t pos = cursor[t]++;
+      h->doc_ids[pos] = static_cast<int32_t>(d);
+      h->weights[pos] =
+          static_cast<float>(h->idf[t] * (tf * (k1 + 1.0)) / (tf + denom_base));
+    }
+  }
+
+  // vocab blob in id order
+  std::vector<const std::string*> by_id(V);
+  for (auto& [term, id] : vocab) by_id[id] = &term;
+  for (int64_t t = 0; t < V; ++t) {
+    h->vocab_blob.append(*by_id[t]);
+    h->vocab_blob.push_back('\0');
+  }
+  return h;
+}
+
+int64_t anorag_bm25_vocab_size(void* handle) {
+  return static_cast<int64_t>(static_cast<BM25Handle*>(handle)->idf.size());
+}
+int64_t anorag_bm25_nnz(void* handle) {
+  return static_cast<int64_t>(static_cast<BM25Handle*>(handle)->doc_ids.size());
+}
+int64_t anorag_bm25_vocab_blob_size(void* handle) {
+  return static_cast<int64_t>(static_cast<BM25Handle*>(handle)->vocab_blob.size());
+}
+
+// Copy the built arrays out into caller-allocated buffers.
+void anorag_bm25_export(void* handle, int64_t* term_offsets, int32_t* doc_ids,
+                        float* weights, float* idf, char* vocab_blob) {
+  auto* h = static_cast<BM25Handle*>(handle);
+  std::memcpy(term_offsets, h->term_offsets.data(),
+              h->term_offsets.size() * sizeof(int64_t));
+  std::memcpy(doc_ids, h->doc_ids.data(), h->doc_ids.size() * sizeof(int32_t));
+  std::memcpy(weights, h->weights.data(), h->weights.size() * sizeof(float));
+  std::memcpy(idf, h->idf.data(), h->idf.size() * sizeof(float));
+  std::memcpy(vocab_blob, h->vocab_blob.data(), h->vocab_blob.size());
+}
+
+void anorag_bm25_free(void* handle) { delete static_cast<BM25Handle*>(handle); }
+
+// Tokenize one text into vocab ids given a prebuilt vocab (linear-probe map
+// rebuilt per call is wasteful; callers keep the python dict — this exists
+// for symmetric testing).
+int64_t anorag_tokenize_count(const char* text, int64_t len) {
+  std::vector<std::string> toks;
+  tokenize(text, len, toks);
+  return static_cast<int64_t>(toks.size());
+}
+
+// Levenshtein similarity ratio in [0, 1].
+double anorag_levenshtein_ratio(const char* a, int64_t la, const char* b,
+                                int64_t lb) {
+  if (la == 0 && lb == 0) return 1.0;
+  if (la == 0 || lb == 0) return 0.0;
+  std::vector<int32_t> prev(lb + 1), cur(lb + 1);
+  for (int64_t j = 0; j <= lb; ++j) prev[j] = static_cast<int32_t>(j);
+  for (int64_t i = 1; i <= la; ++i) {
+    cur[0] = static_cast<int32_t>(i);
+    for (int64_t j = 1; j <= lb; ++j) {
+      const int32_t sub = prev[j - 1] + (a[i - 1] != b[j - 1]);
+      cur[j] = std::min({prev[j] + 1, cur[j - 1] + 1, sub});
+    }
+    std::swap(prev, cur);
+  }
+  const double dist = prev[lb];
+  return 1.0 - dist / static_cast<double>(std::max(la, lb));
+}
+
+}  // extern "C"
