@@ -46,12 +46,26 @@ def efsa_answer(
     bridge_entity: Optional[str] = None,
     path_entities: Optional[Sequence[str]] = None,
     topN: int = 20,
+    exclude_entities: Optional[Sequence[str]] = None,
+    who_person_boost: float = 1.0,
 ) -> Tuple[Optional[str], List[Any], float]:
-    """(answer entity | None, support idxs, score)."""
+    """(answer entity | None, support idxs, score).
+
+    `exclude_entities` extends the bridge-entity exclusion: entities named in
+    the question itself cannot be the answer to a wh-question (without this,
+    the query's subject — which appears in most retrieved notes — dominates
+    the aggregation when no LLM refines the answer).
+    `who_person_boost` multiplies person-shaped entity scores for
+    who-questions (the reference's answer_bias.who_person_boost, default
+    1.10 in config).
+    """
     pool = list(candidates)[:topN]
     if not pool:
         return None, [], 0.0
     be = (bridge_entity or "").lower()
+    excluded = {str(e).lower() for e in (exclude_entities or [])}
+    if be:
+        excluded.add(be)
     pe = list(path_entities or [])
 
     # note weights (vector)
@@ -67,7 +81,7 @@ def efsa_answer(
     for i, n in enumerate(pool):
         for e in n.get("entities") or []:
             e = str(e)
-            if be and e.lower() == be:
+            if e.lower() in excluded:
                 continue
             eid = ent_ids.get(e)
             if eid is None:
@@ -88,6 +102,14 @@ def efsa_answer(
         docs_per_ent[eid].add(pool[i].get("doc_id"))
     ndocs = np.array([len(d) for d in docs_per_ent], np.float64)
     score *= 1 + DIVERSITY_STEP * np.minimum(np.maximum(ndocs - 1, 0), DIVERSITY_CAP)
+
+    if who_person_boost != 1.0 and query.strip().lower().startswith(("who", "whose", "whom")):
+        person_shaped = np.array([
+            bool(e) and e[0].isupper() and 1 <= len(e.split()) <= 4
+            and not any(ch.isdigit() for ch in e)
+            for e in ent_names
+        ])
+        score = np.where(person_shaped, score * who_person_boost, score)
 
     best = int(np.argmax(score))
     answer = ent_names[best]
@@ -111,6 +133,8 @@ def efsa_answer_with_fallback(
     topN: int = 20,
     fallback_func: Optional[Callable] = None,
     final_recall_path: Optional[str] = None,
+    exclude_entities: Optional[Sequence[str]] = None,
+    who_person_boost: float = 1.0,
 ) -> Tuple[Optional[str], List[Any], float]:
     if final_recall_path and Path(final_recall_path).exists():
         try:
@@ -119,7 +143,9 @@ def efsa_answer_with_fallback(
             candidates = candidates or []
     if not candidates:
         return None, [], 0.0
-    answer, support, score = efsa_answer(candidates, query, bridge_entity, path_entities, topN)
+    answer, support, score = efsa_answer(candidates, query, bridge_entity, path_entities,
+                                         topN, exclude_entities=exclude_entities,
+                                         who_person_boost=who_person_boost)
     if answer is not None:
         return answer, support, score
     if fallback_func:

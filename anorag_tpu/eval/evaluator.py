@@ -26,6 +26,10 @@ class EnhancedEvaluator:
             g = gold_by_id.get(r.get("id"))
             if g is None:
                 continue
+            if not (r.get("notes") or r.get("candidate_notes")):
+                # prediction-only rows carry no retrieval traces: computing
+                # rates over them would silently report 0 — skip instead
+                continue
             n += 1
             gsup = set(gold_support_idxs(g))
             cand_paras = set()

@@ -418,13 +418,14 @@ class QueryProcessor:
         return [e for e, _ in sorted(counts.items(), key=lambda kv: -kv[1])][:10]
 
     def _two_hop_expansion(self, query, candidates):
-        bridges = self._extract_entities_from_candidates(candidates, self.two_hop_top_m)
+        candidate_bridges = self._extract_entities_from_candidates(candidates, self.two_hop_top_m)
         q_ents = {e.lower() for e in extract_entities_fallback(query)}
-        bridges = [b for b in bridges if b.lower() not in q_ents][:5]
+        candidate_bridges = [b for b in candidate_bridges if b.lower() not in q_ents][:5]
         added: List[Dict[str, Any]] = []
+        bridges: List[str] = []   # only bridges that actually mediated an expansion
         have = {c.get("note_id") for c in candidates}
         idx_of = {n["note_id"]: i for i, n in enumerate(self.notes)}
-        for b in bridges:
+        for b in candidate_bridges:
             pool_ids = self.entity_index.lookup(b, fuzzy=False)
             pool_notes = []
             for nid in pool_ids:
@@ -441,7 +442,10 @@ class QueryProcessor:
             # rescore second-hop pool against "bridge + query"
             if pool_notes:
                 scored = self._enhanced_hybrid_search_v2(f"{b} {query}", pool_notes)
-                for n in scored[: self.two_hop_max_second]:
+                hop2 = scored[: self.two_hop_max_second]
+                if hop2:
+                    bridges.append(b)
+                for n in hop2:
                     n["hop_no"] = 2
                     n["bridge_entity"] = b
                     n["bridge_path"] = [b]
@@ -538,12 +542,16 @@ class QueryProcessor:
         efsa_ans, efsa_sup, efsa_score = efsa_answer_with_fallback(
             selected, query, bridge, path_entities,
             topN=self.cfg.get("context.max_notes_for_llm", 20),
+            exclude_entities=extract_entities_fallback(query),
+            who_person_boost=self.cfg.get("hybrid_search.answer_bias.who_person_boost", 1.10),
         )
         efsa_threshold = self.cfg.get("answering.efsa_hint.threshold", 0.70)
         if self.llm is None:
             if efsa_ans is not None:
-                sup = [s for s in efsa_sup if isinstance(s, int)] or \
-                    fill_support_idxs_noid(efsa_ans or "", selected, query=query)
+                sup = fill_support_idxs_noid(
+                    efsa_ans or "", selected,
+                    existing_idxs=[s for s in efsa_sup if isinstance(s, int)],
+                    query=query)
                 verified = self.verifier.finalize_answer(query, efsa_ans, context)
                 return {"answer": verified["answer"], "support_idxs": sup,
                         "answerable": True, "method": "efsa", "context": context}

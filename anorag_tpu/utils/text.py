@@ -46,7 +46,10 @@ def split_paragraphs(text: str) -> List[str]:
 
 def normalize_entity(ent: str) -> str:
     ent = re.sub(r"\s+", " ", (ent or "").strip().strip("\"'"))
-    return ent
+    # sentence-final punctuation is never part of an entity; keep internal
+    # dots (e.g. "Dr. Who") but drop trailing ones so the same entity
+    # extracted mid-sentence and sentence-finally compares equal
+    return ent.rstrip(".,;:!?")
 
 
 def extract_entities_fallback(text: str, min_len: int = 2, max_entities: int = 16) -> List[str]:

@@ -36,6 +36,9 @@ def process_docs(args) -> int:
     if args.config:
         config.load_config(args.config)
     work = next_work_dir(Path(config.get("storage.result_root", "./result")))
+    from anorag_tpu.device import apply_device_config
+
+    apply_device_config(config)
     rewire_storage(config, work)
     setup_logging(str(work / "run.log"))
     llm = _make_llm(args)
@@ -63,6 +66,9 @@ def process_docs(args) -> int:
 def query_mode(args) -> int:
     if args.config:
         config.load_config(args.config)
+    from anorag_tpu.device import apply_device_config
+
+    apply_device_config(config)
     work = Path(args.work_dir) if args.work_dir else latest_work_dir(
         config.get("storage.result_root", "./result"))
     if not work or not (Path(work) / "atomic_notes.json").exists():

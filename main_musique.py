@@ -34,6 +34,9 @@ def main() -> int:
     if args.config:
         config.load_config(args.config)
     work = next_work_dir(Path(config.get("storage.result_root", "./result")))
+    from anorag_tpu.device import apply_device_config
+
+    apply_device_config(config)
     rewire_storage(config, work)
     setup_logging(str(work / "musique.log"))
 
