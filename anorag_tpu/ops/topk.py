@@ -230,6 +230,17 @@ def dense_topk(
     if interpret is None:
         interpret = not on_tpu
 
+    # VMEM budget: double-buffered corpus block + resident queries + f32
+    # score tile (and temporaries) + optional double-buffered bias slice
+    # must fit in ~16MB of VMEM.
+    itemsize = jnp.dtype(emb.dtype).itemsize
+    b_pad_est = _round_up(max(b, 8), 8)
+    vmem_budget = 10 * 1024 * 1024 - b_pad_est * d * itemsize
+    per_row = d * itemsize * 2 + 3 * b_pad_est * 4
+    if bias is not None:
+        per_row += 2 * b_pad_est * 4
+    max_block = max(128, (vmem_budget // per_row) // 128 * 128)
+    block_rows = min(block_rows, max_block)
     block_rows = max(128, min(block_rows, _round_up(n, 128)))
     n_pad = _round_up(n, block_rows)
     b_pad = _round_up(max(b, 8), 8)
