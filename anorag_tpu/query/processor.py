@@ -52,7 +52,7 @@ from anorag_tpu.graph.multi_hop import MultiHopQueryProcessor
 from anorag_tpu.graph.note_graph import NoteGraph
 from anorag_tpu.index.bm25_index import BM25Index
 from anorag_tpu.index.entity_index import EntityInvertedIndex
-from anorag_tpu.llm.prompts import FINAL_ANSWER_SYSTEM, build_final_answer_prompt
+from anorag_tpu.answer.final_answer import generate_final_answer
 from anorag_tpu.models.embedding_manager import EmbeddingManager
 from anorag_tpu.query.evidence_merger import EvidenceMerger
 from anorag_tpu.query.subquestion import SubQuestionPlanner
@@ -63,10 +63,8 @@ from anorag_tpu.retrieval.reranker import ListwiseReranker, fuse_scores, sort_de
 from anorag_tpu.retrieval.retriever import VectorRetriever
 from anorag_tpu.support.k_estimator import KEstimator
 from anorag_tpu.utils.file_io import append_jsonl, jsonl_sha1, read_jsonl, write_jsonl
-from anorag_tpu.utils.json_parser import extract_prediction
 from anorag_tpu.utils.logging import get_logger, log_performance
 from anorag_tpu.utils.text import extract_entities_fallback, tokenize_no_stop
-from anorag_tpu.validators import validate_final_answer
 from anorag_tpu.validators.note_validator import normalize_note
 
 logger = get_logger("anorag.query")
@@ -564,28 +562,21 @@ class QueryProcessor:
                     "method": "efsa", "context": context}
         # (c) LLM generation (evidence-first), EFSA answer as noisy hint
         hint = efsa_ans if self.cfg.get("answering.efsa_hint.enabled", True) else None
-        prompt = build_final_answer_prompt(query, context, efsa_hint=hint)
-        try:
-            raw = self.llm.generate(prompt, system_prompt=FINAL_ANSWER_SYSTEM,
-                                    task_type="final_answer")
-        except Exception as e:
-            logger.warning("final answer LLM failed: %s", e)
-            raw = ""
-        pred = extract_prediction(raw)
-        ok, issues, norm = validate_final_answer(
-            pred, context,
+        gen = generate_final_answer(
+            self.llm, query, selected, efsa_hint=hint,
             require_verbatim_spans=self.cfg.get("answering.require_verbatim_spans", True),
             force_insufficient_if_no_spans=self.cfg.get(
                 "answering.force_insufficient_if_no_spans", True),
+            max_retries=self.cfg.get("retry.max_times", 1),
         )
-        answer = norm["answer"]
-        answerable = not norm["insufficient"]
+        answer = gen["answer"]
+        answerable = not gen["insufficient"]
         if not answerable and efsa_ans is not None:
             answer, answerable = efsa_ans, True  # EFSA rescue
-        sup = [s for s in pred.get("support_idxs", []) if isinstance(s, int)]
-        sup = fill_support_idxs_noid(answer, selected, existing_idxs=sup, query=query)
+        sup = fill_support_idxs_noid(answer, selected,
+                                     existing_idxs=gen["support_idxs"], query=query)
         return {"answer": answer, "support_idxs": sup, "answerable": answerable,
-                "method": "llm", "context": context}
+                "method": "llm", "context": gen["context"]}
 
     # audit -----------------------------------------------------------------------
     def _write_final_recall(self, selected, qid) -> Dict[str, Any]:
