@@ -101,3 +101,44 @@ def test_sharded_topk_matches_oracle():
 def test_mesh_shapes():
     mesh = make_mesh(n_devices=8, model_parallel=2)
     assert mesh.shape["data"] == 4 and mesh.shape["model"] == 2
+
+
+def test_sharded_hybrid_topk_matches_oracle():
+    import jax.numpy as jnp
+    from anorag_tpu.parallel.mesh import DATA_AXIS, data_sharding
+    from anorag_tpu.parallel.sharded_search import make_sharded_hybrid_topk
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(4)
+    n, d, b, k = 512, 64, 4, 10
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    bias = rng.random((b, n)).astype(np.float32)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+
+    emb_sharded, n_total = shard_rows(mesh, emb)
+    bias_dev = jax.device_put(jnp.asarray(bias), NamedSharding(mesh, P(None, "data")))
+    fn = make_sharded_hybrid_topk(mesh, k, n_total, bias_weight=0.6)
+    vals, idx = fn(emb_sharded, bias_dev, jnp.asarray(q))
+
+    scores = q @ emb.T + 0.6 * bias
+    want = np.sort(scores, axis=1)[:, ::-1][:, :k]
+    np.testing.assert_allclose(np.asarray(vals), want, rtol=1e-5, atol=1e-5)
+    got = np.take_along_axis(scores, np.asarray(idx), axis=1)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_encode_runs_on_mesh():
+    import jax.numpy as jnp
+    from anorag_tpu.models.encoder import EncoderConfig, encode, init_params
+    from anorag_tpu.models.tokenizer import HashTokenizer
+    from anorag_tpu.parallel.sharded_search import make_sharded_encode
+
+    mesh = make_mesh()
+    cfg = EncoderConfig.small()
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tok = HashTokenizer(vocab_size=cfg.vocab_size)
+    ids, mask = tok.encode_batch(["text %d" % i for i in range(16)], 32)
+    enc = make_sharded_encode(mesh, lambda p, i, m: encode(p, i, m, cfg))
+    out = enc(params, ids, mask)
+    assert np.asarray(out).shape == (16, cfg.hidden_size)
