@@ -40,6 +40,7 @@ class VectorIndex:
         nprobe: int = 4,
         storage_dtype: str = "bfloat16",
         use_pallas: Optional[bool] = None,
+        ivf_min_corpus: int = 1_000_000,
     ):
         if index_type in _DEGRADE:
             logger.info("index type %s degrades to %s on TPU", index_type, _DEGRADE[index_type])
@@ -47,6 +48,10 @@ class VectorIndex:
         assert index_type in ("Flat", "IVFFlat"), index_type
         self.dimension = dimension
         self.index_type = index_type
+        # Below this corpus size the fused flat scan beats cluster pruning on
+        # TPU (batched probes union most clusters; the brute-force kernel is
+        # ~1ms per 200k x 1024 batch), so IVFFlat quietly uses the flat path.
+        self.ivf_min_corpus = ivf_min_corpus
         self.metric = metric
         self.nlist = nlist
         self.nprobe = nprobe
@@ -84,11 +89,17 @@ class VectorIndex:
             nlist //= 2
         return max(1, nlist)
 
+    @property
+    def _effective_type(self) -> str:
+        if self.index_type == "IVFFlat" and self.ntotal < self.ivf_min_corpus:
+            return "Flat"
+        return self.index_type
+
     def _materialize(self) -> None:
         if not self._dirty or self._emb_f32 is None:
             return
         dtype = jnp.bfloat16 if self.storage_dtype == "bfloat16" else jnp.float32
-        if self.index_type == "Flat":
+        if self._effective_type == "Flat":
             self._device_emb = jnp.asarray(self._emb_f32, dtype)
             self._layout = None
         else:
@@ -123,7 +134,7 @@ class VectorIndex:
             return np.full((b, top_k), -np.inf, np.float32), np.full((b, top_k), -1, np.int64)
         self._materialize()
         q = self._preprocess(np.atleast_2d(queries))
-        if self.index_type == "Flat":
+        if self._effective_type == "Flat":
             vals, idx = dense_topk(self._device_emb, jnp.asarray(q, self._device_emb.dtype),
                                    top_k, use_pallas=self.use_pallas)
             return np.asarray(vals), np.asarray(idx, np.int64)
@@ -140,7 +151,7 @@ class VectorIndex:
     def optimize_search_params(self, sample_queries: np.ndarray, top_k: int = 10,
                                target_recall: float = 0.9) -> int:
         """Sweep nprobe to the smallest value reaching target recall."""
-        if self.index_type != "IVFFlat" or self.ntotal == 0:
+        if self._effective_type != "IVFFlat" or self.ntotal == 0:
             return self.nprobe
         self._materialize()
         q = self._preprocess(np.atleast_2d(sample_queries))

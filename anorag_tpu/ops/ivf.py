@@ -215,13 +215,18 @@ def _ivf_search_pallas(emb, cid, queries, sel, blk_ids, n_scan, k, block_rows, i
     )(blk_ids, n_scan, queries, sel, emb, cid.reshape(1, -1))
 
 
-def ivf_probe(layout: IVFLayout, queries: np.ndarray, nprobe: int) -> np.ndarray:
-    """Top-nprobe centroids per query (host/XLA — nlist is tiny)."""
-    c = jnp.asarray(layout.centroids)
-    q = jnp.asarray(queries, jnp.float32)
-    scores = jnp.dot(q, c.T, preferred_element_type=jnp.float32)
-    nprobe = min(nprobe, layout.nlist)
+@functools.partial(jax.jit, static_argnames=("nprobe",))
+def _probe_jit(centroids, queries, nprobe: int):
+    scores = jnp.dot(queries, centroids.T, preferred_element_type=jnp.float32)
     _, idx = jax.lax.top_k(scores, nprobe)
+    return idx
+
+
+def ivf_probe(layout: IVFLayout, queries: np.ndarray, nprobe: int) -> np.ndarray:
+    """Top-nprobe centroids per query (one jitted matmul — nlist is tiny)."""
+    nprobe = min(nprobe, layout.nlist)
+    idx = _probe_jit(jnp.asarray(layout.centroids),
+                     jnp.asarray(queries, jnp.float32), nprobe)
     return np.asarray(idx, np.int32)
 
 

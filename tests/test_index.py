@@ -35,7 +35,7 @@ def test_flat_index_search_cosine():
 def test_ivf_index_recall_and_autotune():
     v = _vecs(400)
     idx = VectorIndex(dimension=64, index_type="IVFFlat", nlist=8, nprobe=1,
-                      storage_dtype="float32")
+                      storage_dtype="float32", ivf_min_corpus=0)
     idx.add(v)
     q = _vecs(8, seed=3)
     idx.optimize_search_params(q, top_k=5, target_recall=0.9)
@@ -43,10 +43,21 @@ def test_ivf_index_recall_and_autotune():
 
 
 def test_nlist_shrinks_for_small_corpus():
-    idx = VectorIndex(dimension=16, index_type="IVFFlat", nlist=64, storage_dtype="float32")
+    idx = VectorIndex(dimension=16, index_type="IVFFlat", nlist=64,
+                      storage_dtype="float32", ivf_min_corpus=0)
     idx.add(_vecs(20, 16))
     idx._materialize()
     assert idx._layout.nlist <= 16
+
+
+def test_ivf_auto_flat_below_threshold():
+    """Small corpora use the flat scan even when IVFFlat is configured —
+    on TPU brute force beats pruning below ~1M rows."""
+    idx = VectorIndex(dimension=16, index_type="IVFFlat", storage_dtype="float32")
+    idx.add(_vecs(50, 16))
+    idx._materialize()
+    assert idx._effective_type == "Flat" and idx._layout is None
+    assert idx.measure_recall(_vecs(4, 16, seed=9), top_k=5) == 1.0
 
 
 def test_index_type_degradation():
