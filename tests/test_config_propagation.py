@@ -1,0 +1,112 @@
+"""Config toggles must reach the QueryProcessor's internals.
+
+Mirrors the reference's stub-based config-propagation suite
+(/root/reference/tests/test_config_propagation.py,
+test_graph_retriever_config.py, test_query_processor_safety.py).
+"""
+import pytest
+
+from anorag_tpu.config import ConfigLoader
+from anorag_tpu.query.processor import QueryProcessor
+
+from conftest import make_notes
+
+
+def _cfg(**overrides):
+    loader = ConfigLoader(auto_load=False)
+    loader.set("embedding.backend", "hash")
+    loader.set("embedding.dim", 64)
+    loader.set("vector_store.index_type", "Flat")
+    for k, v in overrides.items():
+        loader.set(k, v)
+    return loader
+
+
+def _qp(**overrides):
+    return QueryProcessor(make_notes(8), cfg=_cfg(**overrides))
+
+
+def test_safety_config_reaches_filter():
+    qp = _qp(**{"safety.per_hop_keep_top_m": 2, "safety.lower_threshold": 0.5})
+    assert qp.per_hop_keep_top_m == 2
+    assert qp.lower_threshold == 0.5
+    kept = qp._filter_with_multihop_safety(
+        [{"note_id": f"x{i}", "final_score": 0.01, "hop_no": 1} for i in range(6)])
+    assert len(kept) == 2
+
+
+def test_cluster_suppression_config():
+    qp = _qp(**{"safety.cluster.enabled": True, "safety.cluster.cos_threshold": 0.5,
+                "safety.cluster.keep_per_cluster": 1})
+    assert qp.cluster_suppress_enabled
+    assert qp.cluster_cos_threshold == 0.5
+    assert qp.keep_per_cluster == 1
+
+
+def test_retrieval_multi_hop_overrides_reach_graph_retriever():
+    """retrieval.multi_hop wins over legacy multi_hop (the alias contract)."""
+    qp = _qp(**{"retrieval.multi_hop.max_hops": 5,
+                "retrieval.multi_hop.max_paths": 3})
+    assert qp.multi_hop.retriever.max_hops == 5
+    assert qp.multi_hop.retriever.max_paths == 3
+
+
+def test_multi_hop_disable():
+    qp = _qp(**{"retrieval.multi_hop.enabled": False})
+    assert qp.multi_hop is None
+
+
+def test_lexical_fallback_config():
+    qp = _qp(**{"hybrid_search.lexical_fallback.miss_penalty": 0.3,
+                "hybrid_search.lexical_fallback.noise_threshold": 0.05})
+    assert qp.miss_penalty == 0.3
+    assert qp.noise_threshold == 0.05
+
+
+def test_two_hop_config():
+    qp = _qp(**{"hybrid_search.two_hop_expansion.enabled": False,
+                "hybrid_search.two_hop_expansion.max_second_hop_candidates": 3})
+    assert not qp.two_hop_enabled
+    assert qp.two_hop_max_second == 3
+
+
+def test_dispatcher_config_propagates():
+    qp = _qp(**{"context_dispatcher.final_semantic_count": 3,
+                "context_dispatcher.bridge_policy": "boost"})
+    assert qp.dispatcher.final_semantic_count == 3
+    assert qp.dispatcher.bridge_policy == "boost"
+
+
+def test_dispatcher_legacy_alias_propagates():
+    """Setting the legacy `dispatcher` key flows through alias sync."""
+    loader = ConfigLoader(auto_load=False)
+    loader.apply_overrides({"dispatcher": {"final_semantic_count": 11}})
+    loader.set("embedding.backend", "hash")
+    loader.set("embedding.dim", 64)
+    loader.set("vector_store.index_type", "Flat")
+    qp = QueryProcessor(make_notes(8), cfg=loader)
+    assert qp.dispatcher.final_semantic_count == 11
+
+
+def test_answer_selector_toggle():
+    qp = _qp(**{"answer_selector.enabled": False})
+    assert not qp.answer_selector_enabled
+
+
+def test_context_budget_reaches_scheduler():
+    qp = _qp(**{"context.max_notes_for_llm": 7})
+    assert qp.scheduler.max_notes == 7
+
+
+def test_rerank_toggle_builds_reranker():
+    qp = _qp(**{"rerank.enabled": True, "rerank.listt5_input_topk": 6})
+    assert qp.reranker is not None
+    assert qp.reranker.max_candidates == 6
+    qp2 = _qp(**{"rerank.enabled": False})
+    assert qp2.reranker is None
+
+
+def test_bm25_params_reach_index():
+    qp = _qp(**{"hybrid_search.bm25.k1": 2.0})
+    # k1 affects postings weights; just assert construction didn't fall back
+    assert qp.bm25.n_docs == 8

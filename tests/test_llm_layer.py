@@ -261,3 +261,30 @@ def test_stable_ids_and_predicates():
     assert stable_note_id("d", 0, "x") == stable_note_id("d", 0, "x")
     assert normalize_predicate("married to") == "spouse_of"
     assert normalize_predicate(None) == "related_to"
+
+
+def test_note_jsonl_writer_resume(tmp_path):
+    from anorag_tpu.llm.notes_io import NoteJsonlWriter
+
+    p = tmp_path / "notes.jsonl"
+    with NoteJsonlWriter(p) as w:
+        w.write({"note_id": "a", "content": "x"})
+        w.write({"note_id": "b", "content": "y"})
+    w2 = NoteJsonlWriter(p)
+    assert w2.existing_ids() == {"a", "b"}
+    w2.write({"note_id": "c", "content": "z"})
+    w2.close()
+    assert NoteJsonlWriter(p).existing_ids() == {"a", "b", "c"}
+
+
+def test_notes_stats_logger():
+    from anorag_tpu.llm.notes_io import NotesStatsLogger
+
+    s = NotesStatsLogger()
+    s.record_note({"doc_id": "d1", "entities": ["A"], "content": "hello world"})
+    s.record_note({"doc_id": "d1", "entities": [], "content": "more text"})
+    s.record_outcome("quality_filtered", 3)
+    rep = s.report()
+    assert rep["n_notes"] == 2 and rep["n_docs"] == 1
+    assert rep["no_entity_ratio"] == 0.5
+    assert rep["outcomes"]["quality_filtered"] == 3
