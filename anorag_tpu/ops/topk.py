@@ -78,15 +78,17 @@ def _topk_kernel(nvalid_ref, q_ref, e_ref, *rest,
     def _merge():
         colk = jax.lax.broadcasted_iota(jnp.int32, (b_dim, k), 1)
 
+        # K rounds of extract-block-max / replace-running-min. A while_loop
+        # that exits when the block is exhausted was measured 15-30x SLOWER
+        # on TPU (Mosaic pipelines the bounded fori; data-dependent trip
+        # counts serialize), so the fixed K-round form stays.
         def body(_, carry):
             sc, rv, ri = carry
             bmax = jnp.max(sc, axis=1, keepdims=True)            # (B, 1)
             # argmax via first matching column (stable for ties)
-            is_max = sc == bmax
-            barg = jnp.min(jnp.where(is_max, col, nb), axis=1, keepdims=True)
+            barg = jnp.min(jnp.where(sc == bmax, col, nb), axis=1, keepdims=True)
             rmin = jnp.min(rv, axis=1, keepdims=True)
-            is_min = rv == rmin
-            rarg = jnp.min(jnp.where(is_min, colk, k), axis=1, keepdims=True)
+            rarg = jnp.min(jnp.where(rv == rmin, colk, k), axis=1, keepdims=True)
             take = bmax > rmin                                    # (B, 1)
             sel = (colk == rarg) & take
             rv = jnp.where(sel, bmax, rv)
