@@ -16,11 +16,14 @@ from typing import Any, Callable, Dict, Optional
 
 import numpy as np
 
+import anorag_tpu
 from anorag_tpu.utils.file_io import config_hash, read_json, write_json
 from anorag_tpu.utils.logging import get_logger
 
 logger = get_logger("anorag.store")
 
+# bump SCHEMA_VERSION when artifact formats change; the package version is
+# also stamped so artifacts built by older code rebuild automatically
 SCHEMA_VERSION = 1
 
 
@@ -42,6 +45,7 @@ class ArtifactStore:
             return False
         return (
             m.get("schema_version") == SCHEMA_VERSION
+            and m.get("code_version") == anorag_tpu.__version__
             and m.get("config_hash") == config_hash(cfg)
             and m.get("input_hash") == input_hash
         )
@@ -52,6 +56,7 @@ class ArtifactStore:
             self._manifest_path(name),
             {
                 "schema_version": SCHEMA_VERSION,
+                "code_version": anorag_tpu.__version__,
                 "config_hash": config_hash(cfg),
                 "input_hash": input_hash,
                 "created_at": time.time(),
