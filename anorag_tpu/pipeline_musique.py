@@ -72,6 +72,15 @@ def process_musique_item(
                         llm=llm, cfg=cfg, embedding_manager=embedding_manager,
                         work_dir=str(work_dir))
     res = qp.process(item.get("question", ""), qid=str(item.get("id", "")))
+    # per-item recall audit artifacts (parity: main_musique.py:357-372)
+    def _slim(n):
+        return {k: n.get(k) for k in (
+            "note_id", "title", "final_score", "paragraph_idxs",
+            "retrieval_method", "hop_no", "bridge_entity")}
+    write_jsonl(Path(work_dir) / "atomic_notes_recall.jsonl",
+                [_slim(n) for n in res.get("candidate_notes", [])])
+    write_jsonl(Path(work_dir) / "selected_atomic_notes.jsonl",
+                [_slim(n) for n in res.get("notes", [])])
     return {
         "id": item.get("id"),
         "predicted_answer": res["predicted_answer"],

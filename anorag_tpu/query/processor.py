@@ -63,7 +63,7 @@ from anorag_tpu.retrieval.reranker import ListwiseReranker, fuse_scores, sort_de
 from anorag_tpu.retrieval.retriever import VectorRetriever
 from anorag_tpu.support.k_estimator import KEstimator
 from anorag_tpu.utils.file_io import append_jsonl, jsonl_sha1, read_jsonl, write_jsonl
-from anorag_tpu.utils.logging import get_logger, log_performance
+from anorag_tpu.utils.logging import StructuredLogger, get_logger, log_performance
 from anorag_tpu.utils.text import extract_entities_fallback, tokenize_no_stop
 from anorag_tpu.validators.note_validator import normalize_note
 
@@ -191,6 +191,10 @@ class QueryProcessor:
         self.answer_selector_enabled = bool(self.cfg.get("answer_selector.enabled", True))
         self.answer_selector_before_llm = bool(
             self.cfg.get("answer_selector.apply_before_llm", True))
+        self.metrics = StructuredLogger(
+            "anorag.metrics",
+            sink_path=str(self.work_dir / "retrieval_metrics.jsonl") if self.work_dir else None,
+        )
 
     # ======================================================================
     # entry
@@ -284,6 +288,11 @@ class QueryProcessor:
         # [12] audit
         audit = self._write_final_recall(selected, qid)
         trace.update(audit)
+        self.metrics.log_retrieval_metrics(
+            qid=qid, n_dense=trace.get("n_dense"), n_fused=trace.get("n_fused"),
+            n_after_safety=trace.get("n_after_safety"), n_selected=len(selected),
+            bridges=len(bridge_entities), method=answer_payload["method"],
+        )
 
         return {
             "query": query,
