@@ -82,11 +82,14 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     # --------------------------------------------------------------- note keys
     "note_keys": {
         "rel_lexicon": {
-            "performed_by": ["performed by", "the performer is"],
-            "spouse_of": ["spouse", "partner", "married to"],
-            "born_in": ["born in"],
-            "released_in": ["released in"],
-            "member_of": ["member of"],
+            "performed_by": ["performed by", "the performer is", "sung by", "sings"],
+            "spouse_of": ["spouse", "partner", "married to", "married", "wife", "husband"],
+            "born_in": ["born in", "was born", "birthplace"],
+            "released_in": ["released in", "released"],
+            "member_of": ["member of", "joined"],
+            "founded_by": ["founded by", "founded", "established by"],
+            "located_in": ["located in", "capital of"],
+            "directed_by": ["directed by", "directed"],
         },
         "type_hints": {
             "album": ["(album)"],

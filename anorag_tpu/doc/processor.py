@@ -167,10 +167,13 @@ class DocumentProcessor:
         # [5] graph -------------------------------------------------------------
         def build_graph():
             topic_groups = [p["note_ids"] for p in clustering.get("topic_pools", [])]
-            gi = self.graph_builder.build_graph(notes, np.asarray(embeddings), topic_groups)
+            gi, metrics = self.graph_builder.build_graph_with_metrics(
+                notes, np.asarray(embeddings), topic_groups)
             gi.save(self.output_dir / "graph.json")
             export_graphml(gi, self.output_dir / "graph.graphml")
-            return GraphBuilder.to_graph_data(gi)
+            data = GraphBuilder.to_graph_data(gi)
+            data["metrics"] = metrics
+            return data
 
         graph_data = self.store.cached(
             "graph", pipeline_cfg, input_hash,
@@ -179,6 +182,7 @@ class DocumentProcessor:
             load=lambda: read_json(self.output_dir / "graph.json"),
         )
         stats["n_edges"] = len(graph_data.get("links", []))
+        stats["graph_metrics"] = graph_data.get("metrics", {})
 
         # consistency gate -------------------------------------------------------
         report = self.checker.check_consistency(

@@ -41,6 +41,71 @@ def normalize_predicate(rel: Optional[str]) -> str:
     return _PREDICATE_NORM.get((rel or "").strip().lower(), r or "related_to")
 
 
+_DEFAULT_REL_LEXICON = {
+    "performed_by": ["performed by", "the performer is", "sung by", "sings"],
+    "spouse_of": ["spouse", "married", "wife", "husband", "partner"],
+    "born_in": ["born in", "birthplace", "was born"],
+    "released_in": ["released in", "released"],
+    "member_of": ["member of", "joined"],
+    "founded_by": ["founded by", "founded", "established by"],
+    "located_in": ["located in", "capital of"],
+    "directed_by": ["directed by", "directed"],
+}
+_DEFAULT_SPLITTERS = [" is ", " was ", " were ", " by ", " in ", " of "]
+
+
+def extract_note_keys(
+    text: str,
+    entities: Sequence[str],
+    rel_lexicon: Optional[Dict[str, List[str]]] = None,
+    fallback_splitters: Optional[List[str]] = None,
+    default_rel: str = "related_to",
+) -> Dict[str, str]:
+    """Rule extraction of (head_key, rel, tail_key) from a note sentence.
+
+    Implements the reference's note_keys contract (config/config_loader.py
+    note_keys section: rel_lexicon cues + fallback_splitters): the first
+    relation cue found in the text names the relation; the entity before the
+    cue is the head, the first entity after it the tail. Lets LLM-free rule
+    notes feed the literal-keyed NoteGraph so relation-chain answering works.
+    """
+    low = (text or "").lower()
+    ents = [str(e) for e in entities if str(e).strip()]
+    if len(ents) < 2:
+        return {}
+    positions = {e: low.find(e.lower()) for e in ents}
+    ents_in_text = sorted((e for e in ents if positions[e] >= 0),
+                          key=lambda e: positions[e])
+    if len(ents_in_text) < 2:
+        ents_in_text = ents[:2]
+        positions = {ents_in_text[0]: 0, ents_in_text[1]: len(low)}
+
+    lexicon = rel_lexicon or _DEFAULT_REL_LEXICON
+    best_rel, best_pos = None, len(low) + 1
+    for rel, cues in lexicon.items():
+        for cue in cues:
+            p = low.find(cue.lower())
+            if 0 <= p < best_pos:
+                best_rel, best_pos = rel, p
+    if best_rel is None:
+        for sp in (fallback_splitters or _DEFAULT_SPLITTERS):
+            p = low.find(sp)
+            if p >= 0:
+                best_rel, best_pos = default_rel, p
+                break
+    if best_rel is None:
+        return {}
+    head = next((e for e in reversed(ents_in_text) if positions[e] < best_pos),
+                ents_in_text[0])
+    tail = next((e for e in ents_in_text if positions[e] > best_pos and e != head),
+                None)
+    if tail is None:
+        tail = next((e for e in ents_in_text if e != head), None)
+    if tail is None:
+        return {}
+    return {"head_key": head, "rel": normalize_predicate(best_rel), "tail_key": tail}
+
+
 class NoteQualityFilter:
     """Completeness/quality gates (parity: utils/note_validator.py,
     note_completeness.py, notes_quality_filter.py in the reference)."""
@@ -96,6 +161,10 @@ class AtomicNoteGenerator:
         self.quota_per_bucket = ((limit.get("bucket") or {}).get("quota_per_bucket", 1))
         qf = self.cfg.get("quality_filter", {}) or {}
         nc = self.cfg.get("note_completeness", {}) or {}
+        nk = self.cfg.get("note_keys", {}) or {}
+        self.rel_lexicon = nk.get("rel_lexicon") or None
+        self.fallback_splitters = nk.get("fallback_splitters") or None
+        self.default_rel = nk.get("default_rel", "related_to")
         self.filter = NoteQualityFilter(
             min_chars=nl.get("min_chars", qf.get("min_chars", 20)),
             max_chars=nl.get("max_chars", 400),
@@ -213,6 +282,12 @@ class AtomicNoteGenerator:
                 "rel": normalize_predicate(raw.get("rel")),
                 "tail_key": str(raw.get("tail_key") or ""),
             })
+            if not note["head_key"] or not note["tail_key"]:
+                keys = extract_note_keys(
+                    text, entities, self.rel_lexicon,
+                    self.fallback_splitters, self.default_rel)
+                if keys:
+                    note.update(keys)
             if self.filter.passes(note):
                 out.append(note)
             else:

@@ -191,10 +191,35 @@ class QueryProcessor:
         self.answer_selector_enabled = bool(self.cfg.get("answer_selector.enabled", True))
         self.answer_selector_before_llm = bool(
             self.cfg.get("answer_selector.apply_before_llm", True))
+        self._load_calibration()
         self.metrics = StructuredLogger(
             "anorag.metrics",
             sink_path=str(self.work_dir / "retrieval_metrics.jsonl") if self.work_dir else None,
         )
+
+    def _load_calibration(self) -> None:
+        """Ingest calibration.json (training/calibrate.py output): listwise
+        fusion weight, span-picker weights (parity: the reference consumes
+        calibration_path at query time, query_processor.py:420)."""
+        path = self.cfg.get("calibration.path", "") or ""
+        if not path or not Path(path).exists():
+            return
+        try:
+            from anorag_tpu.utils.file_io import read_json
+
+            cal = read_json(path)
+            comps = cal.get("components", cal)
+            lw = (comps.get("listwise") or {}).get("listt5_weight")
+            if lw is not None:
+                self.cfg.set("calibration.listt5_weight", float(lw))
+            ke = (comps.get("k_estimator") or {}).get("complexity_per_k")
+            if ke is not None:
+                self.packer.k_estimator.thresholds["complexity_per_k"] = float(ke)
+            if hasattr(self.verifier.span_picker, "load_calibration"):
+                self.verifier.span_picker.load_calibration(comps)
+            logger.info("calibration loaded from %s", path)
+        except Exception as e:
+            logger.warning("calibration load failed: %s", e)
 
     # ======================================================================
     # entry
@@ -280,6 +305,16 @@ class QueryProcessor:
         selected = filter_notes_by_namespace(selected, dataset)
         if not selected:
             selected = self._bm25_namespace_fallback(query, dataset)
+        if not selected and self.cfg.get("hybrid_search.fallback.query_rewrite_enabled", True):
+            # last-resort rewrite + dense retry (reference :501-510 fallback)
+            from anorag_tpu.retrieval.query_planner import LLMBasedRewriter
+
+            rewritten = LLMBasedRewriter(
+                self.llm.generate if self.llm else None
+            ).rewrite_query(query, extract_entities_fallback(query))
+            if rewritten != query:
+                selected = self.retriever.retrieve(rewritten, top_k=10, threshold=0.0)
+                trace["rewritten_query"] = rewritten
         trace["n_selected"] = len(selected)
 
         # [11] answer

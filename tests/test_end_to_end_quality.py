@@ -1,0 +1,75 @@
+"""End-to-end answer-quality regression floor.
+
+Runs the full per-item pipeline (chunk -> rule notes -> embed -> graph ->
+hybrid retrieve -> EFSA answer) LLM-free over a synthetic multi-hop set and
+asserts minimum EM. Guards the pipeline's answer quality against regressions
+the unit tests can't see (this caught four real bugs during the round-1
+verification pass).
+"""
+import pytest
+
+from anorag_tpu.config import ConfigLoader
+from anorag_tpu.eval.musique import evaluate_dataset
+from anorag_tpu.models.embedding_manager import EmbeddingManager
+from anorag_tpu.pipeline_musique import process_musique_item
+
+PEOPLE = [
+    ("Aurora Lane", "Blue Horizon", "Chris Reed", "Boston"),
+    ("Marcus Webb", "Silent River", "Dana Fox", "Chicago"),
+    ("Elena Cortez", "Quantum Steps", "Sam Hale", "Denver"),
+    ("David Kim", "Nexus Origins", "Lee Chang", "Austin"),
+]
+
+
+def _items():
+    items = []
+    for i, (person, work, spouse, city) in enumerate(PEOPLE):
+        items.append({
+            "id": f"hop2_{i}",
+            "question": f"Who is the spouse of the performer of {work}?",
+            "answer": spouse,
+            "paragraphs": [
+                {"idx": 0, "title": work,
+                 "paragraph_text": f"{work} is an album performed by {person}.",
+                 "is_supporting": True},
+                {"idx": 1, "title": person,
+                 "paragraph_text": f"{person} married {spouse}. The spouse of {person} is {spouse}.",
+                 "is_supporting": True},
+                {"idx": 2, "title": "Distractor",
+                 "paragraph_text": f"The weather in {city} is mild in spring. Parks are crowded."},
+            ],
+        })
+        items.append({
+            "id": f"hop1_{i}",
+            "question": f"Where was {person} born?",
+            "answer": city,
+            "paragraphs": [
+                {"idx": 0, "title": person,
+                 "paragraph_text": f"{person} was born in {city}.", "is_supporting": True},
+                {"idx": 1, "title": "Distractor",
+                 "paragraph_text": f"{work} received favorable reviews from critics."},
+            ],
+        })
+    return items
+
+
+@pytest.mark.slow
+def test_llm_free_pipeline_quality(tmp_path):
+    cfg = ConfigLoader(auto_load=False)
+    cfg.set("embedding.backend", "hash")
+    cfg.set("embedding.dim", 128)
+    cfg.set("vector_store.index_type", "Flat")
+    cfg.set("clustering.n_clusters", 2)
+    em = EmbeddingManager(cfg=cfg, singleton=False)
+
+    items = _items()
+    preds = [
+        process_musique_item(it, tmp_path / str(it["id"]), cfg=cfg, embedding_manager=em)
+        for it in items
+    ]
+    metrics = evaluate_dataset(preds, items)
+    assert metrics["n_evaluated"] == len(items)
+    # LLM-free floor: the relation-chain selector + EFSA must nail the
+    # synthetic set (exact surface forms present in the notes)
+    assert metrics["answer_em"] >= 0.75, metrics
+    assert metrics["support_f1"] >= 0.6, metrics
