@@ -101,6 +101,99 @@ def gather_plan(
     return out.astype(np.int32), lens
 
 
+def gather_plan_sorted(
+    postings: BM25Postings,
+    query_terms: Sequence[Sequence[int]],
+    pad_multiple: int = 128,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Host prep for scatter-free scoring: per-query posting rows SORTED by
+    doc id, so segment sums become a cumsum trick on device.
+
+    Returns (doc_rows (B, L) int32 — doc id per posting, N pad;
+             weight_rows (B, L) f32 — precomputed Okapi weight, 0 pad;
+             max_rows actual lengths (B,)).
+    """
+    off = postings.term_offsets
+    rows_docs: List[np.ndarray] = []
+    rows_w: List[np.ndarray] = []
+    for terms in query_terms:
+        spans = [np.arange(off[t], off[t + 1], dtype=np.int64)
+                 for t in terms if 0 <= t < postings.vocab_size]
+        if spans:
+            idx = np.concatenate(spans)
+            d = postings.doc_ids[idx]
+            w = postings.weights[idx]
+            order = np.argsort(d, kind="stable")
+            rows_docs.append(d[order])
+            rows_w.append(w[order])
+        else:
+            rows_docs.append(np.zeros(0, np.int32))
+            rows_w.append(np.zeros(0, np.float32))
+    width = max((len(r) for r in rows_docs), default=0)
+    width = max(pad_multiple, ((width + pad_multiple - 1) // pad_multiple) * pad_multiple)
+    b = len(rows_docs)
+    doc_rows = np.full((b, width), postings.n_docs, np.int32)   # pad doc = N
+    weight_rows = np.zeros((b, width), np.float32)
+    lens = np.zeros(b, np.int32)
+    for i, (d, w) in enumerate(zip(rows_docs, rows_w)):
+        doc_rows[i, : len(d)] = d
+        weight_rows[i, : len(w)] = w
+        lens[i] = len(d)
+    return doc_rows, weight_rows, lens
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n_docs"))
+def sparse_topm_from_sorted(
+    doc_rows: jax.Array,     # (B, L) sorted doc ids, n_docs = pad
+    weight_rows: jax.Array,  # (B, L)
+    m: int,
+    n_docs: int,
+):
+    """Scatter-free BM25 top-m: cumsum + segment boundaries on the sorted
+    posting rows (BM25 weights are strictly positive, so the cumsum is
+    increasing and previous-boundary values forward-fill with cummax).
+
+    Returns (seg_totals (B, L) — per-doc score at its segment-END position,
+             -inf elsewhere; top vals (B, m); top doc ids (B, m);
+             per-query max score (B, 1))."""
+    b, l = doc_rows.shape
+    c = jnp.cumsum(weight_rows, axis=1)                       # (B, L)
+    nxt = jnp.concatenate([doc_rows[:, 1:], jnp.full((b, 1), -1, doc_rows.dtype)], axis=1)
+    is_end = (doc_rows != nxt)                                # segment ends
+    end_c = jnp.where(is_end, c, 0.0)
+    prev_end_c = jnp.concatenate(
+        [jnp.zeros((b, 1), c.dtype), jax.lax.cummax(end_c, axis=1)[:, :-1]], axis=1)
+    totals = c - prev_end_c                                   # valid at ends
+    valid_end = is_end & (doc_rows < n_docs)
+    masked = jnp.where(valid_end, totals, -jnp.inf)
+    mx = jnp.max(jnp.where(valid_end, totals, 0.0), axis=1, keepdims=True)
+    if jax.default_backend() == "tpu" and l > 4 * m:
+        top_vals, top_pos = jax.lax.approx_max_k(masked, m, recall_target=0.98)
+    else:
+        top_vals, top_pos = jax.lax.top_k(masked, m)
+    top_docs = jnp.take_along_axis(doc_rows, top_pos, axis=1)
+    top_docs = jnp.where(jnp.isfinite(top_vals), top_docs, -1)
+    top_vals = jnp.where(jnp.isfinite(top_vals), top_vals, 0.0)
+    return masked, top_vals, top_docs, mx
+
+
+@functools.partial(jax.jit, static_argnames=())
+def sparse_lookup_sorted(
+    doc_rows: jax.Array,    # (B, L) sorted
+    seg_totals: jax.Array,  # (B, L) totals at ends, -inf elsewhere
+    query_docs: jax.Array,  # (B, K) doc ids to look up
+):
+    """BM25 score of arbitrary docs via searchsorted on the sorted rows
+    (score at the segment-end position; 0 when the doc has no postings)."""
+    def per_row(drow, trow, qd):
+        pos = jnp.searchsorted(drow, qd, side="right") - 1
+        pos = jnp.clip(pos, 0, drow.shape[0] - 1)
+        hit = drow[pos] == qd
+        return jnp.where(hit, trow[pos], 0.0)
+
+    return jax.vmap(per_row)(doc_rows, seg_totals, query_docs)
+
+
 @functools.partial(jax.jit, static_argnames=("n_docs",))
 def score_from_plan(
     doc_ids: jax.Array,

