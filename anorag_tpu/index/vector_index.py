@@ -81,6 +81,7 @@ class VectorIndex:
         assert vecs.shape[1] == self.dimension, (vecs.shape, self.dimension)
         self._emb_f32 = vecs if self._emb_f32 is None else np.concatenate([self._emb_f32, vecs])
         self._dirty = True
+        self._flat_cache = None
 
     def _effective_nlist(self, n: int) -> int:
         # shrink nlist when training data is scarce (reference :140-155)
@@ -146,6 +147,17 @@ class VectorIndex:
 
     def reconstruct(self, i: int) -> np.ndarray:
         return self._emb_f32[i]
+
+    def flat_device_emb(self):
+        """Device embeddings in ORIGINAL row order (the IVF layout is
+        cluster-sorted; callers indexing by corpus id need this view)."""
+        self._materialize()
+        if self._effective_type == "Flat":
+            return self._device_emb
+        if getattr(self, "_flat_cache", None) is None:
+            dtype = jnp.bfloat16 if self.storage_dtype == "bfloat16" else jnp.float32
+            self._flat_cache = jnp.asarray(self._emb_f32, dtype)
+        return self._flat_cache
 
     # ------------------------------------------------------------- tuning
     def optimize_search_params(self, sample_queries: np.ndarray, top_k: int = 10,

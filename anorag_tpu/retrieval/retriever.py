@@ -173,6 +173,57 @@ class VectorRetriever:
         cands.sort(key=lambda c: -c["adjusted_score"])
         return cands[:top_k]
 
+    def hybrid_search(self, queries: Sequence[str], top_k: Optional[int] = None,
+                      sparse_weight: float = 0.6,
+                      recall_target: float = 0.95) -> List[List[Dict[str, Any]]]:
+        """Batched dense+BM25 hybrid search in one device pass.
+
+        Completes the reference's search/retrieve/hybrid_search API triple
+        (vector_store/retriever.py:186,339). Uses the candidate-union fused
+        path (ops.topk.hybrid_topk): dense approx top-k u sorted-cumsum BM25
+        top-m, cross-scored, fused as 1.0*dense + w*bm25_normalized.
+        """
+        if not self.notes:
+            return [[] for _ in queries]
+        import jax.numpy as jnp
+
+        from anorag_tpu.ops.bm25 import gather_plan_sorted
+        from anorag_tpu.ops.topk import hybrid_topk
+        from anorag_tpu.utils.text import tokenize
+
+        top_k = top_k or self.top_k
+        q_emb = self.em.encode_queries(list(queries))
+        q_terms = [self._lexical_terms(q) for q in queries]
+        doc_rows, weight_rows, _ = gather_plan_sorted(self._lexical.postings, q_terms)
+        emb_dev = self.index.flat_device_emb()
+        k_eff = min(top_k, len(self.notes))
+        vals, ids = hybrid_topk(
+            emb_dev, jnp.asarray(self.index._preprocess(q_emb), emb_dev.dtype),
+            jnp.asarray(doc_rows), jnp.asarray(weight_rows),
+            k_eff, n_docs=len(self.notes),
+            dense_k=min(max(4 * k_eff, 32), len(self.notes)),
+            sparse_m=min(max(2 * k_eff, 16), len(self.notes)),
+            sparse_weight=sparse_weight, recall_target=recall_target,
+        )
+        vals, ids = np.asarray(vals), np.asarray(ids)
+        out: List[List[Dict[str, Any]]] = []
+        for qi, query in enumerate(queries):
+            rows = []
+            for rank in range(vals.shape[1]):
+                i = int(ids[qi, rank])
+                if i < 0:
+                    continue
+                note = dict(self.notes[i])
+                note["final_score"] = float(vals[qi, rank])
+                note["retrieval_info"] = {"method": "hybrid", "rank": rank, "query": query}
+                note["retrieval_method"] = "hybrid"
+                rows.append(note)
+            out.append(rows)
+        return out
+
+    def _lexical_terms(self, query: str) -> List[int]:
+        return self._lexical.query_terms(query) if self._lexical else []
+
     def lexical_fallback_search(self, query: str, top_k: int = 20) -> List[Dict[str, Any]]:
         """Sparse fallback when dense retrieval returns nothing usable."""
         if not self._lexical:

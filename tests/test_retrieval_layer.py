@@ -228,3 +228,19 @@ def test_listwise_reranker_and_fusion(notes):
     ranked = sort_desc(fused, "fused_score")
     top_ents = set(map(str, ranked[0]["entities"]))
     assert top_ents & {"Aurora Lane", "Blue Horizon"}
+
+
+def test_hybrid_search_batched(retriever):
+    res = retriever.hybrid_search(["Aurora Lane Blue Horizon singer",
+                                   "Quantum Leap Institute"], top_k=5)
+    assert len(res) == 2 and res[0] and res[1]
+    top0 = res[0][0]
+    assert set(map(str, top0["entities"])) & {"Aurora Lane", "Blue Horizon"}
+    assert "Elena Cortez" in res[1][0]["entities"]
+    assert top0["retrieval_method"] == "hybrid"
+    # scores sorted desc, no duplicate notes
+    for rows in res:
+        scores = [r["final_score"] for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        ids = [r["note_id"] for r in rows]
+        assert len(set(ids)) == len(ids)
