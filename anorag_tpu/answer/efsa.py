@@ -21,6 +21,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from anorag_tpu.utils.file_io import read_jsonl
+from anorag_tpu.utils.text import normalize_entity
 
 HOP_DECAY = 0.85
 COV_BONUS = 0.10
@@ -62,8 +63,8 @@ def efsa_answer(
     pool = list(candidates)[:topN]
     if not pool:
         return None, [], 0.0
-    be = (bridge_entity or "").lower()
-    excluded = {str(e).lower() for e in (exclude_entities or [])}
+    be = normalize_entity(bridge_entity or "").lower()
+    excluded = {normalize_entity(str(e)).lower() for e in (exclude_entities or [])}
     if be:
         excluded.add(be)
     pe = list(path_entities or [])
@@ -81,7 +82,7 @@ def efsa_answer(
     for i, n in enumerate(pool):
         for e in n.get("entities") or []:
             e = str(e)
-            if e.lower() in excluded:
+            if normalize_entity(e).lower() in excluded:
                 continue
             eid = ent_ids.get(e)
             if eid is None:

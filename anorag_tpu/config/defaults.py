@@ -29,6 +29,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
             "model_parallel_size": 1,  # 1 => pure data parallel
         },
         "compute_dtype": "bfloat16",
+        "compilation_cache_dir": "~/.cache/anorag_jax",
         "accum_dtype": "float32",
         "kernels": {
             # Fused dense top-k kernel

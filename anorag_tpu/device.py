@@ -22,6 +22,28 @@ def apply_device_config(cfg) -> None:
 
         if want == "cpu":
             jax.config.update("jax_platforms", "cpu")
+        _enable_compilation_cache(cfg)
         logger.info("device backend: %s", want)
     except Exception as e:  # pragma: no cover
         logger.warning("device selection failed: %s", e)
+
+
+def _enable_compilation_cache(cfg) -> None:
+    """Persistent XLA compilation cache: fresh CLI processes skip the
+    20-120s tunnel compiles for shapes they have seen before."""
+    import os
+
+    import jax
+
+    cache_dir = cfg.get("tpu.compilation_cache_dir",
+                        os.path.expanduser("~/.cache/anorag_jax"))
+    if not cache_dir:
+        return
+    cache_dir = os.path.expanduser(cache_dir)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        logger.info("compilation cache: %s", cache_dir)
+    except Exception as e:  # pragma: no cover
+        logger.info("compilation cache unavailable: %s", e)

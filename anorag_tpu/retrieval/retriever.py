@@ -305,3 +305,42 @@ class VectorRetriever:
             self.embeddings = z["embeddings"]
         self._rebuild()
         return True
+
+
+def optimize_retrieval_params(
+    retriever: VectorRetriever,
+    dev_queries: Sequence[str],
+    gold_note_ids: Sequence[Sequence[str]],
+    top_k_grid: Sequence[int] = (5, 10, 20),
+    threshold_grid: Sequence[float] = (0.0, 0.2, 0.35, 0.5),
+) -> Dict[str, Any]:
+    """F1 sweep over (top_k, similarity_threshold) against labeled dev
+    queries — the reference's retrieval param optimization
+    (vector_store/retriever.py:767-822). Applies the best setting in place.
+    """
+    best = {"f1": -1.0, "top_k": retriever.top_k,
+            "threshold": retriever.similarity_threshold}
+    for tk in top_k_grid:
+        for th in threshold_grid:
+            f1_sum = 0.0
+            for q, gold in zip(dev_queries, gold_note_ids):
+                got = {n["note_id"] for n in
+                       retriever.retrieve(q, top_k=tk, threshold=th)}
+                gset = set(gold)
+                if not got and not gset:
+                    f1_sum += 1.0
+                    continue
+                if not got or not gset:
+                    continue
+                overlap = len(got & gset)
+                if overlap:
+                    p = overlap / len(got)
+                    r = overlap / len(gset)
+                    f1_sum += 2 * p * r / (p + r)
+            f1 = f1_sum / max(len(dev_queries), 1)
+            if f1 > best["f1"]:
+                best = {"f1": f1, "top_k": tk, "threshold": th}
+    retriever.top_k = best["top_k"]
+    retriever.similarity_threshold = best["threshold"]
+    logger.info("retrieval params tuned: %s", best)
+    return best

@@ -244,3 +244,17 @@ def test_hybrid_search_batched(retriever):
         assert scores == sorted(scores, reverse=True)
         ids = [r["note_id"] for r in rows]
         assert len(set(ids)) == len(ids)
+
+
+def test_optimize_retrieval_params(retriever):
+    from anorag_tpu.retrieval.retriever import optimize_retrieval_params
+
+    queries = ["Aurora Lane Blue Horizon", "Quantum Leap Institute Elena"]
+    golds = [
+        [n["note_id"] for n in retriever.notes if "Aurora Lane" in n["entities"]][:2],
+        [n["note_id"] for n in retriever.notes if "Elena Cortez" in n["entities"]][:2],
+    ]
+    best = optimize_retrieval_params(retriever, queries, golds,
+                                     top_k_grid=(2, 5), threshold_grid=(0.0, 0.3))
+    assert best["f1"] > 0
+    assert retriever.top_k == best["top_k"]
