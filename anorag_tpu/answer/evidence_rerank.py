@@ -8,7 +8,7 @@ Parity target: /root/reference/pipeline/evidence_rerank.py:12-100 with the
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List
 
 
 class EvidenceReranker:

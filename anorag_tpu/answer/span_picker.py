@@ -15,7 +15,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from anorag_tpu.reasoning.qa_coverage import question_type
-from anorag_tpu.utils.text import extract_entities_fallback, split_sentences, tokenize_no_stop
+from anorag_tpu.utils.text import split_sentences, tokenize_no_stop
 
 _QUOTED = re.compile(r'"([^"]{2,60})"|“([^”]{2,60})”')
 _YEAR = re.compile(r"\b(1[0-9]{3}|20[0-9]{2})\b")

@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from typing import Any, Dict, List, Optional, Sequence
 
-from anorag_tpu.utils.text import extract_entities_fallback, normalize_answer, tokenize_no_stop
+from anorag_tpu.utils.text import extract_entities_fallback, normalize_answer
 
 
 def fill_support_idxs_noid(

@@ -11,7 +11,7 @@ Parity target: /root/reference/utils/context_dispatcher.py — two modes:
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional
 
 import numpy as np
 

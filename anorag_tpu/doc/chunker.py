@@ -11,10 +11,9 @@ title, text, sentences, sentence_ids, paragraph_idx, paragraph_idx_mapping}.
 """
 from __future__ import annotations
 
-import json
 import re
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 from anorag_tpu.utils.file_io import read_json, read_jsonl
 from anorag_tpu.utils.logging import get_logger

@@ -9,7 +9,7 @@ approximated by dropping low-cohesion assignments to a noise label (-1).
 from __future__ import annotations
 
 from collections import Counter, defaultdict
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 import numpy as np
 

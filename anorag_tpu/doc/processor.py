@@ -23,7 +23,6 @@ from anorag_tpu.doc.consistency import ConsistencyChecker
 from anorag_tpu.doc.incremental import IncrementalProcessor
 from anorag_tpu.graph.builder import GraphBuilder
 from anorag_tpu.graph.exporter import export_graphml
-from anorag_tpu.graph.graph_index import GraphIndex
 from anorag_tpu.index.store import ArtifactStore
 from anorag_tpu.models.embedding_manager import EmbeddingManager
 from anorag_tpu.utils.file_io import read_json, write_json, write_jsonl

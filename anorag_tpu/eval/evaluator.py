@@ -7,11 +7,11 @@ predicate consistency rate, entity coverage rate, and two-hop metrics
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 from anorag_tpu.eval.musique import evaluate_dataset, gold_support_idxs
 from anorag_tpu.retrieval.path_aware_ranker import PathAwareRanker
-from anorag_tpu.utils.text import extract_entities_fallback, normalize_answer
+from anorag_tpu.utils.text import extract_entities_fallback
 
 
 class EnhancedEvaluator:

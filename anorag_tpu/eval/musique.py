@@ -8,7 +8,7 @@ gold aliases), exact-set EM and set-F1 for predicted support idxs.
 from __future__ import annotations
 
 from collections import Counter
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 from anorag_tpu.utils.text import normalize_answer
 

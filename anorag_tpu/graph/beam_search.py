@@ -8,7 +8,7 @@ consumed the whole relation chain; degenerate zero-edge paths are dropped.
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
 

@@ -10,13 +10,12 @@ vectorized (ops.graph.path_score_components).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
 
 from anorag_tpu.graph.graph_index import GraphIndex
 from anorag_tpu.ops.graph import k_hop_distances, path_score_components
-from anorag_tpu.utils.text import tokenize_no_stop
 
 import jax.numpy as jnp
 

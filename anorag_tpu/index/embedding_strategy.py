@@ -9,7 +9,7 @@ EmbeddingModel implementations are pluggable (jax encoder / hash).
 from __future__ import annotations
 
 import time
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Protocol, Sequence
 

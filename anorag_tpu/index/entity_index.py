@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from collections import defaultdict
 from pathlib import Path
-from typing import Any, Dict, Iterable, List, Optional, Set
+from typing import Any, Dict, Iterable, List, Set
 
 from anorag_tpu.utils.file_io import read_json, write_json
 from anorag_tpu.utils.text import extract_entities_fallback, normalize_entity

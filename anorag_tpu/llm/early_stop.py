@@ -7,7 +7,7 @@ Works over any token iterator.
 """
 from __future__ import annotations
 
-from typing import Iterable, Iterator, Optional, Tuple
+from typing import Iterable, Optional, Tuple
 
 
 class StreamingEarlyStop:

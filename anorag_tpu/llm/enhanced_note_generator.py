@@ -7,7 +7,7 @@ prompt, and (2) post-fills typed head/tail slots + audits the results.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional
 
 from anorag_tpu.llm.note_generator import AtomicNoteGenerator
 from anorag_tpu.llm.summary_auditor import SummaryAuditor

@@ -6,10 +6,10 @@ probing, and the note-generation helper used by the offline pipeline.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, List, Optional, Sequence
 
 from anorag_tpu.config import config as global_config
-from anorag_tpu.llm.base import LLMClient, with_retry
+from anorag_tpu.llm.base import with_retry
 from anorag_tpu.llm.factory import LLMFactory
 from anorag_tpu.llm.multi_model import HybridLLMDispatcher
 from anorag_tpu.utils.logging import get_logger

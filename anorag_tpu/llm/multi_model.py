@@ -12,11 +12,10 @@ Parity targets: /root/reference/llm/multi_model_client.py —
 from __future__ import annotations
 
 import threading
-import time
 from concurrent.futures import ThreadPoolExecutor, as_completed
 from typing import Any, Dict, List, Optional, Sequence
 
-from anorag_tpu.llm.base import LLMClient, with_retry
+from anorag_tpu.llm.base import LLMClient
 from anorag_tpu.llm.clients import LMStudioClient, OllamaClient
 from anorag_tpu.utils.logging import get_logger
 

@@ -10,7 +10,6 @@ bucketed per-paragraph note limits (notes_llm.limit).
 from __future__ import annotations
 
 import hashlib
-import re
 from collections import defaultdict
 from typing import Any, Dict, List, Optional, Sequence
 

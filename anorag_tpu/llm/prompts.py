@@ -9,7 +9,7 @@ candidate treated as a noisy hint). The wording is our own; the contracts
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 ATOMIC_NOTE_SENTINEL = "~"
 

@@ -7,7 +7,7 @@ entities are missing, stage 2 asks an LLM to judge; notes are flagged
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 from anorag_tpu.llm.prompts import SUMMARY_AUDIT_SYSTEM, build_summary_audit_prompt
 from anorag_tpu.utils.json_parser import extract_json

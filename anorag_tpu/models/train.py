@@ -19,7 +19,7 @@ from jax.sharding import NamedSharding
 from jax.sharding import PartitionSpec as P
 
 from anorag_tpu.models import encoder as enc
-from anorag_tpu.models.tokenizer import HashTokenizer, get_tokenizer
+from anorag_tpu.models.tokenizer import HashTokenizer
 from anorag_tpu.parallel.mesh import DATA_AXIS, make_mesh
 from anorag_tpu.utils.logging import get_logger
 

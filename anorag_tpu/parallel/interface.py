@@ -9,7 +9,7 @@ QueryTaskProcessor (QueryProcessor against a shared knowledge base,
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 from anorag_tpu.parallel.engine import ParallelEngine, ParallelTask, Strategy, TaskProcessor
 

@@ -7,7 +7,6 @@ N-sized one (SURVEY.md §5.8(b)).
 """
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax

@@ -9,10 +9,9 @@ the output (:407-633). Optional Chain-of-Retrieval preprocessing
 """
 from __future__ import annotations
 
-import time
 from concurrent.futures import ThreadPoolExecutor, TimeoutError as FutTimeout, as_completed
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Sequence
 
 from anorag_tpu.config import config as global_config
 from anorag_tpu.doc.processor import DocumentProcessor

@@ -31,7 +31,6 @@ Pipeline (traditional path, reference :1941-2639):
 """
 from __future__ import annotations
 
-import re
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -46,8 +45,7 @@ from anorag_tpu.answer.verifier import AnswerVerifier
 from anorag_tpu.config import config as global_config
 from anorag_tpu.context.dispatcher import ContextDispatcher
 from anorag_tpu.context.packer import ContextPacker
-from anorag_tpu.context.scheduler import ContextScheduler, MultiHopContextScheduler
-from anorag_tpu.graph.graph_index import GraphIndex
+from anorag_tpu.context.scheduler import MultiHopContextScheduler
 from anorag_tpu.graph.multi_hop import MultiHopQueryProcessor
 from anorag_tpu.graph.note_graph import NoteGraph
 from anorag_tpu.index.bm25_index import BM25Index
@@ -62,7 +60,7 @@ from anorag_tpu.retrieval.recall_optimizer import EnhancedRecallOptimizer
 from anorag_tpu.retrieval.reranker import ListwiseReranker, fuse_scores, sort_desc
 from anorag_tpu.retrieval.retriever import VectorRetriever
 from anorag_tpu.support.k_estimator import KEstimator
-from anorag_tpu.utils.file_io import append_jsonl, jsonl_sha1, read_jsonl, write_jsonl
+from anorag_tpu.utils.file_io import jsonl_sha1, read_jsonl, write_jsonl
 from anorag_tpu.utils.logging import StructuredLogger, get_logger, log_performance
 from anorag_tpu.utils.text import extract_entities_fallback, tokenize_no_stop
 from anorag_tpu.validators.note_validator import normalize_note

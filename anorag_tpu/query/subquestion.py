@@ -7,7 +7,7 @@ validation (:112-214) with rule fallback.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional
+from typing import Any, List, Optional
 
 from anorag_tpu.llm.prompts import SUBQUESTION_SYSTEM, build_subquestion_prompt
 from anorag_tpu.retrieval.query_planner import QueryPlanner

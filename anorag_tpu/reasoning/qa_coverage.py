@@ -8,7 +8,7 @@ head with a heuristic fallback, and best sentence/paragraph selection.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 

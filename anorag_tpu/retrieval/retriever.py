@@ -21,7 +21,6 @@ from anorag_tpu.index.vector_index import VectorIndex
 from anorag_tpu.models.embedding_manager import EmbeddingManager
 from anorag_tpu.utils.file_io import read_json, write_json
 from anorag_tpu.utils.logging import get_logger, log_performance
-from anorag_tpu.utils.text import tokenize
 
 logger = get_logger("anorag.retrieval")
 

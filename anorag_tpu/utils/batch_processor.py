@@ -6,7 +6,7 @@ size halves on OOM-looking failures and recovers gradually.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Optional, Sequence, TypeVar
+from typing import Any, Callable, Dict, List, Sequence, TypeVar
 
 from anorag_tpu.utils.logging import get_logger
 

@@ -9,7 +9,7 @@ when a model is locally installed.
 from __future__ import annotations
 
 import re
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 from anorag_tpu.utils.text import normalize_entity
 

@@ -8,7 +8,7 @@ marked insufficient.
 """
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 from anorag_tpu.utils.text import normalize_answer
 

@@ -17,7 +17,6 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
-import sys
 import time
 
 import numpy as np
