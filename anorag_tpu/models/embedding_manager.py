@@ -75,15 +75,26 @@ class EmbeddingManager:
                     import jax
 
                     from anorag_tpu.models import encoder as enc
+                    from anorag_tpu.models.hf_loader import load_hf_encoder
                     from anorag_tpu.models.tokenizer import get_tokenizer
 
-                    enc_cfg_dict = dict(self._cfg.get("encoder", {}) or {})
-                    enc_cfg_dict.setdefault("hidden_size", self.dim)
-                    self._enc_cfg = enc.EncoderConfig.from_config(enc_cfg_dict)
+                    # real checkpoint weights when locally cached (bge-m3 /
+                    # any XLM-R/BERT-family model); random init otherwise
+                    loaded = load_hf_encoder(
+                        self.model_name,
+                        dtype=self._cfg.get("encoder.dtype", "bfloat16"),
+                    ) if self.model_name else None
+                    if loaded is not None:
+                        self._params, self._enc_cfg = loaded
+                        self.dim = self._enc_cfg.hidden_size
+                    else:
+                        enc_cfg_dict = dict(self._cfg.get("encoder", {}) or {})
+                        enc_cfg_dict.setdefault("hidden_size", self.dim)
+                        self._enc_cfg = enc.EncoderConfig.from_config(enc_cfg_dict)
+                        self._params = enc.init_params(jax.random.PRNGKey(0), self._enc_cfg)
                     self._tokenizer = get_tokenizer(
                         self.model_name, self._enc_cfg.vocab_size, self.max_length
                     )
-                    self._params = enc.init_params(jax.random.PRNGKey(0), self._enc_cfg)
                     self._encode_jit = jax.jit(
                         lambda p, ids, mask: enc.encode(p, ids, mask, self._enc_cfg)
                     )

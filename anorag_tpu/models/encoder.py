@@ -141,7 +141,7 @@ def _attention(x: jnp.ndarray, mask: jnp.ndarray, lp: Params, cfg: EncoderConfig
 def _block(x: jnp.ndarray, mask: jnp.ndarray, lp: Params, cfg: EncoderConfig) -> jnp.ndarray:
     x = _layer_norm(x + _attention(x, mask, lp, cfg), lp["ln1"])
     ff = jnp.dot(x, lp["ffn_in"]) + lp["ffn_in_b"]
-    ff = jax.nn.gelu(ff)
+    ff = jax.nn.gelu(ff, approximate=False)  # erf gelu: matches HF BERT/XLM-R
     ff = jnp.dot(ff, lp["ffn_out"]) + lp["ffn_out_b"]
     return _layer_norm(x + ff, lp["ln2"])
 
