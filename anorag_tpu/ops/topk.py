@@ -359,16 +359,12 @@ def hybrid_topk(
         doc_rows, weight_rows, sparse_m, n_docs)
     inv_max = jnp.where(sp_max > 0, 1.0 / jnp.maximum(sp_max, 1e-30), 0.0)
 
-    # dense candidates
-    d_vals, d_idx = jax.lax.approx_max_k(
-        jnp.dot(queries, emb.T, preferred_element_type=jnp.float32),
-        dense_k, recall_target=recall_target)
-
-    # cross scores: dense score of sparse candidates (embedding gather+dot)
-    safe_sp = jnp.maximum(sp_docs, 0)
-    sp_emb = emb[safe_sp]                                     # (B, M, D)
-    sp_dense = jnp.einsum("bmd,bd->bm", sp_emb.astype(jnp.float32),
-                          queries.astype(jnp.float32))
+    # dense scores computed once; candidates via hardware approx top-k and
+    # the sparse candidates' dense cross-scores by row gather (cheaper than
+    # re-gathering embeddings and re-dotting)
+    scores = jnp.dot(queries, emb.T, preferred_element_type=jnp.float32)
+    d_vals, d_idx = jax.lax.approx_max_k(scores, dense_k, recall_target=recall_target)
+    sp_dense = jnp.take_along_axis(scores, jnp.maximum(sp_docs, 0), axis=1)
     # sparse score of dense candidates (searchsorted lookup)
     d_sparse = sparse_lookup_sorted(doc_rows, seg_totals, d_idx)
 
