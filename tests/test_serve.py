@@ -1,0 +1,75 @@
+"""HTTP serving layer: /healthz, /search, /query, error handling."""
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import pytest
+
+from anorag_tpu.config import ConfigLoader
+from anorag_tpu.models.embedding_manager import EmbeddingManager
+from anorag_tpu.query.processor import QueryProcessor
+
+import serve as serve_mod
+
+from conftest import make_notes
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = ConfigLoader(auto_load=False)
+    cfg.set("embedding.backend", "hash")
+    cfg.set("embedding.dim", 64)
+    cfg.set("vector_store.index_type", "Flat")
+    qp = QueryProcessor(make_notes(12), cfg=cfg,
+                        embedding_manager=EmbeddingManager(cfg=cfg, singleton=False))
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), serve_mod.make_handler(qp))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(url, data=json.dumps(payload).encode(),
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(server + "/healthz", timeout=10) as r:
+        body = json.loads(r.read())
+    assert body["status"] == "ok" and body["n_notes"] == 12
+
+
+def test_search_endpoint(server):
+    code, body = _post(server + "/search", {"query": "Aurora Lane Blue Horizon", "top_k": 3})
+    assert code == 200
+    assert body["notes"]
+    assert "Blue Horizon" in body["notes"][0]["content"] or \
+           "Aurora Lane" in body["notes"][0]["content"]
+
+
+def test_query_endpoint(server):
+    code, body = _post(server + "/query", {"query": "Who is the director of Silent River?"})
+    assert code == 200
+    assert "answer" in body and "predicted_support_idxs" in body
+    assert body["notes"]
+
+
+def test_bad_requests(server):
+    code, body = _post(server + "/query", {})
+    assert code == 400 and "query" in body["error"]
+    req = urllib.request.Request(server + "/query", data=b"not json",
+                                 headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        assert False
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    code, _ = _post(server + "/nope", {"query": "x"})
+    assert code == 404
