@@ -34,6 +34,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "kernels": {
             # Fused dense top-k kernel
             "topk_block_rows": 1024,   # corpus rows scanned per grid step
+            "recall_target": 0.95,     # approx_max_k recall (dense search)
             "topk_interpret": "auto",  # auto|true|false: pallas interpret mode
             "use_pallas": "auto",      # auto => pallas on TPU, XLA elsewhere
         },

@@ -41,6 +41,7 @@ class VectorIndex:
         storage_dtype: str = "bfloat16",
         use_pallas: Optional[bool] = None,
         ivf_min_corpus: int = 1_000_000,
+        recall_target: float = 0.95,
     ):
         if index_type in _DEGRADE:
             logger.info("index type %s degrades to %s on TPU", index_type, _DEGRADE[index_type])
@@ -57,6 +58,7 @@ class VectorIndex:
         self.nprobe = nprobe
         self.storage_dtype = storage_dtype
         self.use_pallas = use_pallas
+        self.recall_target = recall_target
         self._emb_f32: Optional[np.ndarray] = None   # host copy (original order)
         self._device_emb = None                       # flat: (N,D); ivf: sorted
         self._layout = None
@@ -137,7 +139,8 @@ class VectorIndex:
         q = self._preprocess(np.atleast_2d(queries))
         if self._effective_type == "Flat":
             vals, idx = dense_topk(self._device_emb, jnp.asarray(q, self._device_emb.dtype),
-                                   top_k, use_pallas=self.use_pallas)
+                                   top_k, use_pallas=self.use_pallas,
+                                   recall_target=self.recall_target)
             return np.asarray(vals), np.asarray(idx, np.int64)
         vals, idx = ivf_search(
             self._layout, self._device_emb, q, top_k,

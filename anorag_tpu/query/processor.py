@@ -103,6 +103,7 @@ class QueryProcessor:
             top_k=vs.get("top_k", 20),
             nlist=(self.cfg.get("tpu.ivf", {}) or {}).get("nlist", 20),
             nprobe=(self.cfg.get("tpu.ivf", {}) or {}).get("nprobe", 4),
+            recall_target=(self.cfg.get("tpu.kernels", {}) or {}).get("recall_target", 0.95),
         )
         self.retriever.build_index(self.notes, embeddings)
         self.embeddings = self.retriever.embeddings

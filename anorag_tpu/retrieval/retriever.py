@@ -41,13 +41,15 @@ class VectorRetriever:
         nlist: int = 20,
         nprobe: int = 4,
         use_pallas: Optional[bool] = None,
+        recall_target: float = 0.95,
     ):
         self.em = embedding_manager or EmbeddingManager(singleton=False)
         self.dimension = self.em.dim or dimension
         self.index_type = index_type
         self.similarity_threshold = similarity_threshold
         self.top_k = top_k
-        self._index_kw = dict(nlist=nlist, nprobe=nprobe, use_pallas=use_pallas)
+        self._index_kw = dict(nlist=nlist, nprobe=nprobe, use_pallas=use_pallas,
+                              recall_target=recall_target)
         self.notes: List[Dict[str, Any]] = []
         self.embeddings: Optional[np.ndarray] = None
         self.index: Optional[VectorIndex] = None

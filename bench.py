@@ -115,11 +115,12 @@ def main() -> int:
 
     sparse_norm = sparse_cpu()
     hybrid_cpu()  # warm caches
-    cpu_rounds = 2
-    t0 = time.perf_counter()
-    for _ in range(cpu_rounds):
+    best_dt = float("inf")
+    for _ in range(3):   # best-of-3: shields the baseline from host contention
+        t0 = time.perf_counter()
         cpu_vals, cpu_idx = hybrid_cpu()
-    cpu_qps = B * cpu_rounds / (time.perf_counter() - t0)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    cpu_qps = B / best_dt
 
     # ---- recall@10 parity vs exact f32 hybrid ----------------------------
     exact_idx = cpu_idx[:, :TOPK_EVAL]
