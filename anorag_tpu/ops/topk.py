@@ -352,21 +352,29 @@ def hybrid_topk(
 
     Returns (fused scores (B, k), doc ids (B, k)) sorted desc; id -1 pads.
     """
-    from anorag_tpu.ops.bm25 import sparse_lookup_sorted, sparse_topm_from_sorted
+    from anorag_tpu.ops.bm25 import sparse_topm_from_sorted
 
-    # sparse candidates + per-query normalizer
-    seg_totals, sp_vals, sp_docs, sp_max = sparse_topm_from_sorted(
+    # sparse top-m table: feeds the candidate list AND answers "what is the
+    # BM25 score of this dense candidate" by equality match. (vmapped
+    # searchsorted lookups measured +12ms at B=512 — XLA lowers per-element
+    # binary search poorly — and approx_max_k cost grows with k, so a longer
+    # lookup table loses too. A dense candidate outside the sparse top-m is
+    # scored 0 on the sparse side; the error is bounded by the m-th BM25
+    # value and covered docs are in the sparse candidate list anyway.)
+    seg_totals, sp_vals_all, sp_docs_all, sp_max = sparse_topm_from_sorted(
         doc_rows, weight_rows, sparse_m, n_docs)
+    sp_vals = sp_vals_all
+    sp_docs = sp_docs_all
     inv_max = jnp.where(sp_max > 0, 1.0 / jnp.maximum(sp_max, 1e-30), 0.0)
 
     # dense scores computed once; candidates via hardware approx top-k and
-    # the sparse candidates' dense cross-scores by row gather (cheaper than
-    # re-gathering embeddings and re-dotting)
+    # the sparse candidates' dense cross-scores by row gather
     scores = jnp.dot(queries, emb.T, preferred_element_type=jnp.float32)
     d_vals, d_idx = jax.lax.approx_max_k(scores, dense_k, recall_target=recall_target)
     sp_dense = jnp.take_along_axis(scores, jnp.maximum(sp_docs, 0), axis=1)
-    # sparse score of dense candidates (searchsorted lookup)
-    d_sparse = sparse_lookup_sorted(doc_rows, seg_totals, d_idx)
+    # sparse score of dense candidates: equality match vs the lookup table
+    eq = d_idx[:, :, None] == sp_docs_all[:, None, :]          # (B, Kd, Ml)
+    d_sparse = jnp.sum(jnp.where(eq, sp_vals_all[:, None, :], 0.0), axis=-1)
 
     fused_d = d_vals + sparse_weight * d_sparse * inv_max     # (B, Kd)
     fused_s = sp_dense + sparse_weight * sp_vals * inv_max    # (B, M)

@@ -245,9 +245,11 @@ def test_hybrid_topk_candidate_union():
     queries = [rng.integers(0, 50, 4).tolist() for _ in range(b)]
     dr, wr, _ = gather_plan_sorted(p, queries)
 
+    # exactness holds when sparse_m covers every doc with a nonzero BM25
+    # score (the eq-match lookup then misses nothing)
     vals, ids = hybrid_topk(jnp.asarray(emb), jnp.asarray(q), jnp.asarray(dr),
                             jnp.asarray(wr), k=10, n_docs=n, dense_k=300,
-                            sparse_m=32, sparse_weight=0.6, recall_target=0.95)
+                            sparse_m=300, sparse_weight=0.6, recall_target=0.95)
     vals, ids = np.asarray(vals), np.asarray(ids)
     # exact oracle
     from anorag_tpu.ops.bm25 import bm25_scores
@@ -259,3 +261,11 @@ def test_hybrid_topk_candidate_union():
     for row in ids:
         real = row[row >= 0]
         assert len(set(real.tolist())) == len(real)
+    # bounded error with a small sparse_m: fused top-10 recall stays high
+    vals2, ids2 = hybrid_topk(jnp.asarray(emb), jnp.asarray(q), jnp.asarray(dr),
+                              jnp.asarray(wr), k=10, n_docs=n, dense_k=300,
+                              sparse_m=32, sparse_weight=0.6, recall_target=0.95)
+    exact_top = np.argsort(-fused, axis=1)[:, :10]
+    rec = np.mean([len(set(np.asarray(ids2)[i]) & set(exact_top[i])) / 10
+                   for i in range(b)])
+    assert rec >= 0.8, rec
