@@ -230,6 +230,35 @@ class QueryProcessor:
             return self._process_with_subquestion_decomposition(query, dataset, qid)
         return self._process_traditional(query, dataset, qid)
 
+    def process_batch(self, queries: Sequence[str],
+                      dataset: Optional[str] = None,
+                      top_k: Optional[int] = None) -> List[Dict[str, Any]]:
+        """Throughput-oriented batched answering: ONE device pass answers the
+        whole batch's retrieval (VectorRetriever.hybrid_search = fused dense
+        + BM25 candidate-union), then the host answer stages run per query.
+
+        Trades the per-query pipeline stages (two-hop expansion, graph
+        expansion, path rerank) for batch efficiency — the serving fast path;
+        use process() when full multi-hop treatment is needed.
+        """
+        top_k = top_k or self.cfg.get("context.max_notes_for_llm", 20)
+        batches = self.retriever.hybrid_search(list(queries), top_k=top_k)
+        out: List[Dict[str, Any]] = []
+        for query, selected in zip(queries, batches):
+            selected = filter_notes_by_namespace(selected, dataset)
+            selected = self._post_select_processing(selected, selected, query)
+            payload = self._answer(query, selected, selected, [])
+            out.append({
+                "query": query,
+                "answer": payload["answer"],
+                "predicted_answer": payload["answer"],
+                "predicted_support_idxs": payload["support_idxs"],
+                "predicted_answerable": payload["answerable"],
+                "answer_method": payload["method"],
+                "notes": selected,
+            })
+        return out
+
     # ======================================================================
     # traditional path
     # ======================================================================

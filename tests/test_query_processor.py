@@ -200,3 +200,15 @@ def test_evidence_merger_dedup_and_provenance():
     a = next(m for m in merged if m["note_id"] == "a")
     assert a["final_score"] == pytest.approx(0.5 + 0.2)
     assert em.last_stats["n_duplicates"] == 1
+
+
+def test_process_batch_fast_path():
+    qp = QueryProcessor(_kb_notes(), cfg=_cfg(), llm=None)
+    res = qp.process_batch([
+        "Who is the spouse of the performer of Blue Horizon?",
+        "Who founded Nexus Labs?",
+    ])
+    assert len(res) == 2
+    assert res[0]["answer"] == "Chris Reed"
+    assert res[1]["answer"] == "David Kim"
+    assert all(r["predicted_support_idxs"] for r in res)
