@@ -92,7 +92,10 @@ def gather_plan(
                  for t in terms if 0 <= t < postings.vocab_size]
         rows.append(np.concatenate(spans) if spans else np.zeros(0, np.int64))
     width = max((len(r) for r in rows), default=0)
-    width = max(pad_multiple, ((width + pad_multiple - 1) // pad_multiple) * pad_multiple)
+    bucket = pad_multiple
+    while bucket < width:
+        bucket *= 2
+    width = bucket
     out = np.full((len(rows), width), -1, np.int64)
     lens = np.zeros(len(rows), np.int32)
     for i, r in enumerate(rows):
@@ -130,7 +133,11 @@ def gather_plan_sorted(
             rows_docs.append(np.zeros(0, np.int32))
             rows_w.append(np.zeros(0, np.float32))
     width = max((len(r) for r in rows_docs), default=0)
-    width = max(pad_multiple, ((width + pad_multiple - 1) // pad_multiple) * pad_multiple)
+    # power-of-two buckets: stable shapes across batches bound recompiles
+    bucket = pad_multiple
+    while bucket < width:
+        bucket *= 2
+    width = bucket
     b = len(rows_docs)
     doc_rows = np.full((b, width), postings.n_docs, np.int32)   # pad doc = N
     weight_rows = np.zeros((b, width), np.float32)
