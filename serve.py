@@ -4,9 +4,11 @@
 Production-serving surface (no reference analogue — the reference is
 CLI-only): loads KB artifacts once, keeps the corpus on-device, and serves
 
-  POST /query   {"query": "...", "top_k": 10}        -> answer + notes
-  POST /search  {"query": "...", "top_k": 10}        -> ranked notes only
-  GET  /healthz                                      -> status + corpus size
+  POST /query        {"query": "...", "top_k": 10}      -> answer + notes
+  POST /query_batch  {"queries": [...], "top_k": 10}    -> answers (one fused
+                     device pass for the whole batch's retrieval)
+  POST /search       {"query": "...", "top_k": 10}      -> ranked notes only
+  GET  /healthz                                         -> status + corpus size
 
 stdlib http.server with a thread pool; the QueryProcessor is thread-safe for
 reads (device arrays are immutable; host-side state is read-only after
@@ -79,10 +81,26 @@ def make_handler(qp):
                 payload = json.loads(self.rfile.read(length) or b"{}")
             except Exception as e:
                 return self._send(400, {"error": f"bad request: {e}"})
+            top_k = int(payload.get("top_k", 10))
+            if self.path == "/query_batch":
+                queries = payload.get("queries")
+                if not isinstance(queries, list) or not queries:
+                    return self._send(400, {"error": "missing 'queries' list"})
+                try:
+                    with lock:
+                        rows = qp.process_batch([str(x) for x in queries], top_k=top_k)
+                    return self._send(200, {"results": [
+                        {"query": r["query"], "answer": r["answer"],
+                         "predicted_support_idxs": r["predicted_support_idxs"],
+                         "answer_method": r["answer_method"]}
+                        for r in rows
+                    ]})
+                except Exception as e:
+                    logger.exception("batch request failed")
+                    return self._send(500, {"error": str(e)})
             query = str(payload.get("query") or "")
             if not query:
                 return self._send(400, {"error": "missing 'query'"})
-            top_k = int(payload.get("top_k", 10))
             try:
                 if self.path == "/search":
                     notes = qp.retriever.retrieve(query, top_k=top_k, threshold=0.0)

@@ -73,3 +73,15 @@ def test_bad_requests(server):
         assert e.code == 400
     code, _ = _post(server + "/nope", {"query": "x"})
     assert code == 404
+
+
+def test_query_batch_endpoint(server):
+    code, body = _post(server + "/query_batch", {
+        "queries": ["Who is the director of Silent River?",
+                    "Who founded Nexus Labs?"],
+        "top_k": 5,
+    })
+    assert code == 200 and len(body["results"]) == 2
+    assert all("answer" in r for r in body["results"])
+    code, body = _post(server + "/query_batch", {"queries": []})
+    assert code == 400
