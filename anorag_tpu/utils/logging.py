@@ -20,13 +20,15 @@ _FMT = "%(asctime)s | %(levelname)-7s | %(name)s | %(message)s"
 
 
 def get_logger(name: str = "anorag") -> logging.Logger:
-    logger = logging.getLogger(name)
-    if not logger.handlers and not logging.getLogger().handlers:
+    """Named logger emitting through ROOT handlers only (a handler on the
+    named logger would double-print once setup_logging adds root handlers)."""
+    root = logging.getLogger()
+    if not root.handlers:
         handler = logging.StreamHandler(sys.stderr)
         handler.setFormatter(logging.Formatter(_FMT))
-        logger.addHandler(handler)
-        logger.setLevel(logging.INFO)
-    return logger
+        root.addHandler(handler)
+        root.setLevel(logging.INFO)
+    return logging.getLogger(name)
 
 
 logger = get_logger()
