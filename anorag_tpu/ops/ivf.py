@@ -37,6 +37,12 @@ class IVFLayout:
     block_last_cluster: np.ndarray   # (num_blocks,)
     block_rows: int
     n: int
+    _cid_dev: object = None   # cached device copy of cluster_ids
+
+    def cluster_ids_device(self):
+        if self._cid_dev is None:
+            object.__setattr__(self, "_cid_dev", jnp.asarray(self.cluster_ids))
+        return self._cid_dev
 
     @property
     def nlist(self) -> int:
@@ -96,14 +102,11 @@ def select_blocks(layout: IVFLayout, probe_clusters: np.ndarray) -> np.ndarray:
     """
     wanted = np.unique(probe_clusters.reshape(-1))
     wanted = wanted[wanted >= 0]
-    # block touched iff [first, last] intersects wanted set
-    mask = np.zeros(layout.num_blocks, dtype=bool)
-    for b in range(layout.num_blocks):
-        lo, hi = layout.block_first_cluster[b], layout.block_last_cluster[b]
-        if lo < 0:
-            continue
-        if np.any((wanted >= lo) & (wanted <= hi)):
-            mask[b] = True
+    # block touched iff its [first, last] cluster interval intersects the
+    # wanted set — vectorized interval test over (num_blocks, n_wanted)
+    lo = layout.block_first_cluster[:, None]
+    hi = layout.block_last_cluster[:, None]
+    mask = (lo[:, 0] >= 0) & np.any((wanted[None, :] >= lo) & (wanted[None, :] <= hi), axis=1)
     ids = np.nonzero(mask)[0].astype(np.int32)
     bucket = 1
     while bucket < max(len(ids), 1):
@@ -268,7 +271,7 @@ def ivf_search(
 
     emb_dev = jnp.asarray(sorted_emb)
     vals, idx = _ivf_search_pallas(
-        emb_dev, jnp.asarray(layout.cluster_ids), jnp.asarray(qp, emb_dev.dtype),
+        emb_dev, layout.cluster_ids_device(), jnp.asarray(qp, emb_dev.dtype),
         jnp.asarray(selp), jnp.asarray(blk_ids), jnp.asarray(n_scan),
         k_pad, layout.block_rows, interpret,
     )
