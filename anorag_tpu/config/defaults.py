@@ -179,6 +179,9 @@ DEFAULT_CONFIG: Dict[str, Any] = {
                 "model": "qwen2.5:latest",
                 "base_url": "http://localhost:11434",
                 "timeout": 30,
+                "max_async": 4,
+                "num_ctx": 4096,
+                "temperature": 0.1,
             },
             "heavy_tasks": {
                 "provider": "lmstudio",
@@ -198,11 +201,78 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     # -------------------------------------------------------------- retrieval
     "retrieval": {
         "candidate_pool": 50,
+        # per-hop recall pool sizes (reference config.yaml retrieval block)
+        "bm25_topk_hop1": 40,
+        "embed_topk_hop1": 30,
+        "bm25_topk_hop2": 12,
+        "embed_topk_hop2": 8,
+        "query_rewrites_hop1": 2,
+        "title_dedup": True,
+        "entity_norm_dedup": True,
+        "min_per_subq": 1,
+        "json_parsing": {
+            "max_retries": 3,
+            "enable_smart_fallback": True,
+            "fallback_message": "Unable to extract a meaningful answer from the provided context",
+        },
+        "performance": {
+            "max_fallback_per_step": 8,
+            "max_graph_expansion": 15,
+            "max_entity_lookup": 12,
+            "fallback_timeout_ms": 1000,
+            "max_total_fallback": 10,
+        },
+        # graph-aware two-stage rerank (GraphAwareRetrieval params)
+        "use_graph_rerank": False,
+        "seeds_semantic": 50,
+        "seeds_bm25": 30,
+        "subgraph_radius": 2,
+        "edge_thresh": 0.35,
+        "k_paths": 20,
+        "pick_paths": 4,
+        "overlap_thresh": 0.5,
+        "token_budget": 1800,
+        "alpha": 0.5,
+        "beta": 0.3,
+        "gamma": 0.2,
+        "rho": 0.25,
+        "lambda_len": 0.05,
+        "query_mode": "auto",
+        "expansion": {
+            "max_neighbors_hop1": 3,
+            "max_neighbors_hop2": 2,
+            "degree_cap": 50,
+        },
+        "rerank": {
+            "cross_encoder": "",
+            "final_topk": 15,
+            "margin_threshold": 0.15,
+            "diversity_by_title": True,
+            "use_listt5": False,
+            "listt5_model": "castorini/doc2query-t5-large-list",
+            "listt5_input_topk": 50,
+            "keep_after_listt5": 25,
+            "max_seq_len": 2048,
+            "batch_size": 4,
+        },
+        "context": {
+            "max_tokens": 1800,
+            "per_title_max": 1,
+            "per_entity_sentences": 2,
+            "evidence_first": True,
+        },
+        "bridge_aware": {
+            "hop2_query": "{bridge_entity} {question_subgoal}",
+            "require_bridge_hit": True,
+        },
         "hybrid": {
             "enabled": True,
             "fusion_method": "linear",
             "weights": {"dense": 1.0, "bm25": 0.5, "graph": 0.5, "path": 0.1},
             "rrf_k": 60,
+            "second_hop_safety": {},
+            "multi_hop": {},
+            "answer_bias": {},
         },
         "bm25": {"k1": 1.2, "b": 0.75, "text_field": "title_raw_span"},
         "graph": {"enabled": True, "k_hop": 2, "expand_top_m": 20},
@@ -287,6 +357,11 @@ DEFAULT_CONFIG: Dict[str, Any] = {
             "lower_threshold": 0.10,
         },
         "answer_bias": {"who_person_boost": 1.10},
+        "cluster_suppression": {"enabled": False, "cos_threshold": 0.9, "keep_per_cluster": 2},
+        "features": {},
+        "fusion": {},
+        "rerank": {},
+        "safety": {},
     },
     # -------------------------------------------------------------- dispatcher
     "dispatcher": {
@@ -325,6 +400,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
             "base_url": "http://localhost:11434",
             "timeout": 30,
             "temperature": 0.1,
+            "max_async": 4,
         },
         "lmstudio": {
             "model": "qwen2.5-7b-instruct",
@@ -391,6 +467,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "dimension": 1024,
         "index_type": "IVFFlat",   # Flat | IVFFlat
         "similarity_metric": "cosine",
+        "nlist": 20,
     },
     "safety": {
         "per_hop_keep_top_m": 5,
@@ -409,8 +486,23 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "max_rounds": 3,
         "confidence_tau": 0.8,
         "budget": 64,
+        "tau_conf": 0.80,
+        "eps_cov": 0.05,
+        "hard_ce_cap": 250,
+        "k0": 40,
+        "beam_width": 8,
+        "neighbor_cap": 8,
+        "bi_top_m": 60,
+        "ce_top_n": 20,
     },
-    "calibration": {"listt5_weight": 0.35, "path": ""},
+    "calibration": {
+        "listt5_weight": 0.35,
+        "listt5_temperature": 1.0,
+        "bm25": {},
+        "graph": {},
+        "multi_hop": {},
+        "path": "",
+    },
     "rerank": {"listt5_input_topk": 24, "keep_after_listt5": 16, "enabled": False},
     "clustering": {
         "method": "kmeans",       # kmeans | auto
@@ -418,6 +510,40 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "max_clusters": 20,
     },
     "eval": {"dataset": "musique", "timeout_seconds": 300},
+    "scheduler": {"coverage_guard": True},
+    "feature_switches": {
+        "stable_note_id": {
+            "enabled": True,
+            "use_content_hash": True,
+            "fallback_to_index": True,
+        },
+    },
+    "notes_prompt": {
+        "element_conservation": True,
+        "enumeration_split": True,
+        "enforce_entity_slot": True,
+        "preserve_relationships": True,
+    },
+    "note_recovery": {
+        "enable": True,
+        "jaccard_threshold": 0.6,
+        "merge_threshold": 0.35,
+        "max_merge_tokens": 30,
+        "max_new_notes": 3,
+    },
+    "evaluation": {
+        "coverage_thresholds": {"warning": 0.7, "critical": 0.5},
+        "coverage_report_path": "debug/coverage_report.json",
+        "coverage": {},
+    },
+    "enhanced_relation_extraction": {
+        "use_llm_extraction": False,
+        "use_fast_model": True,
+        "enable_topic_groups": True,
+        "enable_reasoning_paths": False,
+        "lightweight_relations": {},
+        "consistency_check": {},
+    },
 }
 
 DEPRECATED_KEYS = {

@@ -41,6 +41,8 @@ def _walk_unknown(user: Dict[str, Any], skeleton: Dict[str, Any], prefix: str = 
         if key not in skeleton:
             unknown.append(path)
         elif isinstance(val, dict) and isinstance(skeleton.get(key), dict):
+            if not skeleton[key]:
+                continue  # empty skeleton dict = wildcard section
             unknown.extend(_walk_unknown(val, skeleton[key], prefix=path + "."))
     return unknown
 

@@ -101,7 +101,8 @@ class QueryProcessor:
             index_type=vs.get("index_type", "IVFFlat"),
             similarity_threshold=0.0,
             top_k=vs.get("top_k", 20),
-            nlist=(self.cfg.get("tpu.ivf", {}) or {}).get("nlist", 20),
+            nlist=self.cfg.get("vector_store.nlist",
+                               (self.cfg.get("tpu.ivf", {}) or {}).get("nlist", 20)),
             nprobe=(self.cfg.get("tpu.ivf", {}) or {}).get("nprobe", 4),
             recall_target=(self.cfg.get("tpu.kernels", {}) or {}).get("recall_target", 0.95),
         )
@@ -170,7 +171,26 @@ class QueryProcessor:
             if self.cfg.get("rerank.enabled", False) else None
         )
         self.dispatcher_enabled = bool(self.cfg.get("context_dispatcher.enabled", True))
-        self.dispatcher = ContextDispatcher.from_config(self.cfg)
+        gar = None
+        use_graph_aware = bool(self.cfg.get("context_dispatcher.use_graph_aware", False)
+                               or self.cfg.get("retrieval.use_graph_rerank", False))
+        if use_graph_aware and self.multi_hop is not None:
+            from anorag_tpu.graph.graph_retrieval import GraphAwareRetrieval
+
+            gar = GraphAwareRetrieval(
+                self.multi_hop.graph_index,
+                radius=self.cfg.get("retrieval.subgraph_radius", 2),
+                edge_threshold=self.cfg.get("retrieval.edge_thresh", 0.35),
+                alpha=self.cfg.get("retrieval.alpha", 0.5),
+                beta=self.cfg.get("retrieval.beta", 0.3),
+                gamma=self.cfg.get("retrieval.gamma", 0.2),
+                length_penalty=self.cfg.get("retrieval.lambda_len", 0.05),
+                overlap_penalty=self.cfg.get("retrieval.overlap_thresh", 0.5),
+            )
+            self.cfg.set("context_dispatcher.use_graph_aware", True)
+            self.cfg.set("context_dispatcher.token_budget",
+                         self.cfg.get("retrieval.token_budget", 1800))
+        self.dispatcher = ContextDispatcher.from_config(self.cfg, graph_aware_retrieval=gar)
         self.scheduler = MultiHopContextScheduler(
             max_notes=self.cfg.get("context.max_notes_for_llm", 20),
             hop_decay=self.cfg.get("hybrid_search.multi_hop.hop_decay", 0.85),
@@ -266,15 +286,19 @@ class QueryProcessor:
                              qid: Optional[str] = None) -> Dict[str, Any]:
         trace: Dict[str, Any] = {"query": query, "qid": qid}
 
-        # [1] dense recall
-        dense = self.retriever.search([query], top_k=self.cfg.get("vector_store.top_k", 20),
-                                      threshold=0.0)[0]
+        # [1] dense recall (embed_topk_hop1 pool)
+        dense = self.retriever.search(
+            [query],
+            top_k=self.cfg.get("retrieval.embed_topk_hop1",
+                               self.cfg.get("vector_store.top_k", 20)),
+            threshold=0.0)[0]
         # [2] namespace stage 1
         dense = filter_notes_by_namespace(dense, dataset)
         trace["n_dense"] = len(dense)
 
         # BM25 recall pool (bm25_topk_hop1)
-        bm25_scores, bm25_idx = self.bm25.topk(query, k=min(40, len(self.notes)))
+        bm25_scores, bm25_idx = self.bm25.topk(
+            query, k=min(self.cfg.get("retrieval.bm25_topk_hop1", 40), len(self.notes)))
         sparse_pool = []
         for s, i in zip(bm25_scores, bm25_idx):
             if s <= 0:

@@ -110,3 +110,37 @@ def test_bm25_params_reach_index():
     qp = _qp(**{"hybrid_search.bm25.k1": 2.0})
     # k1 affects postings weights; just assert construction didn't fall back
     assert qp.bm25.n_docs == 8
+
+
+def test_reference_config_loads_cleanly():
+    """The reference repo's own config.yaml merges with ZERO unknown keys —
+    the full user-facing config surface is accepted."""
+    import yaml
+
+    user = yaml.safe_load(open("/root/reference/config.yaml"))
+    loader = ConfigLoader(auto_load=False)
+    loader.apply_overrides(user)
+    rep = loader.report()
+    assert rep["unknown_keys"] == []
+    # spot-check merged values survive
+    assert loader.get("retrieval.candidate_pool") == 80
+    assert loader.get("retrieval.bm25_topk_hop1") == 40
+    assert loader.get("embedding.model_name") == "BAAI/bge-m3"
+
+
+def test_recall_pool_knobs_propagate():
+    qp = _qp(**{"retrieval.bm25_topk_hop1": 7, "retrieval.embed_topk_hop1": 5})
+    res = qp.process("Aurora Lane")
+    assert res["trace"]["n_dense"] <= 5
+
+
+def test_graph_aware_dispatcher_wiring():
+    qp = _qp(**{"retrieval.use_graph_rerank": True,
+                "retrieval.alpha": 0.7, "retrieval.edge_thresh": 0.2})
+    assert qp.dispatcher.use_graph_aware
+    assert qp.dispatcher.gar is not None
+    assert qp.dispatcher.gar.alpha == 0.7
+    assert qp.dispatcher.gar.edge_threshold == 0.2
+    # dispatch still runs end-to-end in graph-aware mode
+    res = qp.process("Aurora Lane Blue Horizon")
+    assert "answer" in res
