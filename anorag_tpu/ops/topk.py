@@ -30,6 +30,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -3.0e38  # python float: jnp scalars would be captured as consts in pallas
+POS_INF = 3.0e38
 
 
 def _round_up(x: int, m: int) -> int:
@@ -37,8 +38,13 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _topk_kernel(nvalid_ref, q_ref, e_ref, *rest,
-                 k: int, block_rows: int, has_bias: bool = False,
+                 k: int, k_eff: int, block_rows: int, has_bias: bool = False,
                  bias_weight: float = 1.0):
+    # k is the 128-aligned scratch width (VMEM lane constraint); k_eff is the
+    # logical top-k. Only k_eff slots are live — the k - k_eff pad slots are
+    # pinned at +INF so they are never the running min (never replaced) and
+    # the merge loop needs only k_eff rounds for exactness, not k. At k=10
+    # this cut the merge from 128 rounds/block to 10 and the kernel time ~10x.
     if has_bias:
         bias_ref, vals_out, idx_out, rv_ref, ri_ref = rest
     else:
@@ -46,10 +52,12 @@ def _topk_kernel(nvalid_ref, q_ref, e_ref, *rest,
         vals_out, idx_out, rv_ref, ri_ref = rest
     i = pl.program_id(0)
     n_blocks = pl.num_programs(0)
+    b_rows, k_slots = rv_ref.shape
+    colk_init = jax.lax.broadcasted_iota(jnp.int32, (b_rows, k_slots), 1)
 
     @pl.when(i == 0)
     def _init():
-        rv_ref[:] = jnp.full_like(rv_ref, NEG_INF)
+        rv_ref[:] = jnp.where(colk_init < k_eff, NEG_INF, POS_INF)
         ri_ref[:] = jnp.zeros_like(ri_ref)
 
     q = q_ref[:]                      # (B, D)
@@ -78,10 +86,14 @@ def _topk_kernel(nvalid_ref, q_ref, e_ref, *rest,
     def _merge():
         colk = jax.lax.broadcasted_iota(jnp.int32, (b_dim, k), 1)
 
-        # K rounds of extract-block-max / replace-running-min. A while_loop
-        # that exits when the block is exhausted was measured 15-30x SLOWER
-        # on TPU (Mosaic pipelines the bounded fori; data-dependent trip
-        # counts serialize), so the fixed K-round form stays.
+        # k_eff rounds of extract-block-max / replace-running-min. At most
+        # k_eff block elements can enter the live running set, and after
+        # k_eff extractions every remaining block element is <= the running
+        # minimum — exact. (+INF pad slots are never the min, so the live
+        # set is exactly k_eff wide.) A while_loop that exits when the block
+        # is exhausted was measured 15-30x SLOWER on TPU (Mosaic pipelines
+        # the bounded fori; data-dependent trip counts serialize), so the
+        # fixed-round form stays.
         def body(_, carry):
             sc, rv, ri = carry
             bmax = jnp.max(sc, axis=1, keepdims=True)            # (B, 1)
@@ -97,20 +109,20 @@ def _topk_kernel(nvalid_ref, q_ref, e_ref, *rest,
             return sc, rv, ri
 
         _, rv_f, ri_f = jax.lax.fori_loop(
-            0, k, body, (scores, rv_ref[:], ri_ref[:])
+            0, k_eff, body, (scores, rv_ref[:], ri_ref[:])
         )
         rv_ref[:] = rv_f
         ri_ref[:] = ri_f
 
     @pl.when(i == n_blocks - 1)
     def _emit():
-        vals_out[:] = rv_ref[:]
+        vals_out[:] = jnp.where(colk_init < k_eff, rv_ref[:], NEG_INF)
         idx_out[:] = ri_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret", "bias_weight"))
+@functools.partial(jax.jit, static_argnames=("k", "k_eff", "block_rows", "interpret", "bias_weight"))
 def _dense_topk_pallas(
-    emb: jax.Array, queries: jax.Array, n_valid: jax.Array, k: int,
+    emb: jax.Array, queries: jax.Array, n_valid: jax.Array, k: int, k_eff: int,
     block_rows: int, interpret: bool,
     bias: jax.Array | None = None, bias_weight: float = 1.0,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -118,7 +130,7 @@ def _dense_topk_pallas(
     b_pad, _ = queries.shape
     grid = (n_pad // block_rows,)
     has_bias = bias is not None
-    kernel = functools.partial(_topk_kernel, k=k, block_rows=block_rows,
+    kernel = functools.partial(_topk_kernel, k=k, k_eff=k_eff, block_rows=block_rows,
                                has_bias=has_bias, bias_weight=bias_weight)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -157,9 +169,14 @@ def _dense_topk_pallas(
     return vals, idx
 
 
-@functools.partial(jax.jit, static_argnames=("k", "chunk"))
-def dense_topk_xla(emb: jax.Array, queries: jax.Array, k: int, chunk: int = 65536) -> Tuple[jax.Array, jax.Array]:
-    """Reference/fallback: blockwise matmul + lax.top_k merge (pure XLA)."""
+@functools.partial(jax.jit, static_argnames=("k", "chunk", "approx", "recall_target"))
+def dense_topk_xla(emb: jax.Array, queries: jax.Array, k: int, chunk: int = 65536,
+                   approx: bool = False, recall_target: float = 0.95) -> Tuple[jax.Array, jax.Array]:
+    """Blockwise matmul + top-k merge (pure XLA): exact fallback/oracle, and —
+    with approx=True — the bounded-memory huge-N fast path: per-chunk
+    `approx_max_k` (TPU PartialReduce) reduces each (B, chunk) score tile to
+    (B, k) before the cross-chunk exact merge, so peak memory is O(B*chunk)
+    regardless of N."""
     n, d = emb.shape
     b = queries.shape[0]
     k = min(k, n)
@@ -176,8 +193,13 @@ def dense_topk_xla(emb: jax.Array, queries: jax.Array, k: int, chunk: int = 6553
         col = jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
         gidx = blk_idx * chunk + col
         s = jnp.where(gidx < n, s, NEG_INF)
-        merged_v = jnp.concatenate([rv, s], axis=1)
-        merged_i = jnp.concatenate([ri, gidx], axis=1)
+        if approx:
+            cv, ci = jax.lax.approx_max_k(s, k, recall_target=recall_target)
+            cgidx = blk_idx * chunk + ci
+        else:
+            cv, cgidx = s, gidx
+        merged_v = jnp.concatenate([rv, cv], axis=1)
+        merged_i = jnp.concatenate([ri, cgidx], axis=1)
         tv, ti = jax.lax.top_k(merged_v, k)
         return (tv, jnp.take_along_axis(merged_i, ti, axis=1)), None
 
@@ -235,7 +257,11 @@ def dense_topk(
                recall set by recall_target);
       exact  — matmul + lax.top_k;
       pallas — the fused streaming kernel: O(N*D) memory, no (B, N) score
-               matrix in HBM (the only option when B*N*4 bytes won't fit);
+               matrix in HBM; EXACT (use when B*N*4 bytes won't fit and
+               exactness matters);
+      approx_scan — chunked matmul + per-chunk approx_max_k + exact merge:
+               bounded O(B*chunk) memory, recall ~= approx; the huge-N
+               default;
       scan   — chunked XLA scan + top_k merge (exact, bounded memory, any
                backend).
     `use_pallas=True/False` is honored as a legacy alias for
@@ -257,7 +283,9 @@ def dense_topk(
         if on_tpu and score_bytes <= 2 * 1024**3:
             method = "approx"
         elif on_tpu:
-            method = "pallas"
+            # huge-N: bounded-memory chunked approx beats the exact pallas
+            # streamer unless bias fusion (hybrid) demands it
+            method = "approx_scan" if bias is None else "pallas"
         else:
             method = "scan" if bias is None else "exact_smalln"
 
@@ -271,8 +299,10 @@ def dense_topk(
         # approx_max_k returns unsorted-by-score in some configs; sort
         vals, idx = _sort_topk(vals, idx, k_eff)
         return _pad_k(vals, idx, k, k_eff)
-    if method == "scan":
-        vals, idx = dense_topk_xla(emb, queries, k_eff)
+    if method in ("scan", "approx_scan"):
+        vals, idx = dense_topk_xla(emb, queries, k_eff,
+                                   approx=(method == "approx_scan" and on_tpu),
+                                   recall_target=recall_target)
         return _pad_k(vals, idx, k, k_eff)
     if method == "exact_smalln":
         scores = jnp.dot(queries.astype(jnp.float32), emb.astype(jnp.float32).T,
@@ -311,7 +341,7 @@ def dense_topk(
         biasp = jnp.pad(jnp.asarray(bias, jnp.float32),
                         ((0, b_pad - b), (0, n_pad - n)))
 
-    vals, idx = _dense_topk_pallas(embp, qp, n_valid, k_pad, block_rows, interpret,
+    vals, idx = _dense_topk_pallas(embp, qp, n_valid, k_pad, k_eff, block_rows, interpret,
                                    bias=biasp, bias_weight=bias_weight)
     vals, idx = _sort_topk(vals[:b], idx[:b], k_pad)
     vals, idx = vals[:, :k_eff], idx[:, :k_eff]

@@ -74,6 +74,24 @@ def test_hybrid_bias_fusion():
     np.testing.assert_allclose(got, want_vals, rtol=1e-4, atol=1e-4)
 
 
+def test_approx_scan_method():
+    # on CPU approx_scan falls back to the exact chunked scan; verifies the
+    # method dispatch and the chunked-merge path with multiple chunks
+    emb, q = _mk(n=900)
+    vals, idx = dense_topk(emb, q, 10, method="approx_scan")
+    ref_vals, _ = dense_topk_np(emb, q, 10)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
+
+
+def test_xla_approx_flag_cpu_exact():
+    # approx=True lowers to approx_max_k; on CPU it degrades to exact top-k,
+    # and the cross-chunk merge must still produce globally correct results
+    emb, q = _mk(n=700)
+    vals, idx = dense_topk_xla(emb, q, 10, chunk=256, approx=True)
+    ref_vals, _ = dense_topk_np(emb, q, 10)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, rtol=1e-5, atol=1e-5)
+
+
 def test_hybrid_bias_xla_path():
     emb, q = _mk(n=150)
     bias = np.zeros((5, 150), np.float32)
