@@ -18,7 +18,11 @@ _DATE = re.compile(
     r"november|december)\s+\d{1,2}(?:,\s*\d{4})?\b|\b(1[0-9]{3}|20[0-9]{2})\b",
     re.IGNORECASE)
 _QUOTED = re.compile(r'"([^"]{2,80})"|“([^”]{2,80})”')
-_CAP = re.compile(r"\b(?:[A-Z][\w'&.-]*)(?:\s+(?:of|the|de|von|van|da|and|&|[A-Z][\w'&.-]*))*")
+# connectors (of/the/de/...) are infix-only: each extension segment must end
+# in a capitalized word, and the connector alternation is anchored so "de"
+# cannot match the first two chars of "designed" (entities never end
+# mid-word or on a connector)
+_CAP = re.compile(r"\b(?:[A-Z][\w'&.-]*)(?:\s+(?:(?:of|the|de|von|van|da|and|&)\s+)*[A-Z][\w'&.-]*)*")
 _ORG_SUFFIX = re.compile(
     r"\b(Inc|Corp|Ltd|LLC|Labs|Institute|University|Company|Group|Records|Studios)\b")
 _GPE_CUE = re.compile(r"\b(in|at|from|near|city of|capital of)\s+([A-Z][\w'-]+(?:\s+[A-Z][\w'-]+)?)")

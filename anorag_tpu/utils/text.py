@@ -11,8 +11,11 @@ from typing import Dict, Iterable, List, Optional
 
 _WORD_RE = re.compile(r"\b\w+\b", re.UNICODE)
 _SENT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9\"'(])|(?<=[。！？])")
+# connectors are infix-only (must be followed by a capitalized word) so an
+# entity never ends on a connector or on a prefix of a lowercase word
+# ("Gustave Eiffel designed" must not yield "Gustave Eiffel de")
 _CAP_SPAN_RE = re.compile(
-    r"\b(?:[A-Z][\w'&.-]*)(?:\s+(?:of|the|de|von|van|da|and|&|[A-Z][\w'&.-]*))*"
+    r"\b(?:[A-Z][\w'&.-]*)(?:\s+(?:(?:of|the|de|von|van|da|and|&)\s+)*[A-Z][\w'&.-]*)*"
 )
 _QUOTED_RE = re.compile(r'"([^"]{2,80})"|“([^”]{2,80})”')
 _YEAR_RE = re.compile(r"\b(1[0-9]{3}|20[0-9]{2})\b")

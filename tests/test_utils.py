@@ -20,6 +20,17 @@ def test_entity_fallback():
     assert "1999" in ents
 
 
+def test_entity_connectors_are_infix_only():
+    # regression: "de" must not match the first two chars of "designed";
+    # entities never end on a connector word
+    ents = text.extract_entities_fallback("Gustave Eiffel designed the Eiffel Tower.")
+    assert "Gustave Eiffel" in ents
+    assert not any(e.endswith(" de") or e.endswith(" of") for e in ents)
+    ents2 = text.extract_entities_fallback("Ludwig van Beethoven visited the Statue of Liberty.")
+    assert "Ludwig van Beethoven" in ents2
+    assert any("Statue of Liberty" in e for e in ents2)
+
+
 def test_normalize_answer():
     assert text.normalize_answer("The  Blue-Horizon!") == "blue horizon"
 
