@@ -68,6 +68,15 @@ def load() -> Optional[ctypes.CDLL]:
         ]
         lib.anorag_tokenize_count.restype = ctypes.c_int64
         lib.anorag_tokenize_count.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.anorag_pathrank.restype = None
+        lib.anorag_pathrank.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int32),
+        ]
         _lib = lib
         logger.info("native runtime loaded: %s", _LIB_PATH)
     except Exception as e:
@@ -132,6 +141,34 @@ def build_postings_native(
         idf=idf[:vocab_size],
     )
     return postings, vocab
+
+
+def pathrank_native(
+    src, dst, cand, n_nodes: int, n_cands: int, q_ents,
+    k_hop: int = 2, max_len: int = 3, per_pair_cap: int = 8,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """PathAwareRanker graph features in C++: (expanded (n_nodes,) bool,
+    contributing (n_cands,) int32). None when the library is unavailable.
+    Semantics match the Python EntityGraph bit-for-bit (tested)."""
+    lib = load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, np.int32)
+    dst = np.ascontiguousarray(dst, np.int32)
+    cand = np.ascontiguousarray(cand, np.int32)
+    q = np.ascontiguousarray(q_ents, np.int32)
+    expanded = np.zeros(max(int(n_nodes), 1), np.uint8)
+    contributing = np.zeros(max(int(n_cands), 1), np.int32)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.anorag_pathrank(
+        src.ctypes.data_as(i32p), dst.ctypes.data_as(i32p),
+        cand.ctypes.data_as(i32p), len(src), int(n_nodes), int(n_cands),
+        q.ctypes.data_as(i32p), len(q),
+        int(k_hop), int(max_len), int(per_pair_cap),
+        expanded.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        contributing.ctypes.data_as(i32p),
+    )
+    return expanded[: n_nodes].astype(bool), contributing[: n_cands]
 
 
 def levenshtein_ratio_native(a: str, b: str) -> Optional[float]:

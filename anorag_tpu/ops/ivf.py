@@ -23,7 +23,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from anorag_tpu.ops.kmeans import kmeans_fit
-from anorag_tpu.ops.topk import NEG_INF, _round_up, _sort_topk, dense_topk_np
+from anorag_tpu.ops.topk import NEG_INF, POS_INF, _round_up, _sort_topk, dense_topk_np
 
 
 @dataclass
@@ -117,13 +117,19 @@ def select_blocks(layout: IVFLayout, probe_clusters: np.ndarray) -> np.ndarray:
 
 
 def _ivf_kernel(blk_ids_ref, nscan_ref, q_ref, sel_ref, e_ref, cid_ref,
-                vals_out, idx_out, rv_ref, ri_ref, *, k: int, block_rows: int):
+                vals_out, idx_out, rv_ref, ri_ref, *, k: int, k_eff: int,
+                block_rows: int):
+    # k = 128-aligned scratch width; k_eff = logical top-k. Pad slots are
+    # pinned at +INF (never the running min) so the merge needs only k_eff
+    # rounds — same trick as ops/topk.py, ~10x at k=10.
     i = pl.program_id(0)
     n_steps = pl.num_programs(0)
+    b_rows, k_slots = rv_ref.shape
+    colk_init = jax.lax.broadcasted_iota(jnp.int32, (b_rows, k_slots), 1)
 
     @pl.when(i == 0)
     def _init():
-        rv_ref[:] = jnp.full_like(rv_ref, NEG_INF)
+        rv_ref[:] = jnp.where(colk_init < k_eff, NEG_INF, POS_INF)
         ri_ref[:] = jnp.zeros_like(ri_ref)
 
     @pl.when(i < nscan_ref[0])
@@ -165,22 +171,22 @@ def _ivf_kernel(blk_ids_ref, nscan_ref, q_ref, sel_ref, e_ref, cid_ref,
                 sc = jnp.where((col == barg) & take, NEG_INF, sc)
                 return sc, rv, ri
 
-            _, rv_f, ri_f = jax.lax.fori_loop(0, k, body, (scores, rv_ref[:], ri_ref[:]))
+            _, rv_f, ri_f = jax.lax.fori_loop(0, k_eff, body, (scores, rv_ref[:], ri_ref[:]))
             rv_ref[:] = rv_f
             ri_ref[:] = ri_f
 
     @pl.when(i == n_steps - 1)
     def _emit():
-        vals_out[:] = rv_ref[:]
+        vals_out[:] = jnp.where(colk_init < k_eff, rv_ref[:], NEG_INF)
         idx_out[:] = ri_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_rows", "interpret"))
-def _ivf_search_pallas(emb, cid, queries, sel, blk_ids, n_scan, k, block_rows, interpret):
+@functools.partial(jax.jit, static_argnames=("k", "k_eff", "block_rows", "interpret"))
+def _ivf_search_pallas(emb, cid, queries, sel, blk_ids, n_scan, k, k_eff, block_rows, interpret):
     n_pad, d = emb.shape
     b_pad = queries.shape[0]
     max_steps = blk_ids.shape[0]
-    kernel = functools.partial(_ivf_kernel, k=k, block_rows=block_rows)
+    kernel = functools.partial(_ivf_kernel, k=k, k_eff=k_eff, block_rows=block_rows)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(max_steps,),
@@ -273,7 +279,7 @@ def ivf_search(
     vals, idx = _ivf_search_pallas(
         emb_dev, layout.cluster_ids_device(), jnp.asarray(qp, emb_dev.dtype),
         jnp.asarray(selp), jnp.asarray(blk_ids), jnp.asarray(n_scan),
-        k_pad, layout.block_rows, interpret,
+        k_pad, k_eff, layout.block_rows, interpret,
     )
     vals, idx = _sort_topk(vals[:b], idx[:b], k_pad)
     vals = np.asarray(vals[:, :k_eff])

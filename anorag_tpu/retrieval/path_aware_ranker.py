@@ -108,17 +108,86 @@ class PathAwareRanker:
         low = (text or "").lower()
         return [p for p, pat in _PREDICATE_MAP.items() if re.search(pat, low)]
 
-    def _build_graph(self, candidates: Sequence[Dict[str, Any]]) -> EntityGraph:
-        g = EntityGraph()
+    def _edge_triples(self, candidates: Sequence[Dict[str, Any]]):
+        """Interned (src, dst, cand_idx, rel) edge lists + id<->entity maps.
+
+        One extraction pass shared by the native (C++) and Python graph
+        paths; edge order here defines BFS path order in both."""
+        ent2id: Dict[str, int] = {}
+        id2ent: List[str] = []
+        src: List[int] = []
+        dst: List[int] = []
+        cnd: List[int] = []
+        rels: List[str] = []
         for i, c in enumerate(candidates):
             text = f"{c.get('title','')} {c.get('content','')}"
             ents = [str(e) for e in (c.get("entities") or [])] or self.extract_entities(text)
+            ents = [e.lower() for e in ents]
             preds = self.extract_predicates(text)
             rel = preds[0] if preds else "related_to"
             for a in range(len(ents)):
                 for b in range(a + 1, min(len(ents), a + 5)):
-                    g.add(ents[a], ents[b], rel, i)
+                    ea, eb = ents[a], ents[b]
+                    if ea == eb:
+                        continue
+                    for e in (ea, eb):
+                        if e not in ent2id:
+                            ent2id[e] = len(id2ent)
+                            id2ent.append(e)
+                    src.append(ent2id[ea])
+                    dst.append(ent2id[eb])
+                    cnd.append(i)
+                    rels.append(rel)
+        return src, dst, cnd, rels, ent2id, id2ent
+
+    def _build_graph(self, candidates: Sequence[Dict[str, Any]]) -> EntityGraph:
+        g = EntityGraph()
+        src, dst, cnd, rels, _, id2ent = self._edge_triples(candidates)
+        for a, b, i, rel in zip(src, dst, cnd, rels):
+            g.add(id2ent[a], id2ent[b], rel, i)
         return g
+
+    def _graph_features(
+        self, candidates: Sequence[Dict[str, Any]], q_entities: Sequence[str],
+        use_native: Optional[bool] = None,
+    ) -> Tuple[Set[str], np.ndarray]:
+        """(k-hop expanded entity set, per-candidate path-edge contribution
+        counts). C++ fast path (anorag_pathrank) with a pure-Python fallback
+        of identical semantics."""
+        n = len(candidates)
+        if not q_entities:
+            return set(), np.zeros(n, np.int32)
+        src, dst, cnd, rels, ent2id, id2ent = self._edge_triples(candidates)
+        q_ids = [ent2id.get(e, -1) for e in q_entities]
+
+        if use_native is not False:
+            from anorag_tpu.native import pathrank_native
+
+            res = pathrank_native(src, dst, cnd, len(id2ent), n, q_ids,
+                                  k_hop=self.k_hop, max_len=3, per_pair_cap=8)
+            if res is not None:
+                mask, contributing = res
+                expanded = {id2ent[j] for j in np.nonzero(mask)[0]}
+                return expanded, contributing
+            if use_native is True:
+                raise RuntimeError("native pathrank requested but unavailable")
+
+        g = EntityGraph()
+        for a, b, i, rel in zip(src, dst, cnd, rels):
+            g.add(id2ent[a], id2ent[b], rel, i)
+        expanded = g.k_hop(list(q_entities), self.k_hop)
+        counts: Dict[int, int] = defaultdict(int)
+        for a in range(len(q_entities)):
+            for b in range(a + 1, len(q_entities)):
+                for path in g.find_paths(q_entities[a], q_entities[b], max_len=3)[:8]:
+                    for u, v in zip(path, path[1:]):
+                        for (w, _, ci) in g.adj[u]:
+                            if w == v:
+                                counts[ci] += 1
+        contributing = np.zeros(n, np.int32)
+        for ci, cnt in counts.items():
+            contributing[ci] = cnt
+        return expanded, contributing
 
     # ------------------------------------------------------------- ranking
     @log_performance
@@ -127,8 +196,7 @@ class PathAwareRanker:
         if not candidates:
             return []
         q_entities = [e.lower() for e in self.extract_entities(query)]
-        graph = self._build_graph(candidates)
-        expanded = graph.k_hop(q_entities, self.k_hop) if q_entities else set()
+        expanded, contributing = self._graph_features(candidates, q_entities)
         q_tokens = set(tokenize_no_stop(query))
 
         n = len(candidates)
@@ -161,19 +229,9 @@ class PathAwareRanker:
         # avg path score: candidates contributing edges on paths between
         # query entities get credit
         avg_path = np.zeros(n, np.float32)
-        if len(q_entities) >= 2:
-            contributing: Dict[int, int] = defaultdict(int)
-            for a in range(len(q_entities)):
-                for b in range(a + 1, len(q_entities)):
-                    for path in graph.find_paths(q_entities[a], q_entities[b], max_len=3)[:8]:
-                        for u, v in zip(path, path[1:]):
-                            for (w, _, ci) in graph.adj[u]:
-                                if w == v:
-                                    contributing[ci] += 1
-            if contributing:
-                top = max(contributing.values())
-                for ci, cnt in contributing.items():
-                    avg_path[ci] = cnt / top
+        top = contributing.max() if contributing.size else 0
+        if top > 0:
+            avg_path = contributing.astype(np.float32) / float(top)
 
         path_score = 0.4 * key_cov + 0.3 * exp_cov + 0.3 * avg_path
         final = (

@@ -7,7 +7,11 @@
 //     (the index-build path of anorag_tpu/ops/bm25.py — identical math:
 //      idf = ln((N - df + 0.5)/(df + 0.5) + 1),
 //      w   = idf * tf*(k1+1)/(tf + k1*(1 - b + b*len/avgdl)) ),
-//   * Levenshtein ratio for fuzzy entity matching.
+//   * Levenshtein ratio for fuzzy entity matching,
+//   * path-aware ranker graph ops (k-hop expansion + simple-path BFS edge
+//     contribution counts over the per-query entity graph — the reference's
+//     LightweightGraph.find_paths/k_hop_expansion hot loop,
+//     /root/reference/retrieval/path_aware_ranker.py:77-246).
 //
 // C ABI only (loaded via ctypes). Build: make -C native
 #include <algorithm>
@@ -15,6 +19,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -184,6 +189,103 @@ double anorag_levenshtein_ratio(const char* a, int64_t la, const char* b,
   }
   const double dist = prev[lb];
   return 1.0 - dist / static_cast<double>(std::max(la, lb));
+}
+
+// Path-aware ranker graph ops over an undirected entity multigraph with
+// interned node ids. Each input edge (src[e], dst[e]) carries the index of
+// the candidate note that contributed it. Semantics mirror the Python
+// EntityGraph (anorag_tpu/retrieval/path_aware_ranker.py) exactly:
+//   * expanded: level-synchronous k-hop BFS membership from the query
+//     entities (seeds included; seeds with no edges ignored);
+//   * contributing: for every (a < b) query-entity pair, enumerate simple
+//     paths src->dst in BFS order with at most max_len nodes, take the
+//     first per_pair_cap, and for each consecutive (u, v) on a path count
+//     every adjacency entry u->v once toward its candidate.
+// Adjacency per node preserves edge-insertion order (CSR counting sort with
+// sequential fill) so BFS path order — and therefore which paths fall under
+// the cap — matches the Python structure built from the same triples.
+void anorag_pathrank(const int32_t* src, const int32_t* dst,
+                     const int32_t* cand, int64_t n_edges, int32_t n_nodes,
+                     int32_t n_cands, const int32_t* q_ents, int32_t n_q,
+                     int32_t k_hop, int32_t max_len, int32_t per_pair_cap,
+                     uint8_t* expanded, int32_t* contributing) {
+  std::vector<int64_t> off(static_cast<size_t>(n_nodes) + 1, 0);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    off[src[e] + 1]++;
+    off[dst[e] + 1]++;
+  }
+  for (int32_t v = 0; v < n_nodes; ++v) off[v + 1] += off[v];
+  std::vector<int32_t> nbr(2 * n_edges), ecand(2 * n_edges);
+  std::vector<int64_t> cur(off.begin(), off.end() - 1);
+  for (int64_t e = 0; e < n_edges; ++e) {
+    int64_t p = cur[src[e]]++;
+    nbr[p] = dst[e];
+    ecand[p] = cand[e];
+    p = cur[dst[e]]++;
+    nbr[p] = src[e];
+    ecand[p] = cand[e];
+  }
+
+  // k-hop expansion
+  std::vector<uint8_t> seen(n_nodes, 0);
+  std::vector<int32_t> frontier;
+  for (int32_t i = 0; i < n_q; ++i) {
+    const int32_t s = q_ents[i];
+    if (s >= 0 && s < n_nodes && off[s + 1] > off[s] && !seen[s]) {
+      seen[s] = 1;
+      frontier.push_back(s);
+    }
+  }
+  for (int32_t h = 0; h < k_hop && !frontier.empty(); ++h) {
+    std::vector<int32_t> nxt;
+    for (int32_t u : frontier)
+      for (int64_t p = off[u]; p < off[u + 1]; ++p)
+        if (!seen[nbr[p]]) {
+          seen[nbr[p]] = 1;
+          nxt.push_back(nbr[p]);
+        }
+    frontier.swap(nxt);
+  }
+  std::memcpy(expanded, seen.data(), static_cast<size_t>(n_nodes));
+
+  // simple-path BFS between query-entity pairs
+  std::fill(contributing, contributing + n_cands, 0);
+  if (n_q < 2 || max_len < 2) return;
+  for (int32_t a = 0; a < n_q; ++a) {
+    for (int32_t b = a + 1; b < n_q; ++b) {
+      const int32_t s = q_ents[a], t = q_ents[b];
+      if (s < 0 || s >= n_nodes || t < 0 || t >= n_nodes) continue;
+      if (off[s + 1] == off[s]) continue;  // src not in graph
+      std::deque<std::vector<int32_t>> q;
+      q.push_back({s});
+      int32_t found = 0;
+      int64_t expansions = 0;  // safety valve; Python has none and would hang
+      while (!q.empty() && found < per_pair_cap && expansions < 2000000) {
+        std::vector<int32_t> path = std::move(q.front());
+        q.pop_front();
+        if (static_cast<int32_t>(path.size()) > max_len) continue;
+        const int32_t u = path.back();
+        if (u == t && path.size() > 1) {
+          ++found;
+          for (size_t i = 0; i + 1 < path.size(); ++i) {
+            const int32_t x = path[i], y = path[i + 1];
+            for (int64_t p = off[x]; p < off[x + 1]; ++p)
+              if (nbr[p] == y) contributing[ecand[p]]++;
+          }
+          continue;
+        }
+        for (int64_t p = off[u]; p < off[u + 1]; ++p) {
+          const int32_t v = nbr[p];
+          ++expansions;
+          if (std::find(path.begin(), path.end(), v) == path.end()) {
+            std::vector<int32_t> np = path;
+            np.push_back(v);
+            q.push_back(std::move(np));
+          }
+        }
+      }
+    }
+  }
 }
 
 }  // extern "C"

@@ -51,3 +51,40 @@ def test_native_tokenize_count():
     lib = native.load()
     text = "Hello, World! it's 2024".encode()
     assert lib.anorag_tokenize_count(text, len(text)) == len(tokenize("Hello, World! it's 2024"))
+
+
+def _random_candidates(rng, n_cands=30, n_ents=40):
+    ents = [f"entity {chr(65+i)}{i}" for i in range(n_ents)]
+    cands = []
+    for _ in range(n_cands):
+        k = rng.integers(2, 7)
+        chosen = list(rng.choice(n_ents, size=k, replace=False))
+        cands.append({
+            "title": "t", "content": "c",
+            "entities": [ents[j] for j in chosen],
+            "final_score": float(rng.random()),
+        })
+    return ents, cands
+
+
+def test_pathrank_native_matches_python_fallback():
+    from anorag_tpu.retrieval.path_aware_ranker import PathAwareRanker
+
+    rng = np.random.default_rng(3)
+    ranker = PathAwareRanker()
+    for trial in range(5):
+        ents, cands = _random_candidates(rng)
+        q_entities = [e.lower() for e in rng.choice(ents, size=3, replace=False)]
+        exp_n, contrib_n = ranker._graph_features(cands, q_entities, use_native=True)
+        exp_p, contrib_p = ranker._graph_features(cands, q_entities, use_native=False)
+        assert exp_n == exp_p, f"trial {trial}: k-hop expansion differs"
+        np.testing.assert_array_equal(contrib_n, contrib_p)
+
+
+def test_pathrank_native_empty_graph():
+    from anorag_tpu.retrieval.path_aware_ranker import PathAwareRanker
+
+    ranker = PathAwareRanker()
+    cands = [{"title": "", "content": "", "entities": []}]
+    exp, contrib = ranker._graph_features(cands, ["nobody"])
+    assert exp == set() and contrib.tolist() == [0]
