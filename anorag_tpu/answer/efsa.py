@@ -21,7 +21,7 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from anorag_tpu.utils.file_io import read_jsonl
-from anorag_tpu.utils.text import normalize_entity
+from anorag_tpu.utils.text import normalize_entity, tokenize
 
 HOP_DECAY = 0.85
 COV_BONUS = 0.10
@@ -68,6 +68,19 @@ def efsa_answer(
     if be:
         excluded.add(be)
     pe = list(path_entities or [])
+    # a wh-question's answer must add information beyond the question: any
+    # entity whose tokens are all contained in the question cannot be it
+    # (exact-match exclusion alone misses partial extractions, e.g. query
+    # entity "Horizon" vs note entity "Horizon 7")
+    qtok = set(tokenize(query)) if query else set()
+
+    def _is_excluded(e: str) -> bool:
+        if normalize_entity(e).lower() in excluded:
+            return True
+        if qtok:
+            etok = tokenize(e)
+            return bool(etok) and set(etok) <= qtok
+        return False
 
     # note weights (vector)
     hops = np.array([int(n.get("hop_no", 1)) for n in pool], np.float64)
@@ -82,7 +95,7 @@ def efsa_answer(
     for i, n in enumerate(pool):
         for e in n.get("entities") or []:
             e = str(e)
-            if normalize_entity(e).lower() in excluded:
+            if _is_excluded(e):
                 continue
             eid = ent_ids.get(e)
             if eid is None:

@@ -259,6 +259,23 @@ def ivf_search(
         interpret = not on_tpu
 
     b = queries.shape[0]
+    # VMEM budget: the kernel holds queries + corpus block + (B, block) f32
+    # score tile + merge temporaries. At block_rows=1024/D=1024, B=512
+    # overflows the ~16MB scoped vmem — chunk the batch (shape-stable:
+    # every chunk reuses the same compiled kernel).
+    # measured: B=512/block=1024/D=1024 allocates 17.4M -> ~26KB VMEM per
+    # query row at block 1024 (+4MB corpus block); keep rows under ~9MB and
+    # floor to a power of two so every chunk hits the same compiled shape
+    max_b = max(64, (9 * 1024 * 1024) // (layout.block_rows * 26))
+    max_b = 1 << (max_b.bit_length() - 1)
+    if use_pallas and b > max_b:
+        parts = [
+            ivf_search(layout, sorted_emb, queries[i:i + max_b], k, nprobe=nprobe,
+                       use_pallas=use_pallas, interpret=interpret)
+            for i in range(0, b, max_b)
+        ]
+        return (np.concatenate([p[0] for p in parts], axis=0),
+                np.concatenate([p[1] for p in parts], axis=0))
     sel = ivf_probe(layout, queries, nprobe)          # (B, nprobe)
     nprobe_eff = sel.shape[1]
     if not use_pallas:

@@ -1,0 +1,81 @@
+"""End-to-end serving benchmark: QueryProcessor.process_batch steady-state.
+
+Builds a synthetic 10k-note KB (hash embeddings, real device retrieval),
+then measures steady-state batched QPS with the full host answer stack
+(evidence rerank, path validation, EFSA). Reusable successor to the ad-hoc
+measurement recorded in docs/architecture.md.
+"""
+import argparse
+import time
+
+import numpy as np
+
+from anorag_tpu.config import ConfigLoader
+from anorag_tpu.query.processor import QueryProcessor
+
+
+def make_kb(n_notes: int, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    first = ["Aurora", "Marcus", "Elena", "David", "Sofia", "Liam", "Nora", "Felix",
+             "Iris", "Hugo", "Maya", "Oscar", "Tara", "Ivan", "Lena", "Rex"]
+    last = ["Lane", "Webb", "Cortez", "Kim", "Reyes", "Stone", "Park", "Vance",
+            "Bloom", "Hart", "Frost", "Quinn", "Sage", "Wolf", "Moss", "Dale"]
+    things = ["Horizon", "River", "Summit", "Garden", "Harbor", "Canyon", "Meadow",
+              "Lantern", "Mirror", "Anchor", "Beacon", "Orchard", "Prism", "Atlas"]
+    notes, probes = [], []
+    for i in range(n_notes):
+        person = f"{first[rng.integers(len(first))]} {last[rng.integers(len(last))]} {i}"
+        thing = f"{things[rng.integers(len(things))]} {i}"
+        content = f"{thing} was created by {person}."
+        notes.append({
+            "note_id": f"n{i}", "doc_id": f"doc_{i}", "title": thing,
+            "content": content, "text": content, "raw_span": content,
+            "entities": [thing, person], "paragraph_idxs": [i],
+        })
+        if i % (n_notes // 64 or 1) == 0:
+            probes.append((f"Who created {thing}?", person))
+    return notes, probes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-notes", type=int, default=10_000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--steady-batches", type=int, default=10)
+    args = ap.parse_args()
+
+    loader = ConfigLoader(auto_load=False)
+    loader.set("embedding.backend", "hash")
+    loader.set("embedding.dim", 1024)
+    loader.set("vector_store.index_type", "Flat")
+    loader.set("vector_store.top_k", 10)
+    loader.set("hybrid_search.lexical_fallback.noise_threshold", 0.0)
+
+    notes, probes = make_kb(args.n_notes)
+    t0 = time.perf_counter()
+    qp = QueryProcessor(notes, cfg=loader, llm=None)
+    print(f"KB build ({args.n_notes} notes): {time.perf_counter()-t0:.1f}s", flush=True)
+
+    queries = [q for q, _ in probes][: args.batch]
+    want = [a for _, a in probes][: args.batch]
+    while len(queries) < args.batch:
+        queries.append(queries[-1])
+        want.append(want[-1])
+
+    # warm-up: compile all bucketed shapes
+    for _ in range(2):
+        res = qp.process_batch(queries)
+    correct = sum(1 for r, w in zip(res, want) if w.lower() in str(r.get("answer", "")).lower())
+
+    t0 = time.perf_counter()
+    for _ in range(args.steady_batches):
+        qp.process_batch(queries)
+    dt = (time.perf_counter() - t0) / args.steady_batches
+    qps = args.batch / dt
+    print(f"steady-state: {dt*1e3:.1f} ms/batch{args.batch} = {qps:.0f} QPS "
+          f"({dt/args.batch*1e3:.2f} ms/query); answer accuracy on probes: "
+          f"{correct}/{args.batch}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -300,3 +300,18 @@ def test_validate_note_and_normalize():
     assert n["retrieval_method"] == "dense"
     assert n["hop_no"] == 2
     assert n["bridge_entity"] == "B"
+
+
+def test_efsa_excludes_question_subset_entities():
+    # "Horizon 7" is fully contained in the question's tokens -> cannot be
+    # the answer even though exact-match exclusion misses it (query entity
+    # extraction may yield only "Horizon")
+    cands = [{
+        "note_id": "n1", "doc_id": "d1", "final_score": 1.0, "hop_no": 1,
+        "title": "Horizon 7", "content": "Horizon 7 was created by Ivan Frost.",
+        "entities": ["Horizon 7", "Ivan Frost"], "paragraph_idxs": [0],
+    }]
+    ans, support, _ = efsa_answer(cands, "Who created Horizon 7?",
+                                  exclude_entities=["Horizon"])
+    assert ans == "Ivan Frost"
+    assert support == [0]
