@@ -8,15 +8,14 @@ bundle from the wider candidate pool.
 """
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, List, Optional, Sequence
 
-from anorag_tpu.retrieval.path_aware_ranker import _PREDICATE_MAP
+from anorag_tpu.retrieval.path_aware_ranker import predicates_of
 
 
 def _note_predicates(note: Dict[str, Any]) -> List[str]:
     text = f"{note.get('title','')} {note.get('content','')}".lower()
-    hits = [p for p, pat in _PREDICATE_MAP.items() if re.search(pat, text)]
+    hits = list(predicates_of(text))
     if note.get("rel"):
         hits.append(str(note["rel"]))
     return hits

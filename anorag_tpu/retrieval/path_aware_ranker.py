@@ -14,6 +14,7 @@ and blends
 """
 from __future__ import annotations
 
+import functools
 import re
 from collections import defaultdict, deque
 from typing import Any, Dict, List, Optional, Sequence, Set, Tuple
@@ -33,6 +34,15 @@ _PREDICATE_MAP = {
     "directed_by": r"\bdirect(?:ed|or)\b",
     "released_in": r"\breleased?\b",
 }
+_PREDICATE_COMPILED = [(p, re.compile(pat)) for p, pat in _PREDICATE_MAP.items()]
+
+
+@functools.lru_cache(maxsize=65536)
+def predicates_of(text_low: str) -> Tuple[str, ...]:
+    """Predicate labels whose cue patterns match the (lowercased) text.
+    Cached: notes are static per KB and validators/rankers re-extract the
+    same texts every query (profiled at 94k regex searches per 3 batches)."""
+    return tuple(p for p, pat in _PREDICATE_COMPILED if pat.search(text_low))
 
 
 class EntityGraph:
@@ -105,8 +115,7 @@ class PathAwareRanker:
 
     @staticmethod
     def extract_predicates(text: str) -> List[str]:
-        low = (text or "").lower()
-        return [p for p, pat in _PREDICATE_MAP.items() if re.search(pat, low)]
+        return list(predicates_of((text or "").lower()))
 
     def _edge_triples(self, candidates: Sequence[Dict[str, Any]]):
         """Interned (src, dst, cand_idx, rel) edge lists + id<->entity maps.

@@ -6,6 +6,7 @@ scores are bit-comparable with the reference pipeline.
 """
 from __future__ import annotations
 
+import functools
 import re
 from typing import Dict, Iterable, List, Optional
 
@@ -83,8 +84,10 @@ def jaccard(a: Iterable[str], b: Iterable[str]) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+@functools.lru_cache(maxsize=16384)
 def normalize_answer(s: str) -> str:
-    """SQuAD/MuSiQue-style answer normalization for EM/F1."""
+    """SQuAD/MuSiQue-style answer normalization for EM/F1. Cached — answer
+    stages normalize the same candidate strings repeatedly per batch."""
     s = (s or "").lower()
     s = re.sub(r"\b(a|an|the)\b", " ", s)
     s = re.sub(r"[^\w\s]", " ", s)
