@@ -357,7 +357,8 @@ def _pad_k(vals, idx, k, k_eff):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "dense_k", "sparse_m",
-                                              "sparse_weight", "recall_target", "n_docs"))
+                                              "sparse_weight", "recall_target", "n_docs",
+                                              "materialize_bytes"))
 def hybrid_topk(
     emb: jax.Array,          # (N, D)
     queries: jax.Array,      # (B, D)
@@ -369,6 +370,7 @@ def hybrid_topk(
     sparse_m: int = 64,
     sparse_weight: float = 0.6,
     recall_target: float = 0.95,
+    materialize_bytes: int = 2 * 1024**3,
 ):
     """Hybrid v2 top-k via candidate-union fusion — fully scatter-free.
 
@@ -397,11 +399,23 @@ def hybrid_topk(
     sp_docs = sp_docs_all
     inv_max = jnp.where(sp_max > 0, 1.0 / jnp.maximum(sp_max, 1e-30), 0.0)
 
-    # dense scores computed once; candidates via hardware approx top-k and
-    # the sparse candidates' dense cross-scores by row gather
-    scores = jnp.dot(queries, emb.T, preferred_element_type=jnp.float32)
-    d_vals, d_idx = jax.lax.approx_max_k(scores, dense_k, recall_target=recall_target)
-    sp_dense = jnp.take_along_axis(scores, jnp.maximum(sp_docs, 0), axis=1)
+    # dense candidates via hardware approx top-k; sparse candidates' dense
+    # cross-scores by row gather. Below ~2GB the (B, N) score matrix is
+    # materialized once and reused for the gather; above it (huge corpora)
+    # the chunked approx scan + per-row embedding gather keeps memory
+    # O(B*chunk) with identical fusion semantics.
+    b = queries.shape[0]
+    if 4 * b * n_docs <= materialize_bytes:
+        scores = jnp.dot(queries, emb.T, preferred_element_type=jnp.float32)
+        d_vals, d_idx = jax.lax.approx_max_k(scores, dense_k, recall_target=recall_target)
+        sp_dense = jnp.take_along_axis(scores, jnp.maximum(sp_docs, 0), axis=1)
+    else:
+        on_tpu = jax.default_backend() == "tpu"
+        d_vals, d_idx = dense_topk_xla(emb, queries, dense_k,
+                                       approx=on_tpu, recall_target=recall_target)
+        sp_emb = emb[jnp.maximum(sp_docs, 0)]           # (B, M, D)
+        sp_dense = jnp.einsum("bmd,bd->bm", sp_emb.astype(jnp.float32),
+                              queries.astype(jnp.float32))
     # sparse score of dense candidates: equality match vs the lookup table
     eq = d_idx[:, :, None] == sp_docs_all[:, None, :]          # (B, Kd, Ml)
     d_sparse = jnp.sum(jnp.where(eq, sp_vals_all[:, None, :], 0.0), axis=-1)

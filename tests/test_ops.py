@@ -269,3 +269,32 @@ def test_hybrid_topk_candidate_union():
     rec = np.mean([len(set(np.asarray(ids2)[i]) & set(exact_top[i])) / 10
                    for i in range(b)])
     assert rec >= 0.8, rec
+
+
+def test_hybrid_topk_huge_n_branch_matches_materialized():
+    """The bounded-memory branch (chunked dense scan + per-row gather) must
+    produce the same fusion as the materialized (B, N) branch."""
+    from anorag_tpu.ops.bm25 import build_postings, gather_plan_sorted
+    from anorag_tpu.ops.topk import hybrid_topk
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    n, d, b = 400, 32, 4
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    docs = [rng.integers(0, 60, 10).tolist() for _ in range(n)]
+    p = build_postings(docs, vocab_size=60)
+    queries = [rng.integers(0, 60, 4).tolist() for _ in range(b)]
+    dr, wr, _ = gather_plan_sorted(p, queries)
+
+    kw = dict(k=10, n_docs=n, dense_k=64, sparse_m=64, sparse_weight=0.6,
+              recall_target=0.95)
+    v_small, i_small = hybrid_topk(jnp.asarray(emb), jnp.asarray(q),
+                                   jnp.asarray(dr), jnp.asarray(wr), **kw)
+    v_huge, i_huge = hybrid_topk(jnp.asarray(emb), jnp.asarray(q),
+                                 jnp.asarray(dr), jnp.asarray(wr),
+                                 materialize_bytes=0, **kw)
+    np.testing.assert_allclose(np.asarray(v_small), np.asarray(v_huge),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(i_small), np.asarray(i_huge))
