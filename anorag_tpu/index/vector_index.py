@@ -40,7 +40,7 @@ class VectorIndex:
         nprobe: int = 4,
         storage_dtype: str = "bfloat16",
         use_pallas: Optional[bool] = None,
-        ivf_min_corpus: int = 1_000_000,
+        ivf_min_corpus: int = 5_000_000,
         recall_target: float = 0.95,
     ):
         if index_type in _DEGRADE:
@@ -50,8 +50,12 @@ class VectorIndex:
         self.dimension = dimension
         self.index_type = index_type
         # Below this corpus size the fused flat scan beats cluster pruning on
-        # TPU (batched probes union most clusters; the brute-force kernel is
-        # ~1ms per 200k x 1024 batch), so IVFFlat quietly uses the flat path.
+        # TPU, so IVFFlat quietly uses the flat path. Measured at 1M x 1024,
+        # B=512 (scripts/bench_ivf_1m.py): flat approx 14.3k QPS @ recall
+        # 0.98 vs IVF <1k QPS — large batches union most clusters (the probe
+        # sets of 512 queries touch nearly every block), so pruning saves
+        # nothing while the validity masking adds cost. IVF pays only for
+        # huge corpora with small batches.
         self.ivf_min_corpus = ivf_min_corpus
         self.metric = metric
         self.nlist = nlist
