@@ -32,7 +32,7 @@ Pipeline (traditional path, reference :1941-2639):
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Iterable, List, Optional, Sequence
 
 import numpy as np
 
@@ -262,7 +262,17 @@ class QueryProcessor:
         use process() when full multi-hop treatment is needed.
         """
         top_k = top_k or self.cfg.get("context.max_notes_for_llm", 20)
-        batches = self.retriever.hybrid_search(list(queries), top_k=top_k)
+        handle = self.retriever.hybrid_search_dispatch(list(queries), top_k=top_k)
+        return self._finish_batch(handle, queries, dataset)
+
+    def _finish_batch(self, handle, queries: Sequence[str],
+                      dataset: Optional[str]) -> List[Dict[str, Any]]:
+        return self._assemble_batch(self.retriever.hybrid_search_finalize(handle),
+                                    queries, dataset)
+
+    def _assemble_batch(self, batches: List[List[Dict[str, Any]]],
+                        queries: Sequence[str],
+                        dataset: Optional[str]) -> List[Dict[str, Any]]:
         out: List[Dict[str, Any]] = []
         for query, selected in zip(queries, batches):
             selected = filter_notes_by_namespace(selected, dataset)
@@ -278,6 +288,32 @@ class QueryProcessor:
                 "notes": selected,
             })
         return out
+
+    def process_stream(self, batches: Iterable[Sequence[str]],
+                       dataset: Optional[str] = None,
+                       top_k: Optional[int] = None,
+                       prefetch: int = 2):
+        """Pipelined batched answering: a background thread runs batch i+1's
+        device retrieval (and its tunnel/transfer wait — it releases the GIL
+        there) while the main thread runs batch i's host answer stages.
+        Yields one result list per input batch, in order."""
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+
+        top_k = top_k or self.cfg.get("context.max_notes_for_llm", 20)
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            futs: collections.deque = collections.deque()
+            for batch in batches:
+                futs.append((ex.submit(self.retriever.hybrid_search,
+                                       list(batch), top_k=top_k), batch))
+                while len(futs) > max(1, prefetch):
+                    yield self._host_stages(*futs.popleft(), dataset)
+            while futs:
+                yield self._host_stages(*futs.popleft(), dataset)
+
+    def _host_stages(self, fut, queries: Sequence[str],
+                     dataset: Optional[str]) -> List[Dict[str, Any]]:
+        return self._assemble_batch(fut.result(), queries, dataset)
 
     # ======================================================================
     # traditional path

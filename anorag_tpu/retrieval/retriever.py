@@ -184,13 +184,28 @@ class VectorRetriever:
         path (ops.topk.hybrid_topk): dense approx top-k u sorted-cumsum BM25
         top-m, cross-scored, fused as 1.0*dense + w*bm25_normalized.
         """
+        return self.hybrid_search_finalize(
+            self.hybrid_search_dispatch(queries, top_k=top_k,
+                                        sparse_weight=sparse_weight,
+                                        recall_target=recall_target))
+
+    def hybrid_search_dispatch(self, queries: Sequence[str],
+                               top_k: Optional[int] = None,
+                               sparse_weight: float = 0.6,
+                               recall_target: float = 0.95):
+        """Issue the device pass WITHOUT waiting for results.
+
+        Returns an opaque handle for hybrid_search_finalize. JAX dispatch is
+        asynchronous, so the kernel runs while the caller does host work —
+        the pipelined serving path overlaps batch i's answer stages with
+        batch i+1's retrieval.
+        """
         if not self.notes:
-            return [[] for _ in queries]
+            return ("empty", list(queries))
         import jax.numpy as jnp
 
         from anorag_tpu.ops.bm25 import gather_plan_sorted
         from anorag_tpu.ops.topk import hybrid_topk
-        from anorag_tpu.utils.text import tokenize
 
         top_k = top_k or self.top_k
         q_emb = self.em.encode_queries(list(queries))
@@ -206,6 +221,13 @@ class VectorRetriever:
             sparse_m=min(max(2 * k_eff, 16), len(self.notes)),
             sparse_weight=sparse_weight, recall_target=recall_target,
         )
+        return ("pending", list(queries), vals, ids)
+
+    def hybrid_search_finalize(self, handle) -> List[List[Dict[str, Any]]]:
+        """Wait for a dispatched hybrid search and materialize note rows."""
+        if handle[0] == "empty":
+            return [[] for _ in handle[1]]
+        _, queries, vals, ids = handle
         vals, ids = np.asarray(vals), np.asarray(ids)
         out: List[List[Dict[str, Any]]] = []
         for qi, query in enumerate(queries):

@@ -212,3 +212,16 @@ def test_process_batch_fast_path():
     assert res[0]["answer"] == "Chris Reed"
     assert res[1]["answer"] == "David Kim"
     assert all(r["predicted_support_idxs"] for r in res)
+
+
+def test_process_stream_matches_process_batch():
+    qp = QueryProcessor(_kb_notes(), cfg=_cfg(), llm=None)
+    queries = ["Who is the spouse of the performer of Blue Horizon?",
+               "Who founded Nexus Labs?",
+               "Who directed Silent River?"]
+    batch_res = qp.process_batch(queries[:2]) + qp.process_batch(queries[2:])
+    stream_res = [r for out in qp.process_stream([queries[:2], queries[2:]])
+                  for r in out]
+    assert [r["answer"] for r in stream_res] == [r["answer"] for r in batch_res]
+    assert [r["predicted_support_idxs"] for r in stream_res] == \
+           [r["predicted_support_idxs"] for r in batch_res]
