@@ -142,3 +142,39 @@ def test_sharded_encode_runs_on_mesh():
     enc = make_sharded_encode(mesh, lambda p, i, m: encode(p, i, m, cfg))
     out = enc(params, ids, mask)
     assert np.asarray(out).shape == (16, cfg.hidden_size)
+
+
+@pytest.mark.slow
+def test_trained_encoder_beats_untrained_on_heldout_retrieval():
+    """In-framework contrastive training must produce embeddings that
+    retrieve held-out templated queries (unseen entities) far better than
+    the random init — the from-scratch path for images without bge-m3
+    weights (CLAUDE.md backlog: trainer can supply quality if needed)."""
+    from anorag_tpu.models.train import EncoderTrainer
+
+    names = [f"item{i}" for i in range(64)]
+    makers = [f"maker{i}" for i in range(64)]
+    notes = [f"{n} was created by {m} in the workshop" for n, m in zip(names, makers)]
+    queries = [f"who made the {n}" for n in names]
+    train_idx, eval_idx = list(range(48)), list(range(48, 64))
+    pairs = [(queries[i], notes[i]) for i in train_idx]
+
+    cfg = EncoderConfig.small()
+    tok = HashTokenizer(cfg.vocab_size, cfg.max_position)
+
+    def recall_at_1(params):
+        n_ids, n_mask = tok.encode_batch(notes, 16)
+        q_ids, q_mask = tok.encode_batch([queries[i] for i in eval_idx], 16)
+        ne = encode(params, jnp.asarray(n_ids), jnp.asarray(n_mask), cfg)
+        qe = encode(params, jnp.asarray(q_ids), jnp.asarray(q_mask), cfg)
+        sims = np.asarray(qe @ ne.T)
+        return float(np.mean(sims.argmax(axis=1) == np.array(eval_idx)))
+
+    tr = EncoderTrainer(cfg=cfg, learning_rate=3e-4, seed=0)
+    r_untrained = recall_at_1(tr.params)
+    tr.train(pairs, tokenizer=tok, epochs=15, batch_size=16, max_length=16)
+    r_trained = recall_at_1(tr.params)
+    # measured: 0.125 untrained -> 0.94 trained (30 epochs); generous margins
+    assert r_untrained <= 0.5
+    assert r_trained >= 0.75
+    assert r_trained > r_untrained + 0.25
