@@ -28,6 +28,10 @@ DEFAULT_CONFIG: Dict[str, Any] = {
             "model_axis": "model",
             "model_parallel_size": 1,  # 1 => pure data parallel
         },
+        # auto => row-shard the corpus + run sharded hybrid search whenever
+        # more than one device is attached; on forces a (possibly 1-device)
+        # mesh; off pins every search single-device.
+        "sharded_search": "auto",
         "compute_dtype": "bfloat16",
         "compilation_cache_dir": "~/.cache/anorag_jax",
         "accum_dtype": "float32",

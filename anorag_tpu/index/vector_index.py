@@ -42,6 +42,7 @@ class VectorIndex:
         use_pallas: Optional[bool] = None,
         ivf_min_corpus: int = 5_000_000,
         recall_target: float = 0.95,
+        mesh=None,
     ):
         if index_type in _DEGRADE:
             logger.info("index type %s degrades to %s on TPU", index_type, _DEGRADE[index_type])
@@ -63,6 +64,13 @@ class VectorIndex:
         self.storage_dtype = storage_dtype
         self.use_pallas = use_pallas
         self.recall_target = recall_target
+        # Multi-chip: when a jax.sharding.Mesh is given, Flat embeddings are
+        # row-sharded over its 'data' axis and search runs the shard-local
+        # top-k + ICI merge (parallel/sharded_search.py). IVF layouts stay
+        # single-device (they only pay off in the huge-corpus small-batch
+        # regime; see ivf_min_corpus note above).
+        self.mesh = mesh
+        self._sharded_fns: Dict[Any, Any] = {}
         self._emb_f32: Optional[np.ndarray] = None   # host copy (original order)
         self._device_emb = None                       # flat: (N,D); ivf: sorted
         self._layout = None
@@ -102,12 +110,23 @@ class VectorIndex:
             return "Flat"
         return self.index_type
 
+    @property
+    def is_sharded(self) -> bool:
+        return self.mesh is not None and self._effective_type == "Flat"
+
     def _materialize(self) -> None:
         if not self._dirty or self._emb_f32 is None:
             return
         dtype = jnp.bfloat16 if self.storage_dtype == "bfloat16" else jnp.float32
         if self._effective_type == "Flat":
-            self._device_emb = jnp.asarray(self._emb_f32, dtype)
+            if self.mesh is not None:
+                from anorag_tpu.parallel.mesh import shard_rows
+
+                sharded, _ = shard_rows(self.mesh, self._emb_f32)
+                self._device_emb = jnp.asarray(sharded, dtype)
+                self._sharded_fns.clear()
+            else:
+                self._device_emb = jnp.asarray(self._emb_f32, dtype)
             self._layout = None
         else:
             nlist = self._effective_nlist(self.ntotal)
@@ -142,6 +161,15 @@ class VectorIndex:
         self._materialize()
         q = self._preprocess(np.atleast_2d(queries))
         if self._effective_type == "Flat":
+            if self.mesh is not None:
+                vals, idx = self._sharded_dense_fn(min(top_k, self.ntotal))(
+                    self._device_emb, jnp.asarray(q, self._device_emb.dtype))
+                vals, idx = np.asarray(vals), np.asarray(idx, np.int64)
+                if vals.shape[1] < top_k:
+                    pad = ((0, 0), (0, top_k - vals.shape[1]))
+                    vals = np.pad(vals, pad, constant_values=-np.inf)
+                    idx = np.pad(idx, pad, constant_values=-1)
+                return vals, idx
             vals, idx = dense_topk(self._device_emb, jnp.asarray(q, self._device_emb.dtype),
                                    top_k, use_pallas=self.use_pallas,
                                    recall_target=self.recall_target)
@@ -151,6 +179,35 @@ class VectorIndex:
             nprobe=nprobe or self.nprobe, use_pallas=self.use_pallas,
         )
         return vals, idx.astype(np.int64)
+
+    def _sharded_dense_fn(self, k_eff: int):
+        """Cached jitted shard-local top-k + ICI merge for this (k, N)."""
+        key = ("dense", k_eff, self.ntotal)
+        fn = self._sharded_fns.get(key)
+        if fn is None:
+            from anorag_tpu.parallel.sharded_search import make_sharded_topk
+
+            fn = make_sharded_topk(self.mesh, k_eff, self.ntotal)
+            self._sharded_fns[key] = fn
+        return fn
+
+    def sharded_hybrid_fn(self, k_eff: int, dense_k: int, sparse_m: int,
+                          sparse_weight: float, recall_target: float):
+        """Cached jitted sharded candidate-union hybrid searcher."""
+        key = ("hybrid", k_eff, dense_k, sparse_m, sparse_weight,
+               recall_target, self.ntotal)
+        fn = self._sharded_fns.get(key)
+        if fn is None:
+            from anorag_tpu.parallel.sharded_search import (
+                make_sharded_hybrid_union_topk,
+            )
+
+            fn = make_sharded_hybrid_union_topk(
+                self.mesh, k_eff, self.ntotal, dense_k=dense_k,
+                sparse_m=sparse_m, sparse_weight=sparse_weight,
+                recall_target=recall_target)
+            self._sharded_fns[key] = fn
+        return fn
 
     def reconstruct(self, i: int) -> np.ndarray:
         return self._emb_f32[i]

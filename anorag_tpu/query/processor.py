@@ -96,8 +96,14 @@ class QueryProcessor:
         # --- dense retrieval -------------------------------------------------
         vs = self.cfg.get("vector_store", {}) or {}
         self.em = embedding_manager or EmbeddingManager(cfg=self.cfg, singleton=False)
+        # multi-chip: shard the corpus over the product mesh when >1 device
+        # is attached (tpu.sharded_search config; SURVEY §5.7/5.8)
+        from anorag_tpu.parallel.runtime import product_mesh
+
+        self.mesh = product_mesh(self.cfg)
         self.retriever = VectorRetriever(
             embedding_manager=self.em,
+            mesh=self.mesh,
             index_type=vs.get("index_type", "IVFFlat"),
             similarity_threshold=0.0,
             top_k=vs.get("top_k", 20),

@@ -42,14 +42,16 @@ class VectorRetriever:
         nprobe: int = 4,
         use_pallas: Optional[bool] = None,
         recall_target: float = 0.95,
+        mesh=None,
     ):
         self.em = embedding_manager or EmbeddingManager(singleton=False)
         self.dimension = self.em.dim or dimension
         self.index_type = index_type
         self.similarity_threshold = similarity_threshold
         self.top_k = top_k
+        self.mesh = mesh
         self._index_kw = dict(nlist=nlist, nprobe=nprobe, use_pallas=use_pallas,
-                              recall_target=recall_target)
+                              recall_target=recall_target, mesh=mesh)
         self.notes: List[Dict[str, Any]] = []
         self.embeddings: Optional[np.ndarray] = None
         self.index: Optional[VectorIndex] = None
@@ -213,12 +215,22 @@ class VectorRetriever:
         doc_rows, weight_rows, _ = gather_plan_sorted(self._lexical.postings, q_terms)
         emb_dev = self.index.flat_device_emb()
         k_eff = min(top_k, len(self.notes))
+        dense_k = min(max(4 * k_eff, 32), len(self.notes))
+        sparse_m = min(max(2 * k_eff, 16), len(self.notes))
+        q_prep = self.index._preprocess(q_emb)
+        if self.index.is_sharded:
+            # multi-chip: corpus rows ride the mesh 'data' axis; the fused
+            # candidate-union search merges per-shard top-k over ICI
+            fn = self.index.sharded_hybrid_fn(
+                k_eff, dense_k, sparse_m, sparse_weight, recall_target)
+            vals, ids = fn(emb_dev, jnp.asarray(q_prep, jnp.float32),
+                           jnp.asarray(doc_rows), jnp.asarray(weight_rows))
+            return ("pending", list(queries), vals, ids)
         vals, ids = hybrid_topk(
-            emb_dev, jnp.asarray(self.index._preprocess(q_emb), emb_dev.dtype),
+            emb_dev, jnp.asarray(q_prep, emb_dev.dtype),
             jnp.asarray(doc_rows), jnp.asarray(weight_rows),
             k_eff, n_docs=len(self.notes),
-            dense_k=min(max(4 * k_eff, 32), len(self.notes)),
-            sparse_m=min(max(2 * k_eff, 16), len(self.notes)),
+            dense_k=dense_k, sparse_m=sparse_m,
             sparse_weight=sparse_weight, recall_target=recall_target,
         )
         return ("pending", list(queries), vals, ids)
