@@ -480,6 +480,15 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     },
     "context": {"max_notes_for_llm": 20, "max_tokens": None},
     "ranking": {"dense_weight": 0.7, "bm25_weight": 0.3, "hop_decay": 0.8},
+    # Listwise rerank stage (ref retrieval/listt5_reranker.py): backend
+    # 'lexical' = overlap heuristic, 'jax' = trained cross-encoder
+    # (models/cross_encoder.py); checkpoint = orbax dir of trained weights.
+    "rerank": {
+        "enabled": False,
+        "backend": "lexical",
+        "checkpoint": None,
+        "listt5_input_topk": 24,
+    },
     # ------------------------------------------------------------- subquestion
     "query": {
         "use_subquestion_decomposition": False,

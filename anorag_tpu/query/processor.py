@@ -173,6 +173,8 @@ class QueryProcessor:
             retrieve_fn=lambda q: self.retriever.retrieve(q, top_k=10, threshold=0.0))
         self.reranker = (
             ListwiseReranker(max_candidates=self.cfg.get("rerank.listt5_input_topk", 24),
+                             backend=self.cfg.get("rerank.backend", "lexical"),
+                             checkpoint=self.cfg.get("rerank.checkpoint", None),
                              embedding_manager=self.em)
             if self.cfg.get("rerank.enabled", False) else None
         )

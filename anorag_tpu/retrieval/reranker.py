@@ -6,9 +6,11 @@ at `calibration.listt5_weight` (default 0.35, :254-320). The reference runs
 a T5 on CUDA; here the reranker is backend-pluggable:
   * 'lexical' (default): deterministic query-candidate overlap scoring with
     temperature scaling — no weights needed;
-  * 'jax': a small cross-attention scorer over encoder embeddings (randomly
-    initialized unless a checkpoint is supplied) — the TPU-native slot a
-    trained listwise model drops into.
+  * 'jax': a trained listwise cross-encoder
+    (models/cross_encoder.py::CrossEncoderReranker — [CLS] query [SEP]
+    candidate [SEP] transformer, scalar relevance head, listwise-CE
+    trained); loads an orbax checkpoint or accepts an in-image-trained
+    instance.
 """
 from __future__ import annotations
 
@@ -19,28 +21,44 @@ import numpy as np
 from anorag_tpu.utils.text import tokenize_no_stop
 
 
+def candidate_text(c: Dict[str, Any]) -> str:
+    return f"{c.get('title', '')} {c.get('content', c.get('text', ''))}".strip()
+
+
 class ListwiseReranker:
     def __init__(self, backend: str = "lexical", temperature: float = 1.0,
-                 max_candidates: int = 24, embedding_manager=None):
+                 max_candidates: int = 24, embedding_manager=None,
+                 cross_encoder=None, checkpoint: Optional[str] = None):
         self.backend = backend
         self.temperature = temperature
         self.max_candidates = max_candidates
-        self.em = embedding_manager
+        self.em = embedding_manager  # legacy arg, kept for API stability
+        self._xenc = cross_encoder
+        self._checkpoint = checkpoint
+
+    def _get_cross_encoder(self):
+        if self._xenc is None:
+            from anorag_tpu.models.cross_encoder import CrossEncoderReranker
+
+            self._xenc = CrossEncoderReranker()
+            if self._checkpoint:
+                self._xenc.restore_checkpoint(self._checkpoint)
+        return self._xenc
 
     def score(self, query: str, candidates: Sequence[Dict[str, Any]]) -> List[float]:
         cands = list(candidates)[: self.max_candidates]
         if not cands:
             return []
-        if self.backend == "jax" and self.em is not None:
-            q = self.em.encode_queries([query])[0]
-            c = self.em.encode_atomic_notes(cands)
-            raw = (c @ q).astype(np.float64)
+        if self.backend == "jax":
+            xenc = self._get_cross_encoder()
+            raw = xenc.score_pairs(
+                query, [candidate_text(c) for c in cands]).astype(np.float64)
         else:
             q_toks = set(tokenize_no_stop(query))
             raw = np.array(
                 [
-                    len(q_toks & set(tokenize_no_stop(
-                        f"{c.get('title','')} {c.get('content','')}"))) / max(len(q_toks), 1)
+                    len(q_toks & set(tokenize_no_stop(candidate_text(c))))
+                    / max(len(q_toks), 1)
                     for c in cands
                 ],
                 np.float64,
