@@ -59,8 +59,10 @@ class ContextPacker:
 
     def build_support_idxs(self, notes: Sequence[Dict[str, Any]], query: str = "",
                            cap: Optional[int] = None) -> List[int]:
-        """Support idxs ordered by note score, truncated to the estimated K."""
-        k = cap or self.k_estimator.estimate_K(query)
+        """Support idxs ordered by note score, truncated to the estimated K
+        (graph-distance K over the candidate note graph, complexity
+        fallback — ref support/k_estimator.py:41-77)."""
+        k = cap or self.k_estimator.estimate_K_from_candidates(query, list(notes))
         out: List[int] = []
         for note in notes:
             for pidx in note.get("paragraph_idxs") or []:

@@ -7,10 +7,11 @@ nlist shrink when training data is scarce (:140-155), search result rows
 sidecar (:284-364), and nprobe autotuning to a target recall (:428-491).
 
 TPU design: embeddings live in HBM (optionally bf16); Flat search is the
-fused Pallas matmul+top-k kernel; IVFFlat is the cluster-pruned variant.
-HNSW/IVFPQ/LSH requests degrade gracefully (HNSW/LSH -> Flat, IVFPQ ->
-IVFFlat) — on TPU the brute-force kernel IS the fast path, so graph/LSH
-structures would only lose recall.
+fused matmul+top-k kernel; IVFFlat is the cluster-pruned variant; IVFPQ is
+the product-quantized compressed scan (ops/pq.py: one-hot MXU contraction
++ exact host refine) for corpora beyond HBM. HNSW/LSH degrade to Flat —
+on TPU the brute-force kernel IS the fast path, so graph/LSH structures
+would only lose recall.
 """
 from __future__ import annotations
 
@@ -27,7 +28,7 @@ from anorag_tpu.utils.logging import get_logger
 
 logger = get_logger("anorag.index")
 
-_DEGRADE = {"HNSW": "Flat", "LSH": "Flat", "IVFPQ": "IVFFlat"}
+_DEGRADE = {"HNSW": "Flat", "LSH": "Flat"}
 
 
 class VectorIndex:
@@ -43,11 +44,16 @@ class VectorIndex:
         ivf_min_corpus: int = 5_000_000,
         recall_target: float = 0.95,
         mesh=None,
+        pq_m: int = 0,
+        pq_rerank: int = 0,
+        pq_impl: str = "sketch",
     ):
         if index_type in _DEGRADE:
             logger.info("index type %s degrades to %s on TPU", index_type, _DEGRADE[index_type])
             index_type = _DEGRADE[index_type]
-        assert index_type in ("Flat", "IVFFlat"), index_type
+        if index_type == "PQ":
+            index_type = "IVFPQ"
+        assert index_type in ("Flat", "IVFFlat", "IVFPQ"), index_type
         self.dimension = dimension
         self.index_type = index_type
         # Below this corpus size the fused flat scan beats cluster pruning on
@@ -71,6 +77,20 @@ class VectorIndex:
         # regime; see ivf_min_corpus note above).
         self.mesh = mesh
         self._sharded_fns: Dict[Any, Any] = {}
+        # IVFPQ: the code matrix is the only corpus-sized device residency
+        # (16-32x smaller than bf16 rows) — the index type for corpora
+        # beyond HBM. pq_m 0 = auto (D/8 code bytes per row), pq_rerank 0 =
+        # auto (4k exact-refine pool). impl 'sketch' = rotated int8 scan
+        # (ops/sq.py, MXU-native, default), 'codebook' = classic PQ ADC
+        # via one-hot contraction (ops/pq.py).
+        self.pq_m = pq_m
+        self.pq_rerank = pq_rerank
+        self.pq_impl = pq_impl
+        self._pq_codebooks: Optional[np.ndarray] = None
+        self._pq_codes = None
+        self._sq_rotation: Optional[np.ndarray] = None
+        self._sq_codes = None
+        self._sq_scales = None
         self._emb_f32: Optional[np.ndarray] = None   # host copy (original order)
         self._device_emb = None                       # flat: (N,D); ivf: sorted
         self._layout = None
@@ -110,6 +130,15 @@ class VectorIndex:
             return "Flat"
         return self.index_type
 
+    def _pq_m_auto(self) -> int:
+        if self.pq_m:
+            return self.pq_m
+        d = self.dimension
+        for sub in (8, 4, 2, 1):
+            if d % sub == 0:
+                return d // sub
+        return d
+
     @property
     def is_sharded(self) -> bool:
         return self.mesh is not None and self._effective_type == "Flat"
@@ -127,6 +156,24 @@ class VectorIndex:
                 self._sharded_fns.clear()
             else:
                 self._device_emb = jnp.asarray(self._emb_f32, dtype)
+            self._layout = None
+        elif self._effective_type == "IVFPQ":
+            if self.pq_impl == "codebook":
+                from anorag_tpu.ops.pq import encode_pq, train_pq
+
+                if self._pq_codebooks is None:
+                    self._pq_codebooks = train_pq(self._emb_f32, self._pq_m_auto())
+                codes = encode_pq(self._emb_f32, self._pq_codebooks)
+                self._pq_codes = jnp.asarray(codes)
+            else:
+                from anorag_tpu.ops.sq import encode_sq, train_sq
+
+                if self._sq_rotation is None:
+                    self._sq_rotation = train_sq(self._emb_f32, self._pq_m_auto())
+                codes, scales = encode_sq(self._emb_f32, self._sq_rotation)
+                self._sq_codes = jnp.asarray(codes)
+                self._sq_scales = jnp.asarray(scales)
+            self._device_emb = None
             self._layout = None
         else:
             nlist = self._effective_nlist(self.ntotal)
@@ -174,6 +221,23 @@ class VectorIndex:
                                    top_k, use_pallas=self.use_pallas,
                                    recall_target=self.recall_target)
             return np.asarray(vals), np.asarray(idx, np.int64)
+        if self._effective_type == "IVFPQ":
+            cand = self.pq_rerank or max(4 * top_k, 64)
+            if self.pq_impl == "codebook":
+                from anorag_tpu.ops.pq import pq_search
+
+                vals, idx = pq_search(
+                    self._pq_codes, self._pq_codebooks, q, top_k,
+                    emb_host=self._emb_f32, candidates=cand,
+                )
+            else:
+                from anorag_tpu.ops.sq import sq_search
+
+                vals, idx = sq_search(
+                    self._sq_codes, self._sq_scales, self._sq_rotation, q,
+                    top_k, emb_host=self._emb_f32, candidates=cand,
+                )
+            return vals, idx.astype(np.int64)
         vals, idx = ivf_search(
             self._layout, self._device_emb, q, top_k,
             nprobe=nprobe or self.nprobe, use_pallas=self.use_pallas,
@@ -250,7 +314,12 @@ class VectorIndex:
     def save(self, path: str | Path) -> None:
         path = Path(path)
         path.parent.mkdir(parents=True, exist_ok=True)
-        np.savez_compressed(str(path.with_suffix(".npz")), embeddings=self._emb_f32)
+        arrays = {"embeddings": self._emb_f32}
+        if self._pq_codebooks is not None:
+            arrays["pq_codebooks"] = self._pq_codebooks
+        if self._sq_rotation is not None:
+            arrays["sq_rotation"] = self._sq_rotation
+        np.savez_compressed(str(path.with_suffix(".npz")), **arrays)
         meta = {
             "dimension": self.dimension,
             "index_type": self.index_type,
@@ -259,6 +328,9 @@ class VectorIndex:
             "nprobe": self.nprobe,
             "ntotal": self.ntotal,
             "storage_dtype": self.storage_dtype,
+            "pq_m": self.pq_m,
+            "pq_rerank": self.pq_rerank,
+            "pq_impl": self.pq_impl,
         }
         with open(path.with_name(path.stem + "_metadata.json"), "w") as fh:
             json.dump(meta, fh, indent=2)
@@ -272,8 +344,14 @@ class VectorIndex:
             dimension=meta["dimension"], index_type=meta["index_type"],
             metric=meta["metric"], nlist=meta["nlist"], nprobe=meta["nprobe"],
             storage_dtype=meta.get("storage_dtype", "bfloat16"), use_pallas=use_pallas,
+            pq_m=meta.get("pq_m", 0), pq_rerank=meta.get("pq_rerank", 0),
+            pq_impl=meta.get("pq_impl", "sketch"),
         )
         data = np.load(str(path.with_suffix(".npz")))
+        if "pq_codebooks" in data:
+            idx._pq_codebooks = data["pq_codebooks"]
+        if "sq_rotation" in data:
+            idx._sq_rotation = data["sq_rotation"]
         emb = data["embeddings"]
         if len(emb):
             # already normalized at save time; bypass re-normalization

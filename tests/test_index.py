@@ -63,8 +63,12 @@ def test_ivf_auto_flat_below_threshold():
 def test_index_type_degradation():
     idx = VectorIndex(dimension=16, index_type="HNSW")
     assert idx.index_type == "Flat"
+    # IVFPQ is a real index now (ops/sq.py sketch / ops/pq.py codebook),
+    # not an IVFFlat alias; "PQ" is accepted as a spelling of it
     idx2 = VectorIndex(dimension=16, index_type="IVFPQ")
-    assert idx2.index_type == "IVFFlat"
+    assert idx2.index_type == "IVFPQ"
+    idx3 = VectorIndex(dimension=16, index_type="PQ")
+    assert idx3.index_type == "IVFPQ"
 
 
 def test_save_load_roundtrip(tmp_path):
