@@ -518,9 +518,11 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     },
     "rerank": {"listt5_input_topk": 24, "keep_after_listt5": 16, "enabled": False},
     "clustering": {
-        "method": "kmeans",       # kmeans | auto
+        "method": "kmeans",       # kmeans | dbscan | hdbscan (density path)
         "n_clusters": 0,           # 0 => auto (elbow)
         "max_clusters": 20,
+        "min_samples": 3,          # density: core-point threshold
+        "eps": None,               # density: None => k-distance knee auto-eps
     },
     "eval": {"dataset": "musique", "timeout_seconds": 300},
     "scheduler": {"coverage_guard": True},

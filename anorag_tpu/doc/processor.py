@@ -60,6 +60,8 @@ class DocumentProcessor:
             method=cl.get("method", "kmeans"),
             n_clusters=cl.get("n_clusters", 0),
             max_clusters=cl.get("max_clusters", 20),
+            min_samples=cl.get("min_samples", 3),
+            eps=cl.get("eps", None),
         )
         gcfg = self.cfg.get("graph.pagerank", {}) or {}
         self.graph_builder = GraphBuilder(
