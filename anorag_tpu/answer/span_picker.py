@@ -78,6 +78,7 @@ class SpanPicker:
                 float(stype == "quoted"),
                 float(stype == "entity"),
                 float(stype == "time"),
+                float(span.lower() in sentence.lower()),            # span verbatim in context
             ],
             np.float32,
         )

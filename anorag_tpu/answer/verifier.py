@@ -57,6 +57,37 @@ class AnswerVerifier:
         return float(0.30 * f[0] + 0.25 * f[1] + 0.15 * f[2] + 0.15 * f[3]
                      + 0.05 * f[4] + 0.10 * f[5])
 
+    # ----------------------------------------------------------- training
+    def train(self, examples: Sequence[tuple], epochs: int = 300,
+              lr: float = 0.5) -> float:
+        """examples: (question, answer, context, label). Trains the
+        entailment head (ref verify_shell.py trainable head)."""
+        x = np.stack([self.features(q, a, c) for q, a, c, _ in examples])
+        y = np.array([lab for *_, lab in examples], np.float32)
+        w = np.zeros(x.shape[1], np.float32)
+        b = 0.0
+        for _ in range(epochs):
+            p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+            g = p - y
+            w -= lr * (x.T @ g) / len(y)
+            b -= lr * float(g.mean())
+        self.w, self.b = w, b
+        p = 1.0 / (1.0 + np.exp(-(x @ w + b)))
+        return float(np.mean((p > 0.5) == (y > 0.5)))
+
+    def load_calibration(self, d: Dict[str, Any]) -> bool:
+        """Load trained heads from a calibration components dict: its own
+        entailment head plus the nested span picker's."""
+        ok = False
+        v = d.get("verifier") or {}
+        if "w" in v:
+            self.w = np.asarray(v["w"], np.float32)
+            self.b = float(v.get("b", 0.0))
+            ok = True
+        if hasattr(self.span_picker, "load_calibration"):
+            ok = self.span_picker.load_calibration(d) or ok
+        return ok
+
     # -------------------------------------------------------------- entry
     def finalize_answer(self, question: str, answer: Optional[str],
                         context: str) -> Dict[str, Any]:

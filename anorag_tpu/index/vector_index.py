@@ -222,7 +222,13 @@ class VectorIndex:
                                    recall_target=self.recall_target)
             return np.asarray(vals), np.asarray(idx, np.int64)
         if self._effective_type == "IVFPQ":
-            cand = self.pq_rerank or max(4 * top_k, 64)
+            # refine pool must grow with corpus size: at ~500 rows per
+            # cluster the compressed scores can't isolate the true top-10
+            # inside a fixed 100-candidate pool (measured recall@10 0.46-
+            # 0.61 at 2M); n/500 capped at 1024 restores >= 0.99
+            cand = self.pq_rerank or min(
+                max(4 * top_k, self.ntotal // 500, 64),
+                max(1024, 4 * top_k))
             if self.pq_impl == "codebook":
                 from anorag_tpu.ops.pq import pq_search
 

@@ -242,8 +242,9 @@ class QueryProcessor:
             ke = (comps.get("k_estimator") or {}).get("complexity_per_k")
             if ke is not None:
                 self.packer.k_estimator.thresholds["complexity_per_k"] = float(ke)
-            if hasattr(self.verifier.span_picker, "load_calibration"):
-                self.verifier.span_picker.load_calibration(comps)
+            # trained answer-path heads (training/answer_models.py):
+            # verifier entailment head + nested span picker head
+            self.verifier.load_calibration(comps)
             logger.info("calibration loaded from %s", path)
         except Exception as e:
             logger.warning("calibration load failed: %s", e)
@@ -300,28 +301,57 @@ class QueryProcessor:
     def process_stream(self, batches: Iterable[Sequence[str]],
                        dataset: Optional[str] = None,
                        top_k: Optional[int] = None,
-                       prefetch: int = 2):
-        """Pipelined batched answering: a background thread runs batch i+1's
-        device retrieval (and its tunnel/transfer wait — it releases the GIL
-        there) while the main thread runs batch i's host answer stages.
+                       depth: int = 3,
+                       prefetch: Optional[int] = None):
+        """Pipelined batched answering with MULTIPLE device batches in
+        flight: a producer thread encodes + DISPATCHES up to `depth`
+        batches' device passes (JAX dispatch is asynchronous — the device
+        queues them and computes while the host works) into a bounded
+        queue; the main thread drains it in order, waiting for batch i's
+        transfer and running its host answer stages while batches
+        i+1..i+depth compute. Per-batch stage timings (dispatch / device
+        wait / host) go to the metrics sink as `serving_stage_times`.
         Yields one result list per input batch, in order."""
-        import collections
-        from concurrent.futures import ThreadPoolExecutor
+        import queue as _queue
+        import threading
+        import time as _time
 
+        if prefetch is not None:   # back-compat alias
+            depth = prefetch
         top_k = top_k or self.cfg.get("context.max_notes_for_llm", 20)
-        with ThreadPoolExecutor(max_workers=1) as ex:
-            futs: collections.deque = collections.deque()
-            for batch in batches:
-                futs.append((ex.submit(self.retriever.hybrid_search,
-                                       list(batch), top_k=top_k), batch))
-                while len(futs) > max(1, prefetch):
-                    yield self._host_stages(*futs.popleft(), dataset)
-            while futs:
-                yield self._host_stages(*futs.popleft(), dataset)
+        q: _queue.Queue = _queue.Queue(maxsize=max(1, depth))
+        _STOP = object()
 
-    def _host_stages(self, fut, queries: Sequence[str],
-                     dataset: Optional[str]) -> List[Dict[str, Any]]:
-        return self._assemble_batch(fut.result(), queries, dataset)
+        def producer():
+            try:
+                for batch in batches:
+                    t0 = _time.perf_counter()
+                    handle = self.retriever.hybrid_search_dispatch(
+                        list(batch), top_k=top_k)
+                    q.put((handle, list(batch), _time.perf_counter() - t0))
+            finally:
+                q.put(_STOP)
+
+        th = threading.Thread(target=producer, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is _STOP:
+                break
+            handle, batch, dispatch_s = item
+            t1 = _time.perf_counter()
+            rows = self.retriever.hybrid_search_finalize(handle)
+            t2 = _time.perf_counter()
+            out = self._assemble_batch(rows, batch, dataset)
+            t3 = _time.perf_counter()
+            self.metrics.log(
+                "serving_stage_times", batch=len(batch),
+                dispatch_ms=round(dispatch_s * 1e3, 2),
+                device_wait_ms=round((t2 - t1) * 1e3, 2),
+                host_ms=round((t3 - t2) * 1e3, 2),
+            )
+            yield out
+        th.join()
 
     # ======================================================================
     # traditional path

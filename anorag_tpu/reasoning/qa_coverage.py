@@ -81,6 +81,26 @@ class QACoverageScorer:
         scored.sort(key=lambda t: -t[1])
         return [i for i, _ in scored[:top_k]]
 
+    # --------------------------------------------------------- calibration
+    def load_calibration(self, path_or_dict) -> bool:
+        """Load a trained head from calibration.json components (mirrors
+        SpanPicker.load_calibration)."""
+        try:
+            d = path_or_dict
+            if isinstance(path_or_dict, str):
+                import json
+
+                with open(path_or_dict) as fh:
+                    d = json.load(fh)
+            qc = d.get("qa_coverage") or d
+            if "w" in qc:
+                self.w = np.asarray(qc["w"], np.float32)
+                self.b = float(qc.get("b", 0.0))
+                return True
+        except Exception:
+            pass
+        return False
+
     # ------------------------------------------------------------ training
     def train(self, pairs: Sequence[Tuple[str, str, float]], epochs: int = 300,
               lr: float = 0.5) -> float:

@@ -1,0 +1,125 @@
+"""Train the answer-path models on synthetic supervision.
+
+Parity target: the reference TRAINS SpanPicker (answer/span_picker.py:382,
+a logistic model over 20+ features with calibration load) and
+QACoverageScorer (reasoning/qa_coverage.py:19-418) and consumes their
+weights from calibration.json (training/calibrate.py:197,299). No labeled
+data ships in-image, so supervision is templated: questions of every
+wh-type paired with answer-bearing sentences (positives) and three hard
+negative families — question-echo spans, wrong-type spans, and
+same-topic non-answer sentences — the exact failure modes the fixed
+heuristic weights can't separate.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from anorag_tpu.answer.span_picker import SpanPicker
+from anorag_tpu.answer.verifier import AnswerVerifier
+from anorag_tpu.reasoning.qa_coverage import QACoverageScorer
+
+PEOPLE = ["Marcus Webb", "Aurora Lane", "Elena Cortez", "David Kim",
+          "Sofia Reyes", "Liam Stone", "Nora Park", "Felix Vance",
+          "Iris Bloom", "Hugo Hart", "Maya Frost", "Oscar Quinn"]
+WORKS = ["Silent River", "Blue Horizon", "Glass Garden", "Iron Valley",
+         "Red Meadow", "Pale Summit", "Green Harbor", "Stone Orchard"]
+PLACES = ["Boston", "Lisbon", "Osaka", "Nairobi", "Tromso", "Cusco",
+          "Galway", "Adelaide"]
+ROLES = ["director", "composer", "producer", "author"]
+YEARS = [str(y) for y in range(1961, 2021, 7)]
+
+
+def _rows(rng, people, works, places, years) -> List[Dict[str, str]]:
+    """Templated QA rows: question, gold span+type, answer sentence,
+    same-topic distractor sentence."""
+    rows = []
+    for person in people:
+        for work in works:
+            role = ROLES[rng.integers(len(ROLES))]
+            place = places[rng.integers(len(places))]
+            year = years[rng.integers(len(years))]
+            rows += [
+                {"q": f"Who is the {role} of {work}?", "span": person,
+                 "stype": "entity",
+                 "sent": f"{person} is the {role} of {work}.",
+                 "offtopic": f"{work} received mixed reviews from critics."},
+                {"q": f"When was {work} released?", "span": year,
+                 "stype": "time",
+                 "sent": f"{work} was released in {year}.",
+                 "offtopic": f"{work} has a devoted following."},
+                {"q": f"Where was {person} born?", "span": place,
+                 "stype": "entity",
+                 "sent": f"{person} was born in {place}.",
+                 "offtopic": f"{person} gave many interviews."},
+            ]
+    return rows
+
+
+def synthetic_span_examples(rows, rng) -> List[Tuple[str, str, str, str, float, float]]:
+    """(question, span, stype, sentence, position, label) — positives are
+    gold spans in answer sentences; negatives are question-echo spans
+    (the subject the question already names), wrong-type spans, and spans
+    from the same-topic non-answer sentence."""
+    out = []
+    for r in rows:
+        out.append((r["q"], r["span"], r["stype"], r["sent"], 0.0, 1.0))
+        # question-echo negative: the entity the question itself names
+        echo = r["q"].rstrip("?").split(" of ")[-1].split(" was ")[0].strip()
+        out.append((r["q"], echo, "entity", r["sent"], 0.0, 0.0))
+        # wrong-type negative
+        wrong_type = "time" if r["stype"] == "entity" else "entity"
+        wrong_span = YEARS[rng.integers(len(YEARS))] if wrong_type == "time" \
+            else PEOPLE[rng.integers(len(PEOPLE))]
+        out.append((r["q"], wrong_span, wrong_type, r["sent"], 0.0, 0.0))
+        # off-topic sentence negative
+        out.append((r["q"], r["span"], r["stype"], r["offtopic"], 0.7, 0.0))
+    return out
+
+
+def synthetic_coverage_pairs(rows, rng) -> List[Tuple[str, str, float]]:
+    """(question, sentence, label): the answer sentence vs the same-topic
+    distractor vs a random other row's answer sentence."""
+    out = []
+    for i, r in enumerate(rows):
+        out.append((r["q"], r["sent"], 1.0))
+        out.append((r["q"], r["offtopic"], 0.0))
+        other = rows[(i + 7) % len(rows)]
+        out.append((r["q"], other["sent"], 0.0))
+    return out
+
+
+def synthetic_verifier_examples(rows, rng) -> List[Tuple[str, str, str, float]]:
+    """(question, answer, context, label): gold answer in its context vs
+    question-echo answers, wrong-type answers, and hallucinated answers
+    absent from the context."""
+    out = []
+    for i, r in enumerate(rows):
+        ctx = f"{r['sent']} {r['offtopic']}"
+        out.append((r["q"], r["span"], ctx, 1.0))
+        echo = r["q"].rstrip("?").split(" of ")[-1].split(" was ")[0].strip()
+        out.append((r["q"], echo, ctx, 0.0))
+        other = rows[(i + 5) % len(rows)]
+        out.append((r["q"], other["span"], ctx, 0.0))   # not in context
+    return out
+
+
+def train_answer_models(seed: int = 0,
+                        people: Sequence[str] = (),
+                        works: Sequence[str] = ()) -> Dict[str, Any]:
+    """Train all three heads; returns calibration `components` entries."""
+    rng = np.random.default_rng(seed)
+    rows = _rows(rng, list(people) or PEOPLE[:8], list(works) or WORKS[:6],
+                 PLACES, YEARS)
+    sp = SpanPicker()
+    sp_acc = sp.train(synthetic_span_examples(rows, rng))
+    qc = QACoverageScorer()
+    qc_acc = qc.train(synthetic_coverage_pairs(rows, rng))
+    vf = AnswerVerifier()
+    vf_acc = vf.train(synthetic_verifier_examples(rows, rng))
+    return {
+        "span_picker": {"w": sp.w.tolist(), "b": float(sp.b), "train_acc": sp_acc},
+        "qa_coverage": {"w": qc.w.tolist(), "b": float(qc.b), "train_acc": qc_acc},
+        "verifier": {"w": vf.w.tolist(), "b": float(vf.b), "train_acc": vf_acc},
+    }

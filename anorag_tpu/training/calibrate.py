@@ -68,15 +68,23 @@ class AutoCalibrator:
         self.calibration = {"components": params, "scores": scores, "joint_score": joint}
         return self.calibration
 
-    def _joint_optimization(self, dev_data, params) -> Tuple[Dict[str, Any], float]:
-        """Coordinate descent over cross-component weights, one extra pass."""
+    def _joint_optimization(self, dev_data, params,
+                            max_rounds: int = 3) -> Tuple[Dict[str, Any], float]:
+        """Joint coordinate descent over cross-component weights: sweep
+        every component's grid against the CURRENT setting of all others,
+        repeat until a full round yields no improvement (ref
+        training/calibrate.py:299 joint pass)."""
         best = self.eval_fn(dev_data, params)
-        for name in self.spaces:
-            for cand in self._grid(self.spaces[name])[:6]:
-                trial = {**params, name: cand}
-                s = self.eval_fn(dev_data, trial)
-                if s > best:
-                    best, params = s, trial
+        for _ in range(max_rounds):
+            improved = False
+            for name in self.spaces:
+                for cand in self._grid(self.spaces[name])[:6]:
+                    trial = {**params, name: cand}
+                    s = self.eval_fn(dev_data, trial)
+                    if s > best:
+                        best, params, improved = s, trial, True
+            if not improved:
+                break
         return params, best
 
     # --------------------------------------------------------- persistence

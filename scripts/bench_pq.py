@@ -27,7 +27,7 @@ from anorag_tpu.ops.pq import encode_pq, pq_lut, pq_search, pq_topk, train_pq
 from anorag_tpu.ops.topk import dense_topk
 
 
-def main(n=2_000_000, d=1024, m=128, b=256, k=10, candidates=100, seed=0):
+def main(n=2_000_000, d=1024, m=128, b=256, k=10, candidates=1000, seed=0):
     rng = np.random.default_rng(seed)
     t0 = time.perf_counter()
     centers = rng.standard_normal((4096, d)).astype(np.float32)
@@ -71,6 +71,13 @@ def main(n=2_000_000, d=1024, m=128, b=256, k=10, candidates=100, seed=0):
     fav, fai = dense_topk(emb_dev, qd, k, method="approx")
     flat_recall = float(np.mean([
         len(set(np.asarray(fai)[i]) & set(exact_ids[i])) / k for i in range(b)]))
+    # free the 4GB flat corpus before the compressed scans: HBM pressure
+    # from co-resident flat + codes thrashed the first 2M run (SQ scan read
+    # 1.6s vs 20ms with the corpus freed)
+    del emb_dev, qd, fav, fai
+    import gc
+
+    gc.collect()
 
     # ---- codebook PQ scan + refine ---------------------------------------
     cb_dev = jnp.asarray(cb, jnp.float32)

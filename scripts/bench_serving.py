@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--n-notes", type=int, default=10_000)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--steady-batches", type=int, default=10)
+    ap.add_argument("--depth", type=int, default=4,
+                    help="device batches in flight for the pipelined path")
     args = ap.parse_args()
 
     loader = ConfigLoader(auto_load=False)
@@ -77,10 +79,12 @@ def main():
     # tunnel wait; the rest is host answer stages. On a tunneled TPU the
     # device wait is dominated by fixed round-trip latency (~30-95ms
     # observed), not compute — directly-attached hardware removes it.
-    # pipelined: batch i+1's device retrieval overlaps batch i's host stages
+    # pipelined: up to `depth` device batches in flight while the host
+    # answers batch i (stage timings land in the metrics sink)
     t0 = time.perf_counter()
     n_res = sum(len(out) for out in
-                qp.process_stream([queries] * args.steady_batches))
+                qp.process_stream([queries] * args.steady_batches,
+                                  depth=args.depth))
     dt_p = (time.perf_counter() - t0) / args.steady_batches
     assert n_res == args.batch * args.steady_batches
 
