@@ -478,7 +478,10 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "lower_threshold": 0.1,
         "cluster": {"enabled": False, "cos_threshold": 0.85, "keep_per_cluster": 3},
     },
-    "context": {"max_notes_for_llm": 20, "max_tokens": None},
+    # use_legacy_packing False => answer-first StructurePacker (reference
+    # default, context/packer.py:30) with legacy fallback on errors
+    "context": {"max_notes_for_llm": 20, "max_tokens": None,
+                "use_legacy_packing": False},
     "ranking": {"dense_weight": 0.7, "bm25_weight": 0.3, "hop_decay": 0.8},
     # Listwise rerank stage (ref retrieval/listt5_reranker.py): backend
     # 'lexical' = overlap heuristic, 'jax' = trained cross-encoder

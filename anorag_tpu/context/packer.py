@@ -38,7 +38,14 @@ class ContextPacker:
     ) -> Tuple[str, List[int]]:
         """Returns (context string with [P{idx}] tags, support idxs)."""
         if self.use_structure and self.structure_packer is not None:
-            return self.structure_packer.pack_evidence(list(notes), query)
+            try:
+                ctx, support = self.structure_packer.pack_evidence(list(notes), query)
+                if ctx:
+                    return ctx, support
+            except Exception:
+                # reference behavior: structured packing failures fall back
+                # to legacy concatenation (context/packer.py:102)
+                pass
         lines: List[str] = []
         support: List[int] = []
         budget = self.max_tokens

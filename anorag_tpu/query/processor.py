@@ -210,8 +210,26 @@ class QueryProcessor:
             allow_partial=self.cfg.get("validator.allow_partial", True),
         )
         self.verifier = AnswerVerifier()
+        # structured answer-first packing is the reference default
+        # (context/packer.py:30 use_legacy_packing=False), with legacy
+        # fallback inside pack_context on any structured-path error
+        from anorag_tpu.context.structure_pack import StructurePacker
+
+        use_structure = not bool(self.cfg.get("context.use_legacy_packing", False))
+        self.qa_scorer = None
+        structure_packer = None
+        if use_structure:
+            from anorag_tpu.reasoning.qa_coverage import QACoverageScorer
+
+            self.qa_scorer = QACoverageScorer()
+            structure_packer = StructurePacker(
+                token_budget=self.cfg.get("context.max_tokens") or 1800,
+                qa_scorer=self.qa_scorer,
+            )
         self.packer = ContextPacker(max_tokens=self.cfg.get("context.max_tokens"),
-                                    k_estimator=KEstimator())
+                                    k_estimator=KEstimator(),
+                                    use_structure=use_structure,
+                                    structure_packer=structure_packer)
         self.subq_planner = SubQuestionPlanner(llm)
         self.evidence_merger = EvidenceMerger(
             strategy=self.cfg.get("query.merge_strategy", "weighted"))
@@ -243,8 +261,11 @@ class QueryProcessor:
             if ke is not None:
                 self.packer.k_estimator.thresholds["complexity_per_k"] = float(ke)
             # trained answer-path heads (training/answer_models.py):
-            # verifier entailment head + nested span picker head
+            # verifier entailment head + nested span picker head + the
+            # structure packer's QA coverage head
             self.verifier.load_calibration(comps)
+            if self.qa_scorer is not None:
+                self.qa_scorer.load_calibration(comps)
             logger.info("calibration loaded from %s", path)
         except Exception as e:
             logger.warning("calibration load failed: %s", e)

@@ -134,3 +134,21 @@ def test_script_writes_and_merges(tmp_path):
     cal = read_json(out)
     assert "span_picker" in cal["components"]
     assert cal["components"]["listwise"]["listt5_weight"] == 0.35  # merged
+
+
+def test_structure_packing_is_default_and_qa_head_loads(tmp_path, comps):
+    from tests.test_query_processor import _cfg, _kb_notes
+
+    from anorag_tpu.query.processor import QueryProcessor
+    from anorag_tpu.utils.file_io import write_json
+
+    path = tmp_path / "calibration.json"
+    write_json(path, {"components": comps})
+    qp = QueryProcessor(_kb_notes(), cfg=_cfg(**{"calibration.path": str(path)}),
+                        llm=None)
+    assert qp.packer.use_structure and qp.packer.structure_packer is not None
+    assert qp.qa_scorer is not None and qp.qa_scorer.w is not None
+    # legacy opt-out honored
+    qp2 = QueryProcessor(_kb_notes(),
+                         cfg=_cfg(**{"context.use_legacy_packing": True}), llm=None)
+    assert not qp2.packer.use_structure
