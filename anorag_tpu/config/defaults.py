@@ -469,9 +469,18 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "similarity_threshold": 0.5,
         "batch_size": 32,
         "dimension": 1024,
-        "index_type": "IVFFlat",   # Flat | IVFFlat
+        # Flat | IVFFlat | IVFPQ (rotated-int8 sketch or codebook PQ) |
+        # LSH (±1 sign-sketch MXU scan) | HNSW (native C++ graph)
+        "index_type": "IVFFlat",
         "similarity_metric": "cosine",
         "nlist": 20,
+        "pq_m": 0,            # IVFPQ code bytes/row; 0 = auto (D/8)
+        "pq_rerank": 0,       # exact-refine pool; 0 = auto (n/500 capped)
+        "pq_impl": "sketch",  # sketch (ops/sq.py) | codebook (ops/pq.py)
+        "lsh_bits": 0,        # 0 = auto (D bits, FAISS IndexLSH default)
+        "hnsw_m": 16,
+        "ef_construction": 200,
+        "ef_search": 0,       # 0 = auto (max(64, 4k))
     },
     "safety": {
         "per_hop_keep_top_m": 5,

@@ -8,10 +8,12 @@ sidecar (:284-364), and nprobe autotuning to a target recall (:428-491).
 
 TPU design: embeddings live in HBM (optionally bf16); Flat search is the
 fused matmul+top-k kernel; IVFFlat is the cluster-pruned variant; IVFPQ is
-the product-quantized compressed scan (ops/pq.py: one-hot MXU contraction
-+ exact host refine) for corpora beyond HBM. HNSW/LSH degrade to Flat —
-on TPU the brute-force kernel IS the fast path, so graph/LSH structures
-would only lose recall.
+the product-quantized compressed scan (ops/pq.py one-hot MXU contraction
+or the default ops/sq.py rotated-int8 sketch + exact host refine) for
+corpora beyond HBM; LSH is the sign-sketch Hamming scan as a ±1 int8 MXU
+matmul + refine (ops/lsh.py); HNSW is the native C++ graph index
+(native/anorag_native.cpp) for the small-batch regime where a batched MXU
+scan doesn't pay — it degrades to Flat only when no C++ toolchain exists.
 """
 from __future__ import annotations
 
@@ -27,8 +29,6 @@ from anorag_tpu.ops.topk import dense_topk, dense_topk_np
 from anorag_tpu.utils.logging import get_logger
 
 logger = get_logger("anorag.index")
-
-_DEGRADE = {"HNSW": "Flat", "LSH": "Flat"}
 
 
 class VectorIndex:
@@ -47,13 +47,20 @@ class VectorIndex:
         pq_m: int = 0,
         pq_rerank: int = 0,
         pq_impl: str = "sketch",
+        lsh_bits: int = 0,
+        hnsw_m: int = 16,
+        ef_construction: int = 200,
+        ef_search: int = 0,
     ):
-        if index_type in _DEGRADE:
-            logger.info("index type %s degrades to %s on TPU", index_type, _DEGRADE[index_type])
-            index_type = _DEGRADE[index_type]
         if index_type == "PQ":
             index_type = "IVFPQ"
-        assert index_type in ("Flat", "IVFFlat", "IVFPQ"), index_type
+        if index_type == "HNSW":
+            from anorag_tpu import native
+
+            if not native.available():
+                logger.info("HNSW needs the native runtime; degrading to Flat")
+                index_type = "Flat"
+        assert index_type in ("Flat", "IVFFlat", "IVFPQ", "LSH", "HNSW"), index_type
         self.dimension = dimension
         self.index_type = index_type
         # Below this corpus size the fused flat scan beats cluster pruning on
@@ -86,11 +93,22 @@ class VectorIndex:
         self.pq_m = pq_m
         self.pq_rerank = pq_rerank
         self.pq_impl = pq_impl
+        # LSH: ±1 sign-sketch scan (ops/lsh.py). lsh_bits 0 = auto (D bits,
+        # the FAISS IndexLSH default — 4x smaller than f32 rows).
+        self.lsh_bits = lsh_bits
+        # HNSW: native C++ graph (host-side; the small-batch regime).
+        # ef_search 0 = auto (max(64, 4k) at query time).
+        self.hnsw_m = hnsw_m
+        self.ef_construction = ef_construction
+        self.ef_search = ef_search
         self._pq_codebooks: Optional[np.ndarray] = None
         self._pq_codes = None
         self._sq_rotation: Optional[np.ndarray] = None
         self._sq_codes = None
         self._sq_scales = None
+        self._lsh_planes: Optional[np.ndarray] = None
+        self._lsh_codes = None
+        self._hnsw = None
         self._emb_f32: Optional[np.ndarray] = None   # host copy (original order)
         self._device_emb = None                       # flat: (N,D); ivf: sorted
         self._layout = None
@@ -175,6 +193,23 @@ class VectorIndex:
                 self._sq_scales = jnp.asarray(scales)
             self._device_emb = None
             self._layout = None
+        elif self._effective_type == "LSH":
+            from anorag_tpu.ops.lsh import encode_lsh, train_lsh
+
+            if self._lsh_planes is None:
+                self._lsh_planes = train_lsh(
+                    self.dimension, self.lsh_bits or self.dimension)
+            self._lsh_codes = jnp.asarray(encode_lsh(self._emb_f32, self._lsh_planes))
+            self._device_emb = None
+            self._layout = None
+        elif self._effective_type == "HNSW":
+            from anorag_tpu.native import HNSWNative
+
+            self._hnsw = HNSWNative(
+                self._emb_f32, m=self.hnsw_m,
+                ef_construction=self.ef_construction)
+            self._device_emb = None
+            self._layout = None
         else:
             nlist = self._effective_nlist(self.ntotal)
             self._layout, sorted_emb = build_ivf(self._emb_f32, nlist=nlist)
@@ -244,6 +279,26 @@ class VectorIndex:
                     top_k, emb_host=self._emb_f32, candidates=cand,
                 )
             return vals, idx.astype(np.int64)
+        if self._effective_type == "LSH":
+            from anorag_tpu.ops.lsh import lsh_search
+
+            cand = self.pq_rerank or min(
+                max(4 * top_k, self.ntotal // 500, 64),
+                max(1024, 4 * top_k))
+            vals, idx = lsh_search(
+                self._lsh_codes, self._lsh_planes, q, top_k,
+                emb_host=self._emb_f32, candidates=cand,
+            )
+            return vals, idx.astype(np.int64)
+        if self._effective_type == "HNSW":
+            ef = self.ef_search or max(64, 4 * top_k)
+            vals, idx = self._hnsw.search(q, min(top_k, self.ntotal), ef_search=ef)
+            idx = idx.astype(np.int64)
+            if vals.shape[1] < top_k:
+                pad = ((0, 0), (0, top_k - vals.shape[1]))
+                vals = np.pad(vals, pad, constant_values=-np.inf)
+                idx = np.pad(idx, pad, constant_values=-1)
+            return vals, idx
         vals, idx = ivf_search(
             self._layout, self._device_emb, q, top_k,
             nprobe=nprobe or self.nprobe, use_pallas=self.use_pallas,
@@ -325,6 +380,8 @@ class VectorIndex:
             arrays["pq_codebooks"] = self._pq_codebooks
         if self._sq_rotation is not None:
             arrays["sq_rotation"] = self._sq_rotation
+        if self._lsh_planes is not None:
+            arrays["lsh_planes"] = self._lsh_planes
         np.savez_compressed(str(path.with_suffix(".npz")), **arrays)
         meta = {
             "dimension": self.dimension,
@@ -337,6 +394,10 @@ class VectorIndex:
             "pq_m": self.pq_m,
             "pq_rerank": self.pq_rerank,
             "pq_impl": self.pq_impl,
+            "lsh_bits": self.lsh_bits,
+            "hnsw_m": self.hnsw_m,
+            "ef_construction": self.ef_construction,
+            "ef_search": self.ef_search,
         }
         with open(path.with_name(path.stem + "_metadata.json"), "w") as fh:
             json.dump(meta, fh, indent=2)
@@ -352,12 +413,17 @@ class VectorIndex:
             storage_dtype=meta.get("storage_dtype", "bfloat16"), use_pallas=use_pallas,
             pq_m=meta.get("pq_m", 0), pq_rerank=meta.get("pq_rerank", 0),
             pq_impl=meta.get("pq_impl", "sketch"),
+            lsh_bits=meta.get("lsh_bits", 0), hnsw_m=meta.get("hnsw_m", 16),
+            ef_construction=meta.get("ef_construction", 200),
+            ef_search=meta.get("ef_search", 0),
         )
         data = np.load(str(path.with_suffix(".npz")))
         if "pq_codebooks" in data:
             idx._pq_codebooks = data["pq_codebooks"]
         if "sq_rotation" in data:
             idx._sq_rotation = data["sq_rotation"]
+        if "lsh_planes" in data:
+            idx._lsh_planes = data["lsh_planes"]
         emb = data["embeddings"]
         if len(emb):
             # already normalized at save time; bypass re-normalization

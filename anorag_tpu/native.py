@@ -68,6 +68,21 @@ def load() -> Optional[ctypes.CDLL]:
         ]
         lib.anorag_tokenize_count.restype = ctypes.c_int64
         lib.anorag_tokenize_count.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.anorag_hnsw_build.restype = ctypes.c_void_p
+        lib.anorag_hnsw_build.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_uint64,
+        ]
+        lib.anorag_hnsw_search.restype = None
+        lib.anorag_hnsw_search.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.anorag_hnsw_size.restype = ctypes.c_int64
+        lib.anorag_hnsw_size.argtypes = [ctypes.c_void_p]
+        lib.anorag_hnsw_free.restype = None
+        lib.anorag_hnsw_free.argtypes = [ctypes.c_void_p]
         lib.anorag_pathrank.restype = None
         lib.anorag_pathrank.argtypes = [
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -169,6 +184,52 @@ def pathrank_native(
         contributing.ctypes.data_as(i32p),
     )
     return expanded[: n_nodes].astype(bool), contributing[: n_cands]
+
+
+class HNSWNative:
+    """Owning wrapper over the C++ HNSW graph (build once, search many).
+
+    Inner-product similarity — callers normalize rows for cosine.
+    Deterministic for a fixed seed, so persistence can rebuild from the
+    saved embeddings instead of serializing the graph.
+    """
+
+    def __init__(self, emb: np.ndarray, m: int = 16,
+                 ef_construction: int = 200, seed: int = 0):
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        emb = np.ascontiguousarray(emb, np.float32)
+        self._lib = lib
+        self.n, self.d = emb.shape
+        self._handle = lib.anorag_hnsw_build(
+            emb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            self.n, self.d, int(m), int(ef_construction), int(seed),
+        )
+
+    def search(self, queries: np.ndarray, k: int,
+               ef_search: int = 64) -> Tuple[np.ndarray, np.ndarray]:
+        """(scores (B,k) f32, indices (B,k) i32; -1/-inf padding)."""
+        q = np.ascontiguousarray(np.atleast_2d(queries), np.float32)
+        assert q.shape[1] == self.d, (q.shape, self.d)
+        k = int(k)
+        scores = np.empty((len(q), k), np.float32)
+        idx = np.empty((len(q), k), np.int32)
+        self._lib.anorag_hnsw_search(
+            self._handle,
+            q.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(q),
+            k, int(ef_search),
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        scores[idx < 0] = -np.inf
+        return scores, idx
+
+    def __del__(self):
+        handle = getattr(self, "_handle", None)
+        if handle:
+            self._lib.anorag_hnsw_free(handle)
+            self._handle = None
 
 
 def levenshtein_ratio_native(a: str, b: str) -> Optional[float]:

@@ -111,6 +111,9 @@ class QueryProcessor:
                                (self.cfg.get("tpu.ivf", {}) or {}).get("nlist", 20)),
             nprobe=(self.cfg.get("tpu.ivf", {}) or {}).get("nprobe", 4),
             recall_target=(self.cfg.get("tpu.kernels", {}) or {}).get("recall_target", 0.95),
+            index_params={k: vs[k] for k in (
+                "pq_m", "pq_rerank", "pq_impl", "lsh_bits", "hnsw_m",
+                "ef_construction", "ef_search") if k in vs},
         )
         self.retriever.build_index(self.notes, embeddings)
         self.embeddings = self.retriever.embeddings

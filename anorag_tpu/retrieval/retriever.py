@@ -43,6 +43,7 @@ class VectorRetriever:
         use_pallas: Optional[bool] = None,
         recall_target: float = 0.95,
         mesh=None,
+        index_params: Optional[Dict[str, Any]] = None,
     ):
         self.em = embedding_manager or EmbeddingManager(singleton=False)
         self.dimension = self.em.dim or dimension
@@ -51,7 +52,8 @@ class VectorRetriever:
         self.top_k = top_k
         self.mesh = mesh
         self._index_kw = dict(nlist=nlist, nprobe=nprobe, use_pallas=use_pallas,
-                              recall_target=recall_target, mesh=mesh)
+                              recall_target=recall_target, mesh=mesh,
+                              **(index_params or {}))
         self.notes: List[Dict[str, Any]] = []
         self.embeddings: Optional[np.ndarray] = None
         self.index: Optional[VectorIndex] = None

@@ -13,6 +13,11 @@
 //     LightweightGraph.find_paths/k_hop_expansion hot loop,
 //     /root/reference/retrieval/path_aware_ranker.py:77-246).
 //
+//   * HNSW graph index (build + search) for the small-batch / huge-corpus
+//     regime where a batched MXU scan doesn't pay (the reference exposes
+//     FAISS IndexHNSW via index_type: HNSW,
+//     /root/reference/vector_store/vector_index.py:77-107).
+//
 // C ABI only (loaded via ctypes). Build: make -C native
 #include <algorithm>
 #include <cctype>
@@ -20,6 +25,8 @@
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <queue>
+#include <random>
 #include <string>
 #include <unordered_map>
 #include <vector>
@@ -60,7 +67,221 @@ void tokenize(const char* text, int64_t len, std::vector<std::string>& out) {
   if (!cur.empty()) out.push_back(cur);
 }
 
+// ---------------------------------------------------------------- HNSW
+// Hierarchical Navigable Small World graph (Malkov & Yashunin 2016) over
+// inner-product similarity (rows are L2-normalized upstream, so IP ==
+// cosine). Fresh implementation; no FAISS/hnswlib code.
+struct HNSW {
+  int64_t n = 0, d = 0;
+  int32_t M = 16, Mmax0 = 32, efC = 200;
+  double mult = 0.0;               // level multiplier 1/ln(M)
+  int32_t entry = -1, max_level = -1;
+  std::vector<float> data;                              // (n, d) row-major
+  std::vector<int32_t> node_level;                      // per node
+  // links[v] holds node_level[v]+1 per-level neighbor lists
+  std::vector<std::vector<std::vector<int32_t>>> links;
+  std::mt19937_64 rng;
+  // epoch-stamped visited tags (avoid clearing an n-sized array per search)
+  mutable std::vector<uint32_t> visit_tag;
+  mutable uint32_t visit_epoch = 0;
+
+  float sim(const float* a, const float* b) const {
+    float s = 0.f;
+    for (int64_t i = 0; i < d; ++i) s += a[i] * b[i];
+    return s;
+  }
+  const float* row(int32_t v) const { return data.data() + int64_t(v) * d; }
+
+  // Beam search within one level: returns up to `ef` best (sim, node),
+  // unsorted. `eps` are entry points.
+  void search_layer(const float* q, const std::vector<int32_t>& eps,
+                    int32_t ef, int32_t lvl,
+                    std::vector<std::pair<float, int32_t>>& out) const {
+    if (++visit_epoch == 0) {  // tag wraparound: reset all
+      std::fill(visit_tag.begin(), visit_tag.end(), 0u);
+      visit_epoch = 1;
+    }
+    // candidates: max-heap by sim; results: min-heap by sim
+    std::priority_queue<std::pair<float, int32_t>> cand;
+    std::priority_queue<std::pair<float, int32_t>,
+                        std::vector<std::pair<float, int32_t>>,
+                        std::greater<>> res;
+    for (int32_t e : eps) {
+      if (visit_tag[e] == visit_epoch) continue;
+      visit_tag[e] = visit_epoch;
+      const float s = sim(q, row(e));
+      cand.emplace(s, e);
+      res.emplace(s, e);
+      if (static_cast<int32_t>(res.size()) > ef) res.pop();
+    }
+    while (!cand.empty()) {
+      auto [cs, cv] = cand.top();
+      cand.pop();
+      if (!res.empty() && cs < res.top().first &&
+          static_cast<int32_t>(res.size()) >= ef)
+        break;
+      const auto& nbrs = links[cv][lvl];
+      for (int32_t u : nbrs) {
+        if (visit_tag[u] == visit_epoch) continue;
+        visit_tag[u] = visit_epoch;
+        const float s = sim(q, row(u));
+        if (static_cast<int32_t>(res.size()) < ef || s > res.top().first) {
+          cand.emplace(s, u);
+          res.emplace(s, u);
+          if (static_cast<int32_t>(res.size()) > ef) res.pop();
+        }
+      }
+    }
+    out.clear();
+    out.reserve(res.size());
+    while (!res.empty()) {
+      out.push_back(res.top());
+      res.pop();
+    }
+  }
+
+  // Neighbor selection heuristic (alg. 4): keep a candidate only if it is
+  // closer to q than to every already-kept neighbor — spreads directions
+  // instead of clustering all M links on one side.
+  void select_neighbors(const float* q,
+                        std::vector<std::pair<float, int32_t>>& cands,
+                        int32_t m, std::vector<int32_t>& out) const {
+    std::sort(cands.begin(), cands.end(),
+              [](auto& a, auto& b) { return a.first > b.first; });
+    out.clear();
+    for (auto& [s, v] : cands) {
+      if (static_cast<int32_t>(out.size()) >= m) break;
+      bool good = true;
+      for (int32_t u : out)
+        if (sim(row(v), row(u)) > s) { good = false; break; }
+      if (good) out.push_back(v);
+    }
+    // backfill with nearest pruned ones if the heuristic kept too few
+    for (auto& [s, v] : cands) {
+      if (static_cast<int32_t>(out.size()) >= m) break;
+      if (std::find(out.begin(), out.end(), v) == out.end()) out.push_back(v);
+    }
+  }
+
+  void insert(int32_t v) {
+    std::uniform_real_distribution<double> unif(0.0, 1.0);
+    const int32_t lvl = static_cast<int32_t>(
+        -std::log(std::max(unif(rng), 1e-12)) * mult);
+    node_level[v] = lvl;
+    links[v].assign(lvl + 1, {});
+    if (entry < 0) {
+      entry = v;
+      max_level = lvl;
+      return;
+    }
+    const float* q = row(v);
+    std::vector<int32_t> eps = {entry};
+    std::vector<std::pair<float, int32_t>> w;
+    // greedy descent through levels above lvl
+    for (int32_t l = max_level; l > lvl; --l) {
+      search_layer(q, eps, 1, l, w);
+      if (!w.empty()) {
+        eps = {std::max_element(w.begin(), w.end())->second};
+      }
+    }
+    // connect at each level from min(lvl, max_level) down to 0
+    for (int32_t l = std::min(lvl, max_level); l >= 0; --l) {
+      search_layer(q, eps, efC, l, w);
+      const int32_t mmax = l == 0 ? Mmax0 : M;
+      std::vector<int32_t> sel;
+      select_neighbors(q, w, M, sel);
+      links[v][l] = sel;
+      for (int32_t u : sel) {
+        auto& lu = links[u][l];
+        lu.push_back(v);
+        if (static_cast<int32_t>(lu.size()) > mmax) {
+          // re-select u's neighbors with the heuristic
+          std::vector<std::pair<float, int32_t>> cu;
+          cu.reserve(lu.size());
+          for (int32_t x : lu) cu.emplace_back(sim(row(u), row(x)), x);
+          std::vector<int32_t> su;
+          select_neighbors(row(u), cu, mmax, su);
+          lu = su;
+        }
+      }
+      eps.clear();
+      for (auto& [s, x] : w) eps.push_back(x);
+    }
+    if (lvl > max_level) {
+      max_level = lvl;
+      entry = v;
+    }
+  }
+
+  void search(const float* q, int32_t k, int32_t ef, float* out_scores,
+              int32_t* out_idx) const {
+    if (entry < 0) {
+      for (int32_t i = 0; i < k; ++i) {
+        out_scores[i] = -1e30f;
+        out_idx[i] = -1;
+      }
+      return;
+    }
+    std::vector<int32_t> eps = {entry};
+    std::vector<std::pair<float, int32_t>> w;
+    for (int32_t l = max_level; l > 0; --l) {
+      search_layer(q, eps, 1, l, w);
+      if (!w.empty()) eps = {std::max_element(w.begin(), w.end())->second};
+    }
+    search_layer(q, eps, std::max(ef, k), 0, w);
+    std::sort(w.begin(), w.end(), [](auto& a, auto& b) { return a.first > b.first; });
+    for (int32_t i = 0; i < k; ++i) {
+      if (i < static_cast<int32_t>(w.size())) {
+        out_scores[i] = w[i].first;
+        out_idx[i] = w[i].second;
+      } else {
+        out_scores[i] = -1e30f;
+        out_idx[i] = -1;
+      }
+    }
+  }
+};
+
 }  // namespace
+
+extern "C" {
+
+// Build an HNSW graph over n d-dim rows (inner-product similarity; callers
+// normalize rows for cosine). Deterministic for a fixed seed.
+void* anorag_hnsw_build(const float* emb, int64_t n, int64_t d, int32_t m,
+                        int32_t ef_construction, uint64_t seed) {
+  auto* h = new HNSW();
+  h->n = n;
+  h->d = d;
+  h->M = std::max(2, m);
+  h->Mmax0 = 2 * h->M;
+  h->efC = std::max(ef_construction, h->M);
+  h->mult = 1.0 / std::log(static_cast<double>(h->M));
+  h->rng.seed(seed);
+  h->data.assign(emb, emb + n * d);
+  h->node_level.assign(n, 0);
+  h->links.resize(n);
+  h->visit_tag.assign(n, 0u);
+  for (int64_t v = 0; v < n; ++v) h->insert(static_cast<int32_t>(v));
+  return h;
+}
+
+void anorag_hnsw_search(void* handle, const float* queries, int64_t nq,
+                        int32_t k, int32_t ef_search, float* out_scores,
+                        int32_t* out_idx) {
+  auto* h = static_cast<HNSW*>(handle);
+  for (int64_t qi = 0; qi < nq; ++qi)
+    h->search(queries + qi * h->d, k, ef_search, out_scores + qi * k,
+              out_idx + qi * k);
+}
+
+int64_t anorag_hnsw_size(void* handle) {
+  return static_cast<HNSW*>(handle)->n;
+}
+
+void anorag_hnsw_free(void* handle) { delete static_cast<HNSW*>(handle); }
+
+}  // extern "C"
 
 extern "C" {
 

@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""LSH + HNSW bench on the real TPU / host (docs/kernels.md numbers).
+
+Workloads:
+  * LSH (ops/lsh.py): 200k x 1024 clustered corpus, B=256 — sign-sketch
+    scan (±1 int8 MXU matmul) + exact refine, at 1024 and 512 bits;
+    recall@10 vs exact flat, vs the bf16 flat approx scan.
+  * HNSW (native C++): same corpus, the SMALL-batch regime (B=8) it
+    exists for — build time, per-query latency vs the flat device scan
+    (which pays one tunnel dispatch per batch).
+
+Timing forces a value read (float(...)) — block_until_ready on tunneled
+TPUs can return before work drains (CLAUDE.md kernel facts).
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+from anorag_tpu.ops.topk import dense_topk
+
+
+def make_data(n, d, b, rng):
+    centers = rng.standard_normal((2048, d)).astype(np.float32)
+    emb = np.empty((n, d), np.float32)
+    chunk = 250_000
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        ids = rng.integers(0, len(centers), hi - lo)
+        emb[lo:hi] = centers[ids] + 0.35 * rng.standard_normal((hi - lo, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = emb[rng.integers(0, n, b)] + 0.05 * rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return emb, q
+
+
+def timed(fn, reps=5):
+    fn()
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    _ = float(np.asarray(out[0]).reshape(-1)[0])
+    return (time.perf_counter() - t0) / reps
+
+
+def recall(got, exact, k):
+    return float(np.mean([
+        len(set(got[i][:k]) & set(exact[i][:k])) / k for i in range(len(exact))]))
+
+
+def main(n=200_000, d=1024, b=256, k=10, seed=0):
+    rng = np.random.default_rng(seed)
+    emb, q = make_data(n, d, b, rng)
+    out = {"n": n, "d": d, "batch": b, "backend": jax.default_backend()}
+
+    # exact oracle + flat approx baseline
+    emb_dev = jnp.asarray(emb, jnp.bfloat16)
+    qd = jnp.asarray(q, jnp.bfloat16)
+    _, fi = dense_topk(emb_dev, qd, k, method="exact")
+    exact_ids = np.asarray(fi)
+    t_flat = timed(lambda: dense_topk(emb_dev, qd, k, method="approx"))
+    _, fa = dense_topk(emb_dev, qd, k, method="approx")
+    out["flat_bf16"] = {"ms_per_batch": round(1e3 * t_flat, 2),
+                        "recall_at_10": recall(np.asarray(fa), exact_ids, k),
+                        "bytes_per_row": 2 * d}
+
+    # LSH at two bit widths
+    from anorag_tpu.ops.lsh import encode_lsh, lsh_search, train_lsh
+
+    for bits in (d, d // 2):
+        planes = train_lsh(d, bits, seed=seed)
+        t0 = time.perf_counter()
+        codes = jnp.asarray(encode_lsh(emb, planes))
+        t_enc = time.perf_counter() - t0
+        cand = max(4 * k, n // 500, 64)
+        t_lsh = timed(lambda: lsh_search(codes, planes, q, k,
+                                         emb_host=emb, candidates=cand), reps=3)
+        _, li = lsh_search(codes, planes, q, k, emb_host=emb, candidates=cand)
+        out[f"lsh_{bits}b"] = {
+            "ms_per_batch": round(1e3 * t_lsh, 2),
+            "recall_at_10": recall(li, exact_ids, k),
+            "encode_s": round(t_enc, 2),
+            "bytes_per_row": bits,
+            "refine_pool": cand,
+        }
+
+    # HNSW: small-batch regime
+    from anorag_tpu import native
+
+    if native.available():
+        t0 = time.perf_counter()
+        h = native.HNSWNative(emb, m=16, ef_construction=100, seed=seed)
+        t_build = time.perf_counter() - t0
+        bs = 8
+        qs, exact_s = q[:bs], exact_ids[:bs]
+        t0 = time.perf_counter()
+        reps = 20
+        for _ in range(reps):
+            hs, hi = h.search(qs, k, ef_search=96)
+        t_h = (time.perf_counter() - t0) / reps
+        qsd = jnp.asarray(qs, jnp.bfloat16)
+        t_flat_small = timed(lambda: dense_topk(emb_dev, qsd, k, method="approx"))
+        out["hnsw"] = {
+            "build_s": round(t_build, 1),
+            "batch": bs,
+            "ms_per_batch": round(1e3 * t_h, 2),
+            "recall_at_10": recall(hi, exact_s, k),
+            "flat_small_batch_ms": round(1e3 * t_flat_small, 2),
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

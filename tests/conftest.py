@@ -2,20 +2,28 @@
 
 Multi-chip sharding paths are validated without TPU hardware via
 XLA's host-platform device-count override (SURVEY.md §4).
+
+Opt-in real-chip job: `ANORAG_TPU_TESTS=1 python -m pytest tests/ -m tpu`
+skips the CPU force and runs the @pytest.mark.tpu suite (compiled Mosaic
+kernel parity) on the attached TPU; those tests self-skip off-TPU.
 """
 import os
 
-# Force CPU: the ambient environment may point JAX at a tunneled TPU
-# (JAX_PLATFORMS=axon), which is slow and bf16-precision for unit tests.
-# The env var alone is overridden by the site plugin, so use jax.config.
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+_ON_TPU_JOB = os.environ.get("ANORAG_TPU_TESTS") == "1"
+
+if not _ON_TPU_JOB:
+    # Force CPU: the ambient environment may point JAX at a tunneled TPU
+    # (JAX_PLATFORMS=axon), which is slow and bf16-precision for unit tests.
+    # The env var alone is overridden by the site plugin, so use jax.config.
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if not _ON_TPU_JOB:
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

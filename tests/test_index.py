@@ -60,15 +60,16 @@ def test_ivf_auto_flat_below_threshold():
     assert idx.measure_recall(_vecs(4, 16, seed=9), top_k=5) == 1.0
 
 
-def test_index_type_degradation():
-    idx = VectorIndex(dimension=16, index_type="HNSW")
-    assert idx.index_type == "Flat"
-    # IVFPQ is a real index now (ops/sq.py sketch / ops/pq.py codebook),
-    # not an IVFFlat alias; "PQ" is accepted as a spelling of it
-    idx2 = VectorIndex(dimension=16, index_type="IVFPQ")
-    assert idx2.index_type == "IVFPQ"
-    idx3 = VectorIndex(dimension=16, index_type="PQ")
-    assert idx3.index_type == "IVFPQ"
+def test_index_type_spellings():
+    # every reference index_type is a real index now; "PQ" is accepted as
+    # a spelling of IVFPQ, and HNSW only degrades without the native lib
+    from anorag_tpu import native
+
+    expect_hnsw = "HNSW" if native.available() else "Flat"
+    assert VectorIndex(dimension=16, index_type="HNSW").index_type == expect_hnsw
+    assert VectorIndex(dimension=16, index_type="LSH").index_type == "LSH"
+    assert VectorIndex(dimension=16, index_type="IVFPQ").index_type == "IVFPQ"
+    assert VectorIndex(dimension=16, index_type="PQ").index_type == "IVFPQ"
 
 
 def test_save_load_roundtrip(tmp_path):

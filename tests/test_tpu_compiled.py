@@ -1,0 +1,132 @@
+"""Opt-in real-chip parity suite (`ANORAG_TPU_TESTS=1 pytest -m tpu`).
+
+The default CI suite forces CPU, so the Pallas streaming top-k only ever
+runs in interpret mode there; these tests compile the Mosaic kernel and
+the int8 scan paths on the attached TPU and check them against oracles
+computed at matched precision. They self-skip off-TPU (including in the
+default CPU-forced CI job).
+
+Shapes are kept small-but-tiled: each fresh jit costs 5-120s over the
+tunneled chip (CLAUDE.md), so one shape per code path.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.tpu
+
+on_tpu = jax.default_backend() == "tpu"
+needs_tpu = pytest.mark.skipif(not on_tpu, reason="no TPU attached")
+
+
+def _mk(n, d, b, seed=0):
+    rng = np.random.default_rng(seed)
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return emb, q
+
+
+@needs_tpu
+def test_pallas_compiled_exact_topk():
+    """Mosaic-compiled streaming kernel == device-matmul + lax.top_k.
+
+    The oracle recomputes scores with the same dtype path the kernel uses
+    (bf16 storage, f32 accumulation), so any mismatch is kernel merge
+    logic — exactly the regression class interpret-mode CI can't see."""
+    from anorag_tpu.ops.topk import dense_topk
+
+    emb, q = _mk(20_000, 256, 16)
+    emb_dev = jnp.asarray(emb, jnp.bfloat16)
+    q_dev = jnp.asarray(q, jnp.bfloat16)
+    vals, idx = dense_topk(emb_dev, q_dev, 32, use_pallas=True, interpret=False)
+    _ = float(np.asarray(vals)[0, 0])  # force drain through the tunnel
+    scores = jnp.dot(q_dev, emb_dev.T, preferred_element_type=jnp.float32)
+    ov, oi = jax.lax.top_k(scores, 32)
+    ov = np.asarray(ov)
+    vals = np.asarray(vals)
+    np.testing.assert_allclose(np.sort(vals, 1), np.sort(ov, 1), atol=1e-3)
+    # indices agree modulo exact score ties
+    same = np.asarray(idx) == np.asarray(oi)
+    tied = np.isclose(vals, ov, atol=1e-6)
+    assert np.all(same | tied)
+
+
+@needs_tpu
+def test_approx_max_k_recall_on_chip():
+    from anorag_tpu.ops.topk import dense_topk, dense_topk_np
+
+    emb, q = _mk(50_000, 256, 32, seed=1)
+    vals, idx = dense_topk(jnp.asarray(emb, jnp.bfloat16),
+                           jnp.asarray(q, jnp.bfloat16), 10,
+                           method="approx", recall_target=0.95)
+    _ = float(np.asarray(vals)[0, 0])
+    _, exact = dense_topk_np(emb, q, 10)
+    got = np.asarray(idx)
+    rec = np.mean([len(set(got[i]) & set(exact[i])) / 10 for i in range(len(q))])
+    assert rec >= 0.9
+
+
+@needs_tpu
+def test_int8_sketch_scan_on_chip():
+    """Compiled int8 MXU scan (ops/sq.py) == host int32 recompute."""
+    from anorag_tpu.ops.sq import encode_sq, sq_quantize_queries, sq_topk, train_sq
+
+    emb, q = _mk(30_000, 256, 8, seed=2)
+    rot = train_sq(emb, r=64)
+    codes, scales = encode_sq(emb, rot)
+    qc, qs = sq_quantize_queries(q, rot)
+    vals, idx = sq_topk(jnp.asarray(codes), jnp.asarray(scales), qc, qs, 16,
+                        approx=False)
+    vals, idx = np.asarray(vals), np.asarray(idx)
+    _ = float(vals[0, 0])
+    host = (np.asarray(qc, np.int32) @ codes.astype(np.int32).T).astype(np.float32)
+    host *= scales[None, :] * np.asarray(qs)[:, None]
+    oi = np.argsort(-host, axis=1)[:, :16]
+    ov = np.take_along_axis(host, oi, axis=1)
+    np.testing.assert_allclose(np.sort(vals, 1), np.sort(ov, 1), rtol=1e-5, atol=1e-5)
+
+
+@needs_tpu
+def test_hybrid_topk_on_chip():
+    """Compiled candidate-union hybrid == numpy fusion oracle recall."""
+    from anorag_tpu.ops.bm25 import build_postings, gather_plan_sorted
+    from anorag_tpu.ops.topk import hybrid_topk
+
+    rng = np.random.default_rng(3)
+    n, d, b, vocab = 20_000, 256, 16, 30_000
+    emb, q = _mk(n, d, b, seed=3)
+    # Zipf terms (the bench.py workload). Uniform terms create huge
+    # sparse-score tie groups whose dense-driven winners fall outside
+    # both candidate lists — a structural union-fusion gap, not a kernel
+    # bug (measured: uniform 0.46, zipf 0.93 with the SAME kernel).
+    p = 1.0 / np.arange(1, vocab + 1)
+    p /= p.sum()
+    doc_terms = rng.choice(vocab, size=(n, 40), p=p).astype(np.int32)
+    postings = build_postings([r.tolist() for r in doc_terms], vocab)
+    ranks = np.arange(100, vocab)
+    pq = 1.0 / (ranks + 1.0)
+    pq /= pq.sum()
+    q_terms = [rng.choice(ranks, size=8, p=pq).tolist() for _ in range(b)]
+    doc_rows, weight_rows, _ = gather_plan_sorted(postings, q_terms)
+    vals, idx = hybrid_topk(
+        jnp.asarray(emb, jnp.bfloat16), jnp.asarray(q, jnp.bfloat16),
+        jnp.asarray(doc_rows), jnp.asarray(weight_rows), 10, n_docs=n,
+        dense_k=128, sparse_m=64, sparse_weight=0.6, recall_target=0.95)
+    _ = float(np.asarray(vals)[0, 0])
+    # numpy oracle: full fused scores. gather_plan_sorted returns doc ids
+    # (N-padded) + weights directly, not posting-array indices.
+    sparse = np.zeros((b, n), np.float32)
+    for bi in range(b):
+        valid = doc_rows[bi] < n
+        np.add.at(sparse[bi], doc_rows[bi][valid], weight_rows[bi][valid])
+    mx = sparse.max(axis=1, keepdims=True)
+    sparse = np.where(mx > 0, sparse / np.maximum(mx, 1e-30), 0.0)
+    fused = q @ emb.T + 0.6 * sparse
+    exact = np.argsort(-fused, axis=1)[:, :10]
+    got = np.asarray(idx)
+    rec = np.mean([len(set(got[i]) & set(exact[i])) / 10 for i in range(b)])
+    assert rec >= 0.85  # bf16 scores + approx_max_k both cost a little
