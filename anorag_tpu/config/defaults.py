@@ -489,6 +489,10 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     },
     # use_legacy_packing False => answer-first StructurePacker (reference
     # default, context/packer.py:30) with legacy fallback on errors
+    # HTTP serving (serve.py): batches larger than stream_batch run the
+    # pipelined process_stream path with stream_depth device batches in
+    # flight (device dispatch of batch i+1 overlaps host stages of batch i)
+    "serving": {"stream_batch": 64, "stream_depth": 3},
     "context": {"max_notes_for_llm": 20, "max_tokens": None,
                 "use_legacy_packing": False},
     "ranking": {"dense_weight": 0.7, "bm25_weight": 0.3, "hop_decay": 0.8},

@@ -59,7 +59,13 @@ def recall(got, exact, k):
 
 def main(n=200_000, d=1024, b=256, k=10, seed=0):
     rng = np.random.default_rng(seed)
+    t_all = time.perf_counter()
+
+    def phase(msg):
+        print(f"[{time.perf_counter()-t_all:7.1f}s] {msg}", file=sys.stderr, flush=True)
+
     emb, q = make_data(n, d, b, rng)
+    phase("data ready")
     out = {"n": n, "d": d, "batch": b, "backend": jax.default_backend()}
 
     # exact oracle + flat approx baseline
@@ -67,11 +73,13 @@ def main(n=200_000, d=1024, b=256, k=10, seed=0):
     qd = jnp.asarray(q, jnp.bfloat16)
     _, fi = dense_topk(emb_dev, qd, k, method="exact")
     exact_ids = np.asarray(fi)
+    phase("exact oracle done")
     t_flat = timed(lambda: dense_topk(emb_dev, qd, k, method="approx"))
     _, fa = dense_topk(emb_dev, qd, k, method="approx")
     out["flat_bf16"] = {"ms_per_batch": round(1e3 * t_flat, 2),
                         "recall_at_10": recall(np.asarray(fa), exact_ids, k),
                         "bytes_per_row": 2 * d}
+    phase("flat approx done")
 
     # LSH at two bit widths
     from anorag_tpu.ops.lsh import encode_lsh, lsh_search, train_lsh
@@ -92,14 +100,17 @@ def main(n=200_000, d=1024, b=256, k=10, seed=0):
             "bytes_per_row": bits,
             "refine_pool": cand,
         }
+        phase(f"lsh {bits}b done")
 
     # HNSW: small-batch regime
     from anorag_tpu import native
 
     if native.available():
+        phase("hnsw build start")
         t0 = time.perf_counter()
         h = native.HNSWNative(emb, m=16, ef_construction=100, seed=seed)
         t_build = time.perf_counter() - t0
+        phase("hnsw build done")
         bs = 8
         qs, exact_s = q[:bs], exact_ids[:bs]
         t0 = time.perf_counter()

@@ -86,9 +86,20 @@ def make_handler(qp):
                 queries = payload.get("queries")
                 if not isinstance(queries, list) or not queries:
                     return self._send(400, {"error": "missing 'queries' list"})
+                qs = [str(x) for x in queries]
                 try:
                     with lock:
-                        rows = qp.process_batch([str(x) for x in queries], top_k=top_k)
+                        # large requests run the pipelined path: device
+                        # dispatch of sub-batch i+1 overlaps host answer
+                        # stages of sub-batch i (QueryProcessor.process_stream)
+                        sb = int(config.get("serving.stream_batch", 64))
+                        if len(qs) > sb:
+                            depth = int(config.get("serving.stream_depth", 3))
+                            chunks = [qs[i:i + sb] for i in range(0, len(qs), sb)]
+                            rows = [r for out in qp.process_stream(
+                                chunks, top_k=top_k, depth=depth) for r in out]
+                        else:
+                            rows = qp.process_batch(qs, top_k=top_k)
                     return self._send(200, {"results": [
                         {"query": r["query"], "answer": r["answer"],
                          "predicted_support_idxs": r["predicted_support_idxs"],

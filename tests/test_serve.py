@@ -85,3 +85,15 @@ def test_query_batch_endpoint(server):
     assert all("answer" in r for r in body["results"])
     code, body = _post(server + "/query_batch", {"queries": []})
     assert code == 400
+
+
+def test_query_batch_streams_large_requests(server):
+    """> serving.stream_batch queries run the pipelined process_stream path;
+    results must come back complete, in order, and identical in shape."""
+    qs = ["Who is the director of Silent River?",
+          "Who founded Nexus Labs?"] * 40   # 80 > default stream_batch 64
+    code, body = _post(server + "/query_batch", {"queries": qs, "top_k": 5})
+    assert code == 200 and len(body["results"]) == 80
+    assert [r["query"] for r in body["results"]] == qs
+    # same question => same answer whether it went through stream or batch
+    assert body["results"][0]["answer"] == body["results"][78]["answer"]
