@@ -19,6 +19,8 @@ from typing import List, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 @dataclass
@@ -149,38 +151,174 @@ def gather_plan_sorted(
     return doc_rows, weight_rows, lens
 
 
-@functools.partial(jax.jit, static_argnames=("m", "n_docs"))
+def _prefix_scan(x, op, identity: float):
+    """Inclusive prefix scan along axis 1 inside a Pallas TPU kernel.
+
+    Mosaic has no cumsum/cummax lowering, so this is the classic
+    Hillis-Steele log-step scan built from lane rolls: at step s every
+    position combines with the value s to its left (masked to `identity`
+    where j < s). log2(block_l) full-block VPU ops, all in VMEM.
+    """
+    lb = x.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    sh = 1
+    while sh < lb:
+        rolled = pltpu.roll(x, sh, axis=1)          # j <- x[(j - sh) % lb]
+        x = op(x, jnp.where(col >= sh, rolled, identity))
+        sh *= 2
+    return x
+
+
+def _segment_totals_kernel(a_ref, nxt_ref, w_ref, masked_ref, mx_ref,
+                           cs_ref, cp_ref, cm_ref, *, n_docs: int,
+                           neg_inf: float):
+    """One streaming pass over the sorted posting rows: per-position global
+    cumsum + previous-segment-end forward fill (cummax of end values — the
+    cumsum is nondecreasing since BM25 weights are positive), emitting the
+    per-segment totals at segment-end positions and the per-row running max.
+    Carries (cumsum, prev-end, max) live in VMEM scratch across L blocks.
+    """
+    j = pl.program_id(1)
+    n_l = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _init():
+        cs_ref[:] = jnp.zeros_like(cs_ref)
+        cp_ref[:] = jnp.zeros_like(cp_ref)
+        cm_ref[:] = jnp.zeros_like(cm_ref)
+
+    a = a_ref[:]                                   # (Bb, Lb) int32
+    w = w_ref[:]                                   # (Bb, Lb) f32
+    c = _prefix_scan(w, jnp.add, 0.0) + cs_ref[:, :1]   # global running sum
+    is_end = a != nxt_ref[:]
+    end_c = jnp.where(is_end, c, 0.0)
+    cm_local = _prefix_scan(end_c, jnp.maximum, 0.0)
+    # prev-end value at position t = max(carry, cummax up to t-1)
+    prev = jnp.maximum(
+        cp_ref[:, :1],
+        jnp.concatenate([jnp.zeros_like(cm_local[:, :1]),
+                         cm_local[:, :-1]], axis=1))
+    totals = c - prev
+    valid = is_end & (a < n_docs)
+    masked_ref[:] = jnp.where(valid, totals, neg_inf)
+    blk_mx = jnp.max(jnp.where(valid, totals, 0.0), axis=1, keepdims=True)
+    cs_ref[:] = jnp.broadcast_to(c[:, -1:], cs_ref.shape)
+    cp_ref[:] = jnp.broadcast_to(
+        jnp.maximum(cp_ref[:, :1], cm_local[:, -1:]), cp_ref.shape)
+    cm_ref[:] = jnp.broadcast_to(
+        jnp.maximum(cm_ref[:, :1], blk_mx), cm_ref.shape)
+
+    @pl.when(j == n_l - 1)
+    def _emit():
+        mx_ref[:] = cm_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs", "block_b", "block_l",
+                                             "interpret"))
+def segment_totals_pallas(doc_rows: jax.Array, weight_rows: jax.Array,
+                          n_docs: int, block_b: int = 256,
+                          block_l: int = 1024,
+                          interpret: bool | None = None):
+    """Fused segment totals: (masked (B, L) — totals at segment ends, -inf
+    elsewhere; mx (B, 1) per-row max). Replaces the ~14 unfused XLA array
+    passes (cumsum, cummax, masks — measured 3.8 ms at (512, 32768), 247
+    GB/s effective) with one streaming kernel reading a/nxt/w and writing
+    masked once."""
+    from anorag_tpu.ops.topk import NEG_INF as _NEG_INF
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, l = doc_rows.shape
+    block_b = min(block_b, b)
+    block_l = min(block_l, l)
+    # pad to block multiples; pad cols carry doc id n_docs (invalid), pad
+    # rows are all-invalid
+    bp = -(-b // block_b) * block_b
+    lp = -(-l // block_l) * block_l
+    a = jnp.pad(doc_rows, ((0, bp - b), (0, lp - l)), constant_values=n_docs)
+    w = jnp.pad(weight_rows, ((0, bp - b), (0, lp - l)))
+    nxt = jnp.concatenate(
+        [a[:, 1:], jnp.full((bp, 1), -1, a.dtype)], axis=1)
+    grid = (bp // block_b, lp // block_l)
+    kernel = functools.partial(_segment_totals_kernel, n_docs=n_docs,
+                               neg_inf=float(_NEG_INF))
+    masked, mx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, block_l), lambda i, j: (i, j)),
+            pl.BlockSpec((block_b, block_l), lambda i, j: (i, j)),
+            pl.BlockSpec((block_b, block_l), lambda i, j: (i, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, block_l), lambda i, j: (i, j)),
+            pl.BlockSpec((block_b, 128), lambda i, j: (i, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, lp), jnp.float32),
+            jax.ShapeDtypeStruct((bp, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_b, 128), jnp.float32),
+            pltpu.VMEM((block_b, 128), jnp.float32),
+            pltpu.VMEM((block_b, 128), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=6 * bp * lp, transcendentals=0,
+            bytes_accessed=3 * bp * lp * 4 + bp * lp * 4,
+        ),
+        interpret=interpret,
+    )(a, nxt, w)
+    return masked[:b, :l], mx[:b, :1]
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n_docs", "impl"))
 def sparse_topm_from_sorted(
     doc_rows: jax.Array,     # (B, L) sorted doc ids, n_docs = pad
     weight_rows: jax.Array,  # (B, L)
     m: int,
     n_docs: int,
+    impl: str = "auto",
 ):
     """Scatter-free BM25 top-m: cumsum + segment boundaries on the sorted
     posting rows (BM25 weights are strictly positive, so the cumsum is
     increasing and previous-boundary values forward-fill with cummax).
 
+    impl: auto (pallas on TPU when L is large enough to pay) | pallas
+    (fused one-pass segment kernel) | xla (unfused jnp chain).
+
     Returns (seg_totals (B, L) — per-doc score at its segment-END position,
-             -inf elsewhere; top vals (B, m); top doc ids (B, m);
+             very-negative elsewhere; top vals (B, m); top doc ids (B, m);
              per-query max score (B, 1))."""
+    from anorag_tpu.ops.topk import NEG_INF as _NEG_INF
+
     b, l = doc_rows.shape
-    c = jnp.cumsum(weight_rows, axis=1)                       # (B, L)
-    nxt = jnp.concatenate([doc_rows[:, 1:], jnp.full((b, 1), -1, doc_rows.dtype)], axis=1)
-    is_end = (doc_rows != nxt)                                # segment ends
-    end_c = jnp.where(is_end, c, 0.0)
-    prev_end_c = jnp.concatenate(
-        [jnp.zeros((b, 1), c.dtype), jax.lax.cummax(end_c, axis=1)[:, :-1]], axis=1)
-    totals = c - prev_end_c                                   # valid at ends
-    valid_end = is_end & (doc_rows < n_docs)
-    masked = jnp.where(valid_end, totals, -jnp.inf)
-    mx = jnp.max(jnp.where(valid_end, totals, 0.0), axis=1, keepdims=True)
+    if impl == "auto":
+        impl = ("pallas"
+                if jax.default_backend() == "tpu" and l >= 2048 and b >= 8
+                else "xla")
+    if impl == "pallas":
+        masked, mx = segment_totals_pallas(doc_rows, weight_rows, n_docs)
+    else:
+        c = jnp.cumsum(weight_rows, axis=1)                   # (B, L)
+        nxt = jnp.concatenate(
+            [doc_rows[:, 1:], jnp.full((b, 1), -1, doc_rows.dtype)], axis=1)
+        is_end = (doc_rows != nxt)                            # segment ends
+        end_c = jnp.where(is_end, c, 0.0)
+        prev_end_c = jnp.concatenate(
+            [jnp.zeros((b, 1), c.dtype), jax.lax.cummax(end_c, axis=1)[:, :-1]], axis=1)
+        totals = c - prev_end_c                               # valid at ends
+        valid_end = is_end & (doc_rows < n_docs)
+        masked = jnp.where(valid_end, totals, _NEG_INF)
+        mx = jnp.max(jnp.where(valid_end, totals, 0.0), axis=1, keepdims=True)
     if jax.default_backend() == "tpu" and l > 4 * m:
         top_vals, top_pos = jax.lax.approx_max_k(masked, m, recall_target=0.98)
     else:
         top_vals, top_pos = jax.lax.top_k(masked, m)
     top_docs = jnp.take_along_axis(doc_rows, top_pos, axis=1)
-    top_docs = jnp.where(jnp.isfinite(top_vals), top_docs, -1)
-    top_vals = jnp.where(jnp.isfinite(top_vals), top_vals, 0.0)
+    live = top_vals > _NEG_INF / 2
+    top_docs = jnp.where(live, top_docs, -1)
+    top_vals = jnp.where(live, top_vals, 0.0)
     return masked, top_vals, top_docs, mx
 
 

@@ -20,14 +20,18 @@
 //
 // C ABI only (loaded via ctypes). Build: make -C native
 #include <algorithm>
+#include <atomic>
 #include <cctype>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <deque>
+#include <memory>
+#include <mutex>
 #include <queue>
 #include <random>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -71,19 +75,33 @@ void tokenize(const char* text, int64_t len, std::vector<std::string>& out) {
 // Hierarchical Navigable Small World graph (Malkov & Yashunin 2016) over
 // inner-product similarity (rows are L2-normalized upstream, so IP ==
 // cosine). Fresh implementation; no FAISS/hnswlib code.
+//
+// Build is multi-threaded with per-node adjacency locks (neighbor lists
+// are copied under the node's lock before scanning). Level assignment is
+// a per-node hash of the seed, so the LEVEL structure is deterministic
+// regardless of thread interleaving; link sets above the single-thread
+// regime (n > PARALLEL_MIN) can vary run-to-run without affecting the
+// recall contract.
+struct VisitScratch {
+  std::vector<uint32_t> tag;
+  uint32_t epoch = 0;
+};
+
 struct HNSW {
   int64_t n = 0, d = 0;
   int32_t M = 16, Mmax0 = 32, efC = 200;
   double mult = 0.0;               // level multiplier 1/ln(M)
   int32_t entry = -1, max_level = -1;
+  uint64_t seed = 0;
   std::vector<float> data;                              // (n, d) row-major
   std::vector<int32_t> node_level;                      // per node
   // links[v] holds node_level[v]+1 per-level neighbor lists
   std::vector<std::vector<std::vector<int32_t>>> links;
-  std::mt19937_64 rng;
-  // epoch-stamped visited tags (avoid clearing an n-sized array per search)
-  mutable std::vector<uint32_t> visit_tag;
-  mutable uint32_t visit_epoch = 0;
+  std::unique_ptr<std::mutex[]> node_locks;
+  std::mutex global_lock;                               // entry/max_level
+  bool building = false;                                // lock adjacency reads
+
+  static constexpr int64_t PARALLEL_MIN = 20000;
 
   float sim(const float* a, const float* b) const {
     float s = 0.f;
@@ -92,14 +110,26 @@ struct HNSW {
   }
   const float* row(int32_t v) const { return data.data() + int64_t(v) * d; }
 
+  void neighbors_of(int32_t v, int32_t lvl, std::vector<int32_t>& out) const {
+    if (building) {
+      std::lock_guard<std::mutex> g(node_locks[v]);
+      out = lvl < static_cast<int32_t>(links[v].size()) ? links[v][lvl]
+                                                        : std::vector<int32_t>{};
+    } else {
+      out = lvl < static_cast<int32_t>(links[v].size()) ? links[v][lvl]
+                                                        : std::vector<int32_t>{};
+    }
+  }
+
   // Beam search within one level: returns up to `ef` best (sim, node),
   // unsorted. `eps` are entry points.
   void search_layer(const float* q, const std::vector<int32_t>& eps,
-                    int32_t ef, int32_t lvl,
+                    int32_t ef, int32_t lvl, VisitScratch& vs,
                     std::vector<std::pair<float, int32_t>>& out) const {
-    if (++visit_epoch == 0) {  // tag wraparound: reset all
-      std::fill(visit_tag.begin(), visit_tag.end(), 0u);
-      visit_epoch = 1;
+    if (vs.tag.size() != static_cast<size_t>(n)) vs.tag.assign(n, 0u);
+    if (++vs.epoch == 0) {  // tag wraparound: reset all
+      std::fill(vs.tag.begin(), vs.tag.end(), 0u);
+      vs.epoch = 1;
     }
     // candidates: max-heap by sim; results: min-heap by sim
     std::priority_queue<std::pair<float, int32_t>> cand;
@@ -107,23 +137,24 @@ struct HNSW {
                         std::vector<std::pair<float, int32_t>>,
                         std::greater<>> res;
     for (int32_t e : eps) {
-      if (visit_tag[e] == visit_epoch) continue;
-      visit_tag[e] = visit_epoch;
+      if (vs.tag[e] == vs.epoch) continue;
+      vs.tag[e] = vs.epoch;
       const float s = sim(q, row(e));
       cand.emplace(s, e);
       res.emplace(s, e);
       if (static_cast<int32_t>(res.size()) > ef) res.pop();
     }
+    std::vector<int32_t> nbrs;
     while (!cand.empty()) {
       auto [cs, cv] = cand.top();
       cand.pop();
       if (!res.empty() && cs < res.top().first &&
           static_cast<int32_t>(res.size()) >= ef)
         break;
-      const auto& nbrs = links[cv][lvl];
+      neighbors_of(cv, lvl, nbrs);
       for (int32_t u : nbrs) {
-        if (visit_tag[u] == visit_epoch) continue;
-        visit_tag[u] = visit_epoch;
+        if (vs.tag[u] == vs.epoch) continue;
+        vs.tag[u] = vs.epoch;
         const float s = sim(q, row(u));
         if (static_cast<int32_t>(res.size()) < ef || s > res.top().first) {
           cand.emplace(s, u);
@@ -163,35 +194,53 @@ struct HNSW {
     }
   }
 
-  void insert(int32_t v) {
-    std::uniform_real_distribution<double> unif(0.0, 1.0);
-    const int32_t lvl = static_cast<int32_t>(
-        -std::log(std::max(unif(rng), 1e-12)) * mult);
-    node_level[v] = lvl;
-    links[v].assign(lvl + 1, {});
-    if (entry < 0) {
-      entry = v;
-      max_level = lvl;
-      return;
+  // Deterministic per-node level: hash of (seed, v), independent of the
+  // order threads reach v.
+  int32_t level_for(int32_t v) const {
+    uint64_t x = seed ^ (static_cast<uint64_t>(v) * 0x9E3779B97F4A7C15ULL);
+    x ^= x >> 33; x *= 0xFF51AFD7ED558CCDULL;
+    x ^= x >> 33; x *= 0xC4CEB9FE1A85EC53ULL;
+    x ^= x >> 33;
+    const double u = std::max((x >> 11) * 0x1.0p-53, 1e-12);
+    return static_cast<int32_t>(-std::log(u) * mult);
+  }
+
+  void insert(int32_t v, VisitScratch& vs) {
+    const int32_t lvl = node_level[v];
+    int32_t cur_entry, cur_max;
+    {
+      std::lock_guard<std::mutex> g(global_lock);
+      if (entry < 0) {
+        entry = v;
+        max_level = lvl;
+        return;
+      }
+      cur_entry = entry;
+      cur_max = max_level;
     }
     const float* q = row(v);
-    std::vector<int32_t> eps = {entry};
+    std::vector<int32_t> eps = {cur_entry};
     std::vector<std::pair<float, int32_t>> w;
     // greedy descent through levels above lvl
-    for (int32_t l = max_level; l > lvl; --l) {
-      search_layer(q, eps, 1, l, w);
+    for (int32_t l = cur_max; l > lvl; --l) {
+      search_layer(q, eps, 1, l, vs, w);
       if (!w.empty()) {
         eps = {std::max_element(w.begin(), w.end())->second};
       }
     }
-    // connect at each level from min(lvl, max_level) down to 0
-    for (int32_t l = std::min(lvl, max_level); l >= 0; --l) {
-      search_layer(q, eps, efC, l, w);
+    // connect at each level from min(lvl, cur_max) down to 0
+    for (int32_t l = std::min(lvl, cur_max); l >= 0; --l) {
+      search_layer(q, eps, efC, l, vs, w);
       const int32_t mmax = l == 0 ? Mmax0 : M;
       std::vector<int32_t> sel;
       select_neighbors(q, w, M, sel);
-      links[v][l] = sel;
+      {
+        std::lock_guard<std::mutex> g(node_locks[v]);
+        links[v][l] = sel;
+      }
       for (int32_t u : sel) {
+        std::lock_guard<std::mutex> g(node_locks[u]);
+        if (l >= static_cast<int32_t>(links[u].size())) continue;
         auto& lu = links[u][l];
         lu.push_back(v);
         if (static_cast<int32_t>(lu.size()) > mmax) {
@@ -207,14 +256,57 @@ struct HNSW {
       eps.clear();
       for (auto& [s, x] : w) eps.push_back(x);
     }
-    if (lvl > max_level) {
-      max_level = lvl;
-      entry = v;
+    if (lvl > cur_max) {
+      std::lock_guard<std::mutex> g(global_lock);
+      if (lvl > max_level) {
+        max_level = lvl;
+        entry = v;
+      }
     }
   }
 
-  void search(const float* q, int32_t k, int32_t ef, float* out_scores,
-              int32_t* out_idx) const {
+  void build(const float* emb) {
+    data.assign(emb, emb + n * d);
+    node_level.resize(n);
+    links.resize(n);
+    node_locks.reset(new std::mutex[n]);
+    for (int64_t v = 0; v < n; ++v) {
+      node_level[v] = level_for(static_cast<int32_t>(v));
+      links[v].assign(node_level[v] + 1, {});
+    }
+    unsigned hw = std::thread::hardware_concurrency();
+    int n_threads = n >= PARALLEL_MIN && hw > 1
+                        ? static_cast<int>(std::min<unsigned>(hw, 16))
+                        : 1;
+    if (n_threads == 1) {
+      VisitScratch vs;
+      for (int64_t v = 0; v < n; ++v) insert(static_cast<int32_t>(v), vs);
+      return;
+    }
+    building = true;
+    // node 0 first so every thread has an entry point
+    {
+      VisitScratch vs;
+      insert(0, vs);
+    }
+    std::atomic<int64_t> next(1);
+    auto worker = [&]() {
+      VisitScratch vs;
+      for (;;) {
+        const int64_t v = next.fetch_add(1);
+        if (v >= n) break;
+        insert(static_cast<int32_t>(v), vs);
+      }
+    };
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    building = false;
+  }
+
+  void search(const float* q, int32_t k, int32_t ef, VisitScratch& vs,
+              float* out_scores, int32_t* out_idx) const {
     if (entry < 0) {
       for (int32_t i = 0; i < k; ++i) {
         out_scores[i] = -1e30f;
@@ -225,10 +317,10 @@ struct HNSW {
     std::vector<int32_t> eps = {entry};
     std::vector<std::pair<float, int32_t>> w;
     for (int32_t l = max_level; l > 0; --l) {
-      search_layer(q, eps, 1, l, w);
+      search_layer(q, eps, 1, l, vs, w);
       if (!w.empty()) eps = {std::max_element(w.begin(), w.end())->second};
     }
-    search_layer(q, eps, std::max(ef, k), 0, w);
+    search_layer(q, eps, std::max(ef, k), 0, vs, w);
     std::sort(w.begin(), w.end(), [](auto& a, auto& b) { return a.first > b.first; });
     for (int32_t i = 0; i < k; ++i) {
       if (i < static_cast<int32_t>(w.size())) {
@@ -247,7 +339,9 @@ struct HNSW {
 extern "C" {
 
 // Build an HNSW graph over n d-dim rows (inner-product similarity; callers
-// normalize rows for cosine). Deterministic for a fixed seed.
+// normalize rows for cosine). Multi-threaded above HNSW::PARALLEL_MIN rows
+// (level structure stays seed-deterministic; exact link sets may vary with
+// thread interleaving there); strictly deterministic below it.
 void* anorag_hnsw_build(const float* emb, int64_t n, int64_t d, int32_t m,
                         int32_t ef_construction, uint64_t seed) {
   auto* h = new HNSW();
@@ -257,12 +351,8 @@ void* anorag_hnsw_build(const float* emb, int64_t n, int64_t d, int32_t m,
   h->Mmax0 = 2 * h->M;
   h->efC = std::max(ef_construction, h->M);
   h->mult = 1.0 / std::log(static_cast<double>(h->M));
-  h->rng.seed(seed);
-  h->data.assign(emb, emb + n * d);
-  h->node_level.assign(n, 0);
-  h->links.resize(n);
-  h->visit_tag.assign(n, 0u);
-  for (int64_t v = 0; v < n; ++v) h->insert(static_cast<int32_t>(v));
+  h->seed = seed;
+  h->build(emb);
   return h;
 }
 
@@ -270,8 +360,28 @@ void anorag_hnsw_search(void* handle, const float* queries, int64_t nq,
                         int32_t k, int32_t ef_search, float* out_scores,
                         int32_t* out_idx) {
   auto* h = static_cast<HNSW*>(handle);
+  unsigned hw = std::thread::hardware_concurrency();
+  if (nq >= 8 && hw > 1) {
+    const int n_threads = static_cast<int>(
+        std::min<int64_t>(std::min<unsigned>(hw, 16), nq));
+    std::atomic<int64_t> next(0);
+    auto worker = [&]() {
+      VisitScratch vs;
+      for (;;) {
+        const int64_t qi = next.fetch_add(1);
+        if (qi >= nq) break;
+        h->search(queries + qi * h->d, k, ef_search, vs, out_scores + qi * k,
+                  out_idx + qi * k);
+      }
+    };
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+    return;
+  }
+  VisitScratch vs;
   for (int64_t qi = 0; qi < nq; ++qi)
-    h->search(queries + qi * h->d, k, ef_search, out_scores + qi * k,
+    h->search(queries + qi * h->d, k, ef_search, vs, out_scores + qi * k,
               out_idx + qi * k);
 }
 

@@ -271,6 +271,83 @@ def test_hybrid_topk_candidate_union():
     assert rec >= 0.8, rec
 
 
+def test_segment_totals_pallas_matches_xla():
+    """The fused one-pass segment kernel == the unfused jnp chain, across
+    block boundaries, all-one-segment rows, empty (all-pad) rows, and
+    rows whose segments straddle L-block edges."""
+    import jax.numpy as jnp
+    from anorag_tpu.ops.bm25 import segment_totals_pallas, sparse_topm_from_sorted
+    from anorag_tpu.ops.topk import NEG_INF
+
+    rng = np.random.default_rng(11)
+    n_docs, b, l = 500, 9, 700   # non-multiples of the block sizes
+    rows = []
+    for bi in range(b):
+        if bi == 0:
+            ids = np.full(l, n_docs)                      # empty row
+        elif bi == 1:
+            ids = np.concatenate([np.zeros(l - 3), np.full(3, n_docs)])
+        else:
+            n_valid = rng.integers(1, l)
+            ids = np.sort(rng.integers(0, n_docs, n_valid))
+            ids = np.concatenate([ids, np.full(l - n_valid, n_docs)])
+        rows.append(ids.astype(np.int32))
+    a = np.stack(rows)
+    w = np.where(a < n_docs, rng.random((b, l)).astype(np.float32) + 0.01, 0.0)
+
+    m1, mx1 = segment_totals_pallas(jnp.asarray(a), jnp.asarray(w), n_docs,
+                                    block_b=8, block_l=128, interpret=True)
+    _, tv, td, mx2 = sparse_topm_from_sorted(jnp.asarray(a), jnp.asarray(w),
+                                             8, n_docs, impl="xla")
+    # recompute the xla masked for comparison
+    masked_ref = np.asarray(sparse_topm_from_sorted(
+        jnp.asarray(a), jnp.asarray(w), 8, n_docs, impl="xla")[0])
+    m1 = np.asarray(m1)
+    valid = masked_ref > NEG_INF / 2
+    # blocked f32 accumulation reassociates long-segment sums: rel ~1e-4
+    np.testing.assert_allclose(m1[valid], masked_ref[valid], rtol=1e-3, atol=1e-5)
+    assert np.all(m1[~valid] <= NEG_INF / 2)
+    np.testing.assert_allclose(np.asarray(mx1), np.asarray(mx2), rtol=1e-3)
+    # the full top-m through the pallas impl matches the xla impl
+    _, tvp, tdp, _ = sparse_topm_from_sorted(jnp.asarray(a), jnp.asarray(w),
+                                             8, n_docs, impl="pallas")
+    np.testing.assert_allclose(np.asarray(tvp), np.asarray(tv), rtol=1e-3,
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(tdp), np.asarray(td))
+
+
+def test_hybrid_topk_bucketed_matches_unbucketed():
+    """The length-bucketed sparse stage is a pure layout optimization —
+    results must equal single-call hybrid_topk row for row."""
+    from anorag_tpu.ops.bm25 import build_postings, gather_plan_sorted
+    from anorag_tpu.ops.topk import (hybrid_topk, hybrid_topk_bucketed,
+                                     make_bucketed_plan)
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    n, d, b = 400, 32, 13   # odd B: uneven bucket splits exercised
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    docs = [rng.integers(0, 80, 12).tolist() for _ in range(n)]
+    p = build_postings(docs, vocab_size=80)
+    # skewed plan lengths: some 1-term, some 6-term queries
+    queries = [rng.integers(0, 80, rng.integers(1, 7)).tolist() for _ in range(b)]
+    dr, wr, lens = gather_plan_sorted(p, queries)
+
+    kw = dict(k=10, n_docs=n, dense_k=64, sparse_m=32, sparse_weight=0.6,
+              recall_target=0.95)
+    v1, i1 = hybrid_topk(jnp.asarray(emb), jnp.asarray(q), jnp.asarray(dr),
+                         jnp.asarray(wr), **kw)
+    for groups in (1, 3, 4, 13):
+        plan = make_bucketed_plan(dr, wr, lens, n_docs=n, groups=groups)
+        v2, i2 = hybrid_topk_bucketed(jnp.asarray(emb), jnp.asarray(q),
+                                      plan, **kw)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
 def test_hybrid_topk_huge_n_branch_matches_materialized():
     """The bounded-memory branch (chunked dense scan + per-row gather) must
     produce the same fusion as the materialized (B, N) branch."""

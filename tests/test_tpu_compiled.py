@@ -91,6 +91,35 @@ def test_int8_sketch_scan_on_chip():
 
 
 @needs_tpu
+def test_segment_scan_kernel_on_chip():
+    """Mosaic-compiled fused segment scan == the unfused XLA chain."""
+    from anorag_tpu.ops.bm25 import sparse_topm_from_sorted
+    from anorag_tpu.ops.topk import NEG_INF
+
+    rng = np.random.default_rng(5)
+    n_docs, b, l = 5000, 64, 4096
+    rows = []
+    for _ in range(b):
+        n_valid = rng.integers(10, l)
+        ids = np.sort(rng.integers(0, n_docs, n_valid))
+        rows.append(np.concatenate([ids, np.full(l - n_valid, n_docs)]).astype(np.int32))
+    a = jnp.asarray(np.stack(rows))
+    w_host = rng.random((b, l)).astype(np.float32) + 0.01
+    w = jnp.asarray(np.where(np.asarray(a) < n_docs, w_host, 0.0))
+    m1, tv1, td1, mx1 = sparse_topm_from_sorted(a, w, 32, n_docs, impl="pallas")
+    m2, tv2, td2, mx2 = sparse_topm_from_sorted(a, w, 32, n_docs, impl="xla")
+    _ = float(np.asarray(tv1)[0, 0])
+    m1, m2 = np.asarray(m1), np.asarray(m2)
+    valid = m2 > NEG_INF / 2
+    # totals are cumsum DIFFERENCES: at cumsum magnitude ~2e3 the f32 ulp
+    # is ~1.2e-4, and the two impls reassociate differently — abs noise up
+    # to ~2x ulp on small totals is inherent, not a kernel bug
+    np.testing.assert_allclose(m1[valid], m2[valid], rtol=1e-3, atol=1e-3)
+    assert np.all(m1[~valid] <= NEG_INF / 2)
+    np.testing.assert_allclose(np.asarray(mx1), np.asarray(mx2), rtol=1e-3)
+
+
+@needs_tpu
 def test_hybrid_topk_on_chip():
     """Compiled candidate-union hybrid == numpy fusion oracle recall."""
     from anorag_tpu.ops.bm25 import build_postings, gather_plan_sorted
