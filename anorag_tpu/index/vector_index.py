@@ -199,6 +199,7 @@ class VectorIndex:
             if self._lsh_planes is None:
                 self._lsh_planes = train_lsh(
                     self.dimension, self.lsh_bits or self.dimension)
+            self._lsh_planes_dev = jnp.asarray(self._lsh_planes)
             self._lsh_codes = jnp.asarray(encode_lsh(self._emb_f32, self._lsh_planes))
             self._device_emb = None
             self._layout = None
@@ -285,9 +286,15 @@ class VectorIndex:
             cand = self.pq_rerank or min(
                 max(4 * top_k, self.ntotal // 500, 64),
                 max(1024, 4 * top_k))
+            # exact refine on device when the full-precision rows fit HBM
+            # (host refine is 1000x slower on weak hosts); beyond that LSH
+            # keeps only codes on device and refines against host rows
+            small = self.ntotal * self.dimension * 2 <= 4 * 1024**3
             vals, idx = lsh_search(
-                self._lsh_codes, self._lsh_planes, q, top_k,
-                emb_host=self._emb_f32, candidates=cand,
+                self._lsh_codes, self._lsh_planes_dev, q, top_k,
+                emb_host=self._emb_f32,
+                emb_dev=self.flat_device_emb() if small else None,
+                candidates=cand,
             )
             return vals, idx.astype(np.int64)
         if self._effective_type == "HNSW":

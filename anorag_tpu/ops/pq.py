@@ -169,6 +169,30 @@ def host_refine(
     return out_v, out_i
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def device_refine(
+    vals: jax.Array,      # (B, C) approximate scores (NEG_INF = invalid)
+    idx: jax.Array,       # (B, C) candidate doc ids
+    queries: jax.Array,   # (B, D) f32
+    emb_dev: jax.Array,   # (N, D) device rows (any float dtype)
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact re-rank of approximate candidates against DEVICE rows: one
+    (B, C, D) gather + einsum, all async-dispatched. Use when the
+    full-precision corpus is HBM-resident (the LSH regime) — host refine
+    is for the beyond-HBM indexes (PQ/SQ) where no device copy exists,
+    and measured 0.5-6 s/batch256 on a single-core host vs ~1 ms here."""
+    n = emb_dev.shape[0]
+    safe = jnp.clip(idx, 0, n - 1)
+    rows = emb_dev[safe]                                     # (B, C, D)
+    exact = jnp.einsum("bcd,bd->bc", rows.astype(jnp.float32),
+                       queries.astype(jnp.float32))
+    exact = jnp.where(vals > NEG_INF / 2, exact, NEG_INF)
+    k = min(k, idx.shape[1])
+    out_v, order = jax.lax.top_k(exact, k)
+    return out_v, jnp.take_along_axis(idx, order, axis=1)
+
+
 def pq_search(
     codes: jax.Array,
     codebooks: jax.Array,

@@ -90,9 +90,11 @@ def main(n=200_000, d=1024, b=256, k=10, seed=0):
         codes = jnp.asarray(encode_lsh(emb, planes))
         t_enc = time.perf_counter() - t0
         cand = max(4 * k, n // 500, 64)
+        # device refine (ops/pq.py::device_refine): host refine measured
+        # 0.5-6 s/batch256 on this single-core host
         t_lsh = timed(lambda: lsh_search(codes, planes, q, k,
-                                         emb_host=emb, candidates=cand), reps=3)
-        _, li = lsh_search(codes, planes, q, k, emb_host=emb, candidates=cand)
+                                         emb_dev=emb_dev, candidates=cand), reps=3)
+        _, li = lsh_search(codes, planes, q, k, emb_dev=emb_dev, candidates=cand)
         out[f"lsh_{bits}b"] = {
             "ms_per_batch": round(1e3 * t_lsh, 2),
             "recall_at_10": recall(li, exact_ids, k),
