@@ -132,6 +132,7 @@ class DocumentProcessor:
             build=build_chunks,
             save=lambda c: write_jsonl(self.output_dir / "chunks.jsonl", c),
             load=lambda: _load_jsonl(self.output_dir / "chunks.jsonl"),
+            force=force_reprocess,
         )
         stats["n_chunks"] = len(chunks)
 
@@ -141,6 +142,7 @@ class DocumentProcessor:
             build=lambda: self.note_generator.generate_atomic_notes(chunks),
             save=lambda n: write_json(self.output_dir / "atomic_notes.json", n),
             load=lambda: read_json(self.output_dir / "atomic_notes.json"),
+            force=force_reprocess,
         )
         stats["n_notes"] = len(notes)
 
@@ -153,6 +155,7 @@ class DocumentProcessor:
             build=build_embeddings,
             save=lambda e: np.save(self.output_dir / "embeddings.npy", e),
             load=lambda: np.load(self.output_dir / "embeddings.npy"),
+            force=force_reprocess,
         )
         stats["embedding_shape"] = list(np.asarray(embeddings).shape)
 
@@ -162,6 +165,7 @@ class DocumentProcessor:
             build=lambda: self.clustering.cluster_notes(notes, embeddings),
             save=lambda c: write_json(self.output_dir / "clustering.json", c),
             load=lambda: read_json(self.output_dir / "clustering.json"),
+            force=force_reprocess,
         )
         stats["n_clusters"] = clustering.get("n_clusters", 0)
 
@@ -181,6 +185,7 @@ class DocumentProcessor:
             build=build_graph,
             save=lambda g: None,  # build_graph already persisted
             load=lambda: read_json(self.output_dir / "graph.json"),
+            force=force_reprocess,
         )
         stats["n_edges"] = len(graph_data.get("links", []))
         stats["graph_metrics"] = graph_data.get("metrics", {})

@@ -83,9 +83,10 @@ class ArtifactStore:
 
     def cached(self, name: str, cfg: Dict[str, Any], input_hash: str,
                build: Callable[[], Any], save: Callable[[Any], None],
-               load: Callable[[], Any]) -> Any:
-        """Generic build-or-load with staleness check."""
-        if self.is_fresh(name, cfg, input_hash):
+               load: Callable[[], Any], force: bool = False) -> Any:
+        """Generic build-or-load with staleness check; force = rebuild
+        regardless of freshness (CLI --force, ref main.py:283)."""
+        if not force and self.is_fresh(name, cfg, input_hash):
             try:
                 obj = load()
                 logger.info("artifact %s: cache hit", name)

@@ -35,12 +35,20 @@ def _make_llm(args):
 def process_docs(args) -> int:
     if args.config:
         config.load_config(args.config)
-    work = next_work_dir(Path(config.get("storage.result_root", "./result")))
+    # reference semantics (main.py:281-288): default REUSES the latest work
+    # dir so the incremental/artifact caches apply across runs; --new forces
+    # a fresh numbered dir, --force reprocesses inside the reused dir
+    root = Path(config.get("storage.result_root", "./result"))
+    work = None if args.new else latest_work_dir(root)
+    work = Path(work) if work else next_work_dir(root)
     from anorag_tpu.device import apply_device_config
 
     apply_device_config(config)
     rewire_storage(config, work)
-    setup_logging(str(work / "run.log"))
+    import logging
+
+    setup_logging(str(work / "run.log"),
+                  level=logging.DEBUG if args.debug else logging.INFO)
     llm = _make_llm(args)
 
     files = [str(p) for p in args.files]
@@ -58,7 +66,8 @@ def process_docs(args) -> int:
         from anorag_tpu.doc.processor import DocumentProcessor
 
         dp = DocumentProcessor(work, llm=llm, cfg=config)
-        result = dp.process_documents(file_paths=files)
+        result = dp.process_documents(file_paths=files,
+                                      force_reprocess=args.force)
         print(f"processed -> {work}: {result['processing_stats']}")
     return 0
 
@@ -74,7 +83,10 @@ def query_mode(args) -> int:
     if not work or not (Path(work) / "atomic_notes.json").exists():
         print("no knowledge base found; run `main.py process` first", file=sys.stderr)
         return 1
-    setup_logging(str(Path(work) / "query.log"))
+    import logging
+
+    setup_logging(str(Path(work) / "query.log"),
+                  level=logging.DEBUG if getattr(args, "debug", False) else logging.INFO)
     notes = read_json(Path(work) / "atomic_notes.json")
     emb_path = Path(work) / "embeddings.npy"
     embeddings = np.load(emb_path) if emb_path.exists() else None
@@ -113,6 +125,11 @@ def main() -> int:
 
     p = sub.add_parser("process", help="build the knowledge base")
     p.add_argument("files", nargs="+")
+    p.add_argument("--new", action="store_true",
+                   help="create a new work directory instead of reusing the latest")
+    p.add_argument("--force", action="store_true",
+                   help="force reprocess (ignore incremental/artifact caches)")
+    p.add_argument("--debug", action="store_true", help="debug logging")
     p.add_argument("--parallel", action="store_true")
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--strategy", default="hybrid",
@@ -123,6 +140,7 @@ def main() -> int:
     q = sub.add_parser("query", help="query the knowledge base")
     q.add_argument("question", nargs="?", default=None)
     q.add_argument("--work-dir", default=None)
+    q.add_argument("--debug", action="store_true", help="debug logging")
     q.add_argument("--no-llm", action="store_true")
     q.set_defaults(fn=query_mode)
 
