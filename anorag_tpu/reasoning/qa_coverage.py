@@ -7,6 +7,7 @@ head with a heuristic fallback, and best sentence/paragraph selection.
 """
 from __future__ import annotations
 
+import functools
 import re
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -31,49 +32,66 @@ def question_type(question: str) -> str:
     return _WH_TYPES.get(w, "thing")
 
 
+@functools.lru_cache(maxsize=4096)
+def _question_ctx(question: str):
+    return (frozenset(tokenize_no_stop(question)),
+            frozenset(e.lower() for e in extract_entities_fallback(question)),
+            question_type(question))
+
+
+@functools.lru_cache(maxsize=65536)
+def _sentence_ctx(sentence: str):
+    return (frozenset(tokenize_no_stop(sentence)),
+            frozenset(e.lower() for e in extract_entities_fallback(sentence)))
+
+
 class QACoverageScorer:
     def __init__(self):
         self.w: Optional[np.ndarray] = None
         self.b: float = 0.0
 
     # ------------------------------------------------------------ features
-    def features(self, question: str, sentence: str) -> np.ndarray:
-        q_toks = set(tokenize_no_stop(question))
-        s_toks = set(tokenize_no_stop(sentence))
-        q_ents = set(e.lower() for e in extract_entities_fallback(question))
-        s_ents = set(e.lower() for e in extract_entities_fallback(sentence))
-        qt = question_type(question)
+    def _feature_list(self, question: str, sentence: str) -> list:
+        # question-side context is cached (the answer stages score every
+        # sentence of every candidate against the SAME question — profiled
+        # ~1.9k scores/batch64 recomputing it each time)
+        q_toks, q_ents, qt = _question_ctx(question)
+        s_toks, s_ents = _sentence_ctx(sentence)
         type_hit = {
             "person": bool(_PERSON_RE.search(sentence)),
             "time": bool(_TIME_RE.search(sentence)),
             "place": bool(_PLACE_CUES.search(sentence)),
         }.get(qt, True)
-        return np.array(
-            [
-                len(q_toks & s_toks) / max(len(q_toks), 1),
-                len(q_ents & s_ents) / max(len(q_ents), 1) if q_ents else 0.0,
-                float(type_hit),
-                min(len(s_toks) / 20.0, 1.0),
-            ],
-            np.float32,
-        )
+        return [
+            len(q_toks & s_toks) / max(len(q_toks), 1),
+            len(q_ents & s_ents) / max(len(q_ents), 1) if q_ents else 0.0,
+            float(type_hit),
+            min(len(s_toks) / 20.0, 1.0),
+        ]
+
+    def features(self, question: str, sentence: str) -> np.ndarray:
+        return np.array(self._feature_list(question, sentence), np.float32)
 
     # ------------------------------------------------------------- scoring
     def score(self, question: str, sentence: str) -> float:
-        f = self.features(question, sentence)
+        f = self._feature_list(question, sentence)
         if self.w is not None:
-            z = float(f @ self.w + self.b)
+            z = float(f[0] * self.w[0] + f[1] * self.w[1]
+                      + f[2] * self.w[2] + f[3] * self.w[3] + self.b)
             return 1.0 / (1.0 + np.exp(-z))
         # heuristic fallback weights
-        return float(0.5 * f[0] + 0.3 * f[1] + 0.15 * f[2] + 0.05 * f[3])
+        return 0.5 * f[0] + 0.3 * f[1] + 0.15 * f[2] + 0.05 * f[3]
 
     def best_sentence(self, question: str, text: str) -> Tuple[str, float]:
         sents = split_sentences(text)
         if not sents:
             return "", 0.0
-        scores = [self.score(question, s) for s in sents]
-        i = int(np.argmax(scores))
-        return sents[i], float(scores[i])
+        best_i, best_s = 0, -1.0
+        for i, s in enumerate(sents):
+            sc = self.score(question, s)
+            if sc > best_s:
+                best_i, best_s = i, sc
+        return sents[best_i], float(best_s)
 
     def best_paragraphs(self, question: str, paragraphs: Sequence[str],
                         top_k: int = 2) -> List[int]:

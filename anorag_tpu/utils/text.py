@@ -30,24 +30,45 @@ STOPWORDS = frozenset(
 )
 
 
+@functools.lru_cache(maxsize=65536)
+def _tokenize_cached(text: str) -> tuple:
+    return tuple(_WORD_RE.findall(text.lower()))
+
+
 def tokenize(text: str) -> List[str]:
-    """Lowercased word tokens (the BM25 contract tokenizer)."""
-    return _WORD_RE.findall((text or "").lower())
+    """Lowercased word tokens (the BM25 contract tokenizer). Cached on the
+    text — note/sentence texts are static across queries, and the answer
+    stages re-tokenize them per query (profiled: ~14k calls/batch64).
+    Returns a fresh list so callers may mutate."""
+    return list(_tokenize_cached(text or ""))
+
+
+@functools.lru_cache(maxsize=65536)
+def _tokenize_no_stop_cached(text: str) -> tuple:
+    return tuple(t for t in _tokenize_cached(text) if t not in STOPWORDS)
 
 
 def tokenize_no_stop(text: str) -> List[str]:
-    return [t for t in tokenize(text) if t not in STOPWORDS]
+    return list(_tokenize_no_stop_cached(text or ""))
+
+
+@functools.lru_cache(maxsize=65536)
+def _split_sentences_cached(text: str) -> tuple:
+    parts = [s.strip() for s in _SENT_RE.split(text) if s and s.strip()]
+    return tuple(parts) or ((text.strip(),) if text.strip() else ())
 
 
 def split_sentences(text: str) -> List[str]:
-    parts = [s.strip() for s in _SENT_RE.split(text or "") if s and s.strip()]
-    return parts or ([text.strip()] if text and text.strip() else [])
+    """Cached on the text (note texts are static across queries); returns a
+    fresh list so callers may mutate."""
+    return list(_split_sentences_cached(text or ""))
 
 
 def split_paragraphs(text: str) -> List[str]:
     return [p.strip() for p in re.split(r"\n\s*\n", text or "") if p.strip()]
 
 
+@functools.lru_cache(maxsize=65536)
 def normalize_entity(ent: str) -> str:
     ent = re.sub(r"\s+", " ", (ent or "").strip().strip("\"'"))
     # sentence-final punctuation is never part of an entity; keep internal
@@ -61,8 +82,15 @@ def extract_entities_fallback(text: str, min_len: int = 2, max_entities: int = 1
 
     Capitalized multiword spans, quoted titles, and years — the same signal
     classes the reference's TextUtils fallback targets
-    (/root/reference/llm/atomic_note_generator.py:638-650).
+    (/root/reference/llm/atomic_note_generator.py:638-650). Cached on the
+    text (note texts are static across queries; profiled ~4k calls/batch64);
+    returns a fresh list so callers may mutate.
     """
+    return list(_extract_entities_cached(text or "", min_len, max_entities))
+
+
+@functools.lru_cache(maxsize=32768)
+def _extract_entities_cached(text: str, min_len: int, max_entities: int) -> tuple:
     seen: Dict[str, None] = {}
     for m in _QUOTED_RE.finditer(text or ""):
         ent = normalize_entity(m.group(1) or m.group(2) or "")
@@ -74,7 +102,7 @@ def extract_entities_fallback(text: str, min_len: int = 2, max_entities: int = 1
             seen.setdefault(ent)
     for m in _YEAR_RE.finditer(text or ""):
         seen.setdefault(m.group(0))
-    return list(seen)[:max_entities]
+    return tuple(list(seen)[:max_entities])
 
 
 def jaccard(a: Iterable[str], b: Iterable[str]) -> float:
