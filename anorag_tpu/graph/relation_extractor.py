@@ -20,7 +20,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from anorag_tpu.ops.topk import dense_topk
+from anorag_tpu.ops.topk import dense_topk, dense_topk_np
 from anorag_tpu.utils.logging import get_logger
 
 logger = get_logger("anorag.graph")
@@ -110,16 +110,29 @@ class RelationExtractor:
         }
 
     def _reference_relations(self, notes) -> List[Dict[str, Any]]:
-        """note i's text mentions note j's title."""
+        """note i's text mentions note j's title.
+
+        Exact substring semantics, near-linear: titles are bucketed by
+        their first 4 chars; a text only substring-checks titles whose
+        bucket key appears among its 4-grams. (The naive N x N `t in text`
+        sweep measured 10.3 s at 10k notes — 100M substring searches.)
+        """
         out = []
-        titles = [(j, (n.get("title") or "").strip().lower()) for j, n in enumerate(notes)]
-        titles = [(j, t) for j, t in titles if len(t) >= 4]
+        by_prefix: Dict[str, List[Tuple[int, str]]] = defaultdict(list)
+        for j, n in enumerate(notes):
+            t = (n.get("title") or "").strip().lower()
+            if len(t) >= 4:
+                by_prefix[t[:4]].append((j, t))
         for i, n in enumerate(notes):
             text = (n.get("content") or "").lower()
+            if len(text) < 4:
+                continue
             own = (n.get("title") or "").strip().lower()
-            for j, t in titles:
-                if j != i and t != own and t in text:
-                    out.append(self._rel(i, j, "reference"))
+            grams = {text[p:p + 4] for p in range(len(text) - 3)}
+            for g in grams:
+                for j, t in by_prefix.get(g, ()):
+                    if j != i and t != own and t in text:
+                        out.append(self._rel(i, j, "reference"))
         return out
 
     def _entity_cooccurrence(self, notes) -> List[Dict[str, Any]]:
@@ -173,8 +186,16 @@ class RelationExtractor:
         norms = np.linalg.norm(emb, axis=1, keepdims=True)
         emb = emb / np.maximum(norms, 1e-9)
         k = min(self.max_semantic_edges + 1, len(notes))
-        vals, idx = dense_topk(emb, emb, k)
-        vals, idx = np.asarray(vals), np.asarray(idx)
+        import jax
+
+        if jax.default_backend() == "cpu" and 4 * len(emb) ** 2 <= 2 * 1024**3:
+            # numpy BLAS beats the XLA 1-core chunked scan by ~30x here
+            # (33.4 s -> ~1 s at 10k x 256); the device kernel stays the
+            # path whenever an accelerator is attached
+            vals, idx = dense_topk_np(emb, emb, k)
+        else:
+            vals, idx = dense_topk(emb, emb, k)
+            vals, idx = np.asarray(vals), np.asarray(idx)
         out = []
         for i in range(len(notes)):
             for r in range(vals.shape[1]):

@@ -191,3 +191,34 @@ def test_graphml_export(tmp_path, built):
     out = tmp_path / "g.graphml"
     assert export_graphml(gi, out)
     assert out.exists() and out.stat().st_size > 100
+
+
+def test_reference_relations_bucketing_matches_naive_sweep():
+    """The 4-gram-bucketed reference extractor must produce EXACTLY the
+    naive N x N substring sweep's edge set — including partial-word and
+    cross-word-boundary substring matches the tokenized prefilter would
+    miss ('art' inside 'start', 'of the' spanning words)."""
+    import numpy as np
+    from anorag_tpu.graph.relation_extractor import RelationExtractor
+
+    rng = np.random.default_rng(0)
+    words = ["alpha", "beta", "gamma", "delta", "start", "art",
+             "horizon", "blue sky", "of the"]
+    notes = []
+    for i in range(200):
+        t = " ".join(rng.choice(words, rng.integers(1, 3)))
+        c = " ".join(rng.choice(words, rng.integers(3, 10)))
+        notes.append({"note_id": f"n{i}", "title": t, "content": c})
+    rx = RelationExtractor()
+    got = {(r["source"], r["target"]) for r in rx._reference_relations(notes)}
+    naive = set()
+    titles = [(j, (n.get("title") or "").strip().lower())
+              for j, n in enumerate(notes)]
+    titles = [(j, t) for j, t in titles if len(t) >= 4]
+    for i, n in enumerate(notes):
+        text = (n.get("content") or "").lower()
+        own = (n.get("title") or "").strip().lower()
+        for j, t in titles:
+            if j != i and t != own and t in text:
+                naive.add((i, j))
+    assert got == naive and len(got) > 100
