@@ -565,7 +565,24 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     "evaluation": {
         "coverage_thresholds": {"warning": 0.7, "critical": 0.5},
         "coverage_report_path": "debug/coverage_report.json",
-        "coverage": {},
+        # note source-coverage eval (ref utils/note_coverage_eval.py:46):
+        # per-chunk sentence coverage report + missing-sentence dump
+        "coverage": {
+            "enabled": False,
+            "threshold": 0.6,
+            "min_sentence_tokens": 6,
+            "critical_threshold": 0.5,
+            "report_path": "debug/coverage_report.json",
+            "missing_sentences_path": "debug/missing_sentences.jsonl",
+        },
+    },
+    # note-quality post-passes on the enhanced generator (ref
+    # utils/note_similarity.py + utils/enhanced_noise_filter.py)
+    "note_quality": {
+        "related_notes": {"enabled": False, "similarity_threshold": 0.75,
+                          "max_related_notes": 5},
+        "noise_filter": {"enabled": False, "usefulness_threshold": 0.65,
+                         "min_content_length": 20},
     },
     "enhanced_relation_extraction": {
         "use_llm_extraction": False,

@@ -234,6 +234,7 @@ class _RuleNoteGenerator:
             sentences = chunk.get("sentences") or []
             raw = self._gen._rule_fallback(chunk.get("text") or "", sentences)
             out.extend(self._gen._post_process(raw, chunk))
+        self._gen.maybe_evaluate_coverage(chunks, out)
         return out
 
 

@@ -15,14 +15,39 @@ from anorag_tpu.utils.ner import EnhancedNER
 
 
 class EnhancedAtomicNoteGenerator(AtomicNoteGenerator):
-    def __init__(self, llm, cfg: Optional[Any] = None, audit: bool = True):
+    def __init__(self, llm, cfg: Optional[Any] = None, audit: bool = True,
+                 embedding_manager=None):
         super().__init__(llm, cfg)
         self.ner = EnhancedNER(use_spacy=False)
         self.auditor = SummaryAuditor(llm=llm) if audit else None
+        self.em = embedding_manager
         nk = self.cfg.get("note_keys", {}) or {}
         self.rel_lexicon: Dict[str, List[str]] = nk.get("rel_lexicon", {})
         self.type_hints: Dict[str, List[str]] = nk.get("type_hints", {})
         self.relation_type_map: Dict[str, Dict[str, str]] = nk.get("relation_type_map", {})
+
+    def generate_atomic_notes(self, chunks):
+        notes = super().generate_atomic_notes(chunks)
+        nq = self.cfg.get("note_quality", {}) or {}
+        nf_cfg = nq.get("noise_filter", {}) or {}
+        if nf_cfg.get("enabled"):
+            from anorag_tpu.llm.note_quality import EnhancedNoiseFilter
+
+            nf = EnhancedNoiseFilter(
+                usefulness_threshold=float(nf_cfg.get("usefulness_threshold", 0.65)),
+                min_content_length=int(nf_cfg.get("min_content_length", 20)))
+            notes, dropped = nf.filter_notes(notes)
+            self.stats["noise_filtered"] += len(dropped)
+        rn_cfg = nq.get("related_notes", {}) or {}
+        if rn_cfg.get("enabled"):
+            from anorag_tpu.llm.note_quality import NoteSimilarityCalculator
+
+            calc = NoteSimilarityCalculator(
+                embedding_manager=self.em,
+                similarity_threshold=float(rn_cfg.get("similarity_threshold", 0.75)),
+                max_related_notes=int(rn_cfg.get("max_related_notes", 5)))
+            notes = calc.find_related_notes(notes)
+        return notes
 
     def generate_for_chunk(self, chunk: Dict[str, Any]) -> List[Dict[str, Any]]:
         chunk = dict(chunk)

@@ -182,7 +182,27 @@ class AtomicNoteGenerator:
             notes.extend(self.generate_for_chunk(chunk))
         logger.info("generated %d notes from %d chunks (%s)",
                     len(notes), len(chunks), dict(self.stats))
+        self.maybe_evaluate_coverage(chunks, notes)
         return notes
+
+    def maybe_evaluate_coverage(self, chunks, notes) -> None:
+        """Source-coverage debug report when evaluation.coverage.enabled
+        (ref llm/atomic_note_generator.py:24 -> utils/note_coverage_eval.py:46).
+        Called by every generation path, including the LLM-free rule one."""
+        cov = self.cfg.get("evaluation.coverage", {}) or {}
+        if not cov.get("enabled"):
+            return
+        from anorag_tpu.llm.note_quality import evaluate_note_coverage
+
+        result = evaluate_note_coverage(
+            chunks, notes,
+            threshold=float(cov.get("threshold", 0.6)),
+            min_sentence_tokens=int(cov.get("min_sentence_tokens", 6)),
+            critical_threshold=float(cov.get("critical_threshold", 0.5)),
+            report_path=cov.get("report_path"),
+            missing_path=cov.get("missing_sentences_path"),
+        )
+        self.stats["coverage_mean_pct"] = int(100 * result["mean_coverage"])
 
     def generate_for_chunk(self, chunk: Dict[str, Any]) -> List[Dict[str, Any]]:
         text = chunk.get("text") or ""
