@@ -144,3 +144,28 @@ def test_graph_aware_dispatcher_wiring():
     # dispatch still runs end-to-end in graph-aware mode
     res = qp.process("Aurora Lane Blue Horizon")
     assert "answer" in res
+
+
+def test_index_params_reach_vector_index():
+    """vector_store.{lsh_bits,hnsw_m,ef_*,pq_*} flow QueryProcessor ->
+    VectorRetriever -> VectorIndex (the new real index types)."""
+    qp = _qp(**{"vector_store.index_type": "LSH",
+                "vector_store.lsh_bits": 32,
+                "vector_store.pq_rerank": 48})
+    idx = qp.retriever.index
+    assert idx.index_type == "LSH"
+    assert idx.lsh_bits == 32 and idx.pq_rerank == 48
+    qp.retriever.search(["Blue Horizon"], top_k=3)   # forces materialize
+    assert idx._lsh_codes.shape == (8, 32)   # codes built at 32 bits
+
+    qp2 = _qp(**{"vector_store.index_type": "IVFPQ",
+                 "vector_store.pq_impl": "codebook",
+                 "vector_store.pq_m": 16})
+    assert qp2.retriever.index.pq_impl == "codebook"
+    assert qp2.retriever.index.pq_m == 16
+
+
+def test_serving_stream_config_defaults():
+    cfg = _cfg()
+    assert cfg.get("serving.stream_batch") == 64
+    assert cfg.get("serving.stream_depth") == 3

@@ -91,6 +91,45 @@ def test_int8_sketch_scan_on_chip():
 
 
 @needs_tpu
+def test_lsh_sign_scan_on_chip():
+    """Compiled ±1 int8 Hamming scan + device refine == host oracles."""
+    from anorag_tpu.ops.lsh import encode_lsh, lsh_search, train_lsh
+    from anorag_tpu.ops.topk import dense_topk_np
+
+    # clustered corpus + perturbed-row queries: iid-random data is LSH's
+    # worst case (all sims ~0 -> the top-10 are Hamming near-ties; recall
+    # 0.44-0.57 measured there) and not the retrieval-shaped workload the
+    # index exists for — matches tests/test_lsh_hnsw.py's generator
+    rng = np.random.default_rng(4)
+    centers = rng.standard_normal((512, 256)).astype(np.float32) * 2.0
+    emb = centers[rng.integers(0, 512, 20_000)] \
+        + 0.3 * rng.standard_normal((20_000, 256)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = emb[rng.integers(0, len(emb), 16)] \
+        + 0.05 * rng.standard_normal((16, 256)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    planes = jnp.asarray(train_lsh(256, 256, seed=4))
+    codes = jnp.asarray(encode_lsh(emb, np.asarray(planes)))
+    # codes match host signs except where the projection is ~0: TPU f32
+    # matmuls run bf16 passes, so near-zero magnitudes may flip sign
+    sample = np.asarray(codes[:64])
+    proj = emb[:64] @ np.asarray(planes)
+    mismatch = sample != np.where(proj >= 0, 1, -1)
+    assert np.all(np.abs(proj[mismatch]) < 1e-2), (
+        f"{mismatch.sum()} sign flips at |proj| up to "
+        f"{np.abs(proj[mismatch]).max() if mismatch.any() else 0}")
+    emb_dev = jnp.asarray(emb)
+    vals, idx = lsh_search(codes, planes, q, 10, emb_dev=emb_dev,
+                           candidates=256)
+    _, exact = dense_topk_np(emb, q, 10)
+    rec = np.mean([len(set(idx[i]) & set(exact[i])) / 10 for i in range(len(q))])
+    assert rec >= 0.85
+    # refined values are true inner products of the returned ids
+    want = np.einsum("bd,bd->b", q, emb[idx[:, 0]])
+    np.testing.assert_allclose(vals[:, 0], want, rtol=1e-2, atol=1e-2)
+
+
+@needs_tpu
 def test_segment_scan_kernel_on_chip():
     """Mosaic-compiled fused segment scan == the unfused XLA chain."""
     from anorag_tpu.ops.bm25 import sparse_topm_from_sorted
