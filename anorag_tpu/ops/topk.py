@@ -180,7 +180,10 @@ def dense_topk_xla(emb: jax.Array, queries: jax.Array, k: int, chunk: int = 6553
     n, d = emb.shape
     b = queries.shape[0]
     k = min(k, n)
-    qf = queries.astype(jnp.float32)
+    # keep the matmul in the CORPUS dtype (f32 accumulation): upcasting a
+    # bf16 corpus chunk to f32 forces a multi-pass f32 MXU matmul — the
+    # 1M-row scan measured ~3x slower through that path
+    qf = queries.astype(emb.dtype)
 
     n_chunks = max(1, -(-n // chunk))
     padded_n = n_chunks * chunk
@@ -189,7 +192,7 @@ def dense_topk_xla(emb: jax.Array, queries: jax.Array, k: int, chunk: int = 6553
     def scan_body(carry, blk_idx):
         rv, ri = carry
         e_blk = jax.lax.dynamic_slice(embp, (blk_idx * chunk, 0), (chunk, d))
-        s = jnp.dot(qf, e_blk.astype(jnp.float32).T, preferred_element_type=jnp.float32)
+        s = jnp.dot(qf, e_blk.T, preferred_element_type=jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, (b, chunk), 1)
         gidx = blk_idx * chunk + col
         s = jnp.where(gidx < n, s, NEG_INF)

@@ -97,3 +97,26 @@ def test_query_batch_streams_large_requests(server):
     assert [r["query"] for r in body["results"]] == qs
     # same question => same answer whether it went through stream or batch
     assert body["results"][0]["answer"] == body["results"][78]["answer"]
+
+
+def test_concurrent_clients(server):
+    """Parallel requests against the threaded server: every client gets a
+    complete, correct response (the per-processor lock serializes safely)."""
+    import concurrent.futures as cf
+
+    def hit(i):
+        if i % 3 == 0:
+            return _post(server + "/query",
+                         {"query": "Who founded Nexus Labs?"})
+        if i % 3 == 1:
+            return _post(server + "/search",
+                         {"query": "Silent River", "top_k": 2})
+        return _post(server + "/query_batch",
+                     {"queries": ["Who is the director of Silent River?"],
+                      "top_k": 3})
+
+    with cf.ThreadPoolExecutor(max_workers=6) as ex:
+        results = list(ex.map(hit, range(12)))
+    assert all(code == 200 for code, _ in results)
+    answers = [b.get("answer") for code, b in results if "answer" in b]
+    assert answers and all(a for a in answers)
