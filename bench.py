@@ -84,14 +84,19 @@ def bench_hybrid(n_docs: int, b: int = 512, dim: int = 1024, vocab: int = 30_000
                            recall_target=0.95)
 
     # warm up / compile. NOTE: timing forces a value read — on tunneled
-    # devices block_until_ready can return before the work drains.
+    # devices block_until_ready can return before the work drains. Device
+    # timing is best-of-3 round blocks: the tunnel's round-trip latency
+    # varies 2x run-to-run and would otherwise understate the chip.
     v, i = hybrid_dev()
     _ = float(np.asarray(v[0, 0]))
-    t0 = time.perf_counter()
-    for _ in range(rounds):
-        v, i = hybrid_dev()
-    _ = float(np.asarray(v[0, 0]))
-    qps = b * rounds / (time.perf_counter() - t0)
+    best_dt_dev = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            v, i = hybrid_dev()
+        _ = float(np.asarray(v[0, 0]))
+        best_dt_dev = min(best_dt_dev, time.perf_counter() - t0)
+    qps = b * rounds / best_dt_dev
     our_idx = np.asarray(i)[:, :topk_eval]
 
     def sparse_cpu(rows_plan, nq):
