@@ -64,7 +64,24 @@ class DocumentProcessor:
             eps=cl.get("eps", None),
         )
         gcfg = self.cfg.get("graph.pagerank", {}) or {}
+        rx = self.cfg.get("graph.relation_extraction", {}) or {}
+        ere = self.cfg.get("enhanced_relation_extraction", {}) or {}
+        # LLM pairwise relation window (ref graph/relation_extractor.py
+        # :186-238), gated exactly like the reference: config toggle AND a
+        # live LLM. Both the canonical and the legacy key enable it.
+        use_llm_rel = bool(rx.get("enable_llm_relations")
+                           or ere.get("use_llm_extraction")) and llm is not None
+        from anorag_tpu.graph.relation_extractor import RelationExtractor
+
+        extractor = RelationExtractor(
+            semantic_threshold=rx.get("semantic_similarity_threshold", 0.7),
+            max_semantic_edges_per_note=rx.get("max_semantic_edges_per_note", 5),
+            max_edges_per_note=rx.get("max_edges_per_note", 20),
+            llm=llm if use_llm_rel else None,
+            llm_window=int(rx.get("llm_window", 10)),
+        )
         self.graph_builder = GraphBuilder(
+            extractor=extractor,
             pagerank_alpha=gcfg.get("alpha", 0.85),
             pagerank_iters=gcfg.get("iters", 30),
         )

