@@ -68,6 +68,29 @@ class GraphRetriever:
         self.diversity_threshold = path_diversity_threshold
         self.max_initial_candidates = max_initial_candidates
         self.branch_factor = branch_factor
+        # lazy inverted indexes over the STATIC note corpus: token -> note
+        # ids and entity -> note ids. The per-query scan that re-tokenized
+        # all N notes profiled at ~40 ms/query on 10k notes; with the
+        # inverted form a query touches only its terms' posting lists.
+        self._tok_index: Optional[Dict[str, List[int]]] = None
+        self._ent_index: Optional[Dict[str, List[int]]] = None
+        self._ent_sets: Optional[List[set]] = None
+
+    def _ensure_indexes(self) -> None:
+        if self._tok_index is not None:
+            return
+        tok_index: Dict[str, List[int]] = {}
+        ent_index: Dict[str, List[int]] = {}
+        ent_sets: List[set] = []
+        for i, n in enumerate(self.gi.notes):
+            toks = set(tokenize_no_stop(f"{n.get('title','')} {n.get('content','')}"))
+            for t in toks:
+                tok_index.setdefault(t, []).append(i)
+            nents = set(str(e).lower() for e in (n.get("entities") or []))
+            ent_sets.append(nents)
+            for e in nents:
+                ent_index.setdefault(e, []).append(i)
+        self._tok_index, self._ent_index, self._ent_sets = tok_index, ent_index, ent_sets
 
     # -------------------------------------------------------------- k-hop
     def retrieve(self, seed_note_ids: Sequence[str], top_k: int = 20,
@@ -108,10 +131,16 @@ class GraphRetriever:
         kw = set(k.lower() for k in keywords)
         ents = set(e.lower() for e in entities)
         if kw or ents:
-            for i, n in enumerate(self.gi.notes):
-                toks = set(tokenize_no_stop(f"{n.get('title','')} {n.get('content','')}"))
-                nents = set(str(e).lower() for e in (n.get("entities") or []))
-                scores[i] += 0.3 * len(kw & toks) + 0.5 * len(ents & nents)
+            # inverted-index accumulation == the old full scan's
+            # 0.3*|kw n toks| + 0.5*|ents n nents| per note (each matching
+            # term contributes exactly once per note)
+            self._ensure_indexes()
+            for k in kw:
+                for i in self._tok_index.get(k, ()):
+                    scores[i] += 0.3
+            for e in ents:
+                for i in self._ent_index.get(e, ()):
+                    scores[i] += 0.5
         order = np.argsort(-scores, kind="stable")
         return [int(i) for i in order[: self.max_initial_candidates] if scores[i] > 0]
 
@@ -153,18 +182,22 @@ class GraphRetriever:
             j = int(np.argmax(row == v))
             rel_w.append(float(g.nbr_w[u, j]))
             rv.append(RELATION_TYPES.get(p.relations[i], (0.5, 0.5))[1])
-        rel_score = float(np.mean(rel_w)) if rel_w else 0.0
-        reasoning = float(np.mean(rv)) if rv else 0.0
+        # tiny python lists: sum/len beats np.mean dispatch (profiled 22k
+        # np.mean calls per 12 queries in this scorer)
+        rel_score = sum(rel_w) / len(rel_w) if rel_w else 0.0
+        reasoning = sum(rv) / len(rv) if rv else 0.0
         # node centrality
-        centrality = float(np.mean(self.gi.centrality[p.nodes]))
+        cent = self.gi.centrality
+        centrality = sum(float(cent[n]) for n in p.nodes) / len(p.nodes)
         cent_norm = centrality * len(self.gi.notes)  # ~1 for average node
-        # coherence: consecutive notes share entities
+        # coherence: consecutive notes share entities (precomputed sets)
+        self._ensure_indexes()
         coher = []
         for i in range(len(p.nodes) - 1):
-            a = set(str(e).lower() for e in (self.gi.note(p.nodes[i]).get("entities") or []))
-            b = set(str(e).lower() for e in (self.gi.note(p.nodes[i + 1]).get("entities") or []))
+            a = self._ent_sets[p.nodes[i]]
+            b = self._ent_sets[p.nodes[i + 1]]
             coher.append(1.0 if a & b else 0.0)
-        coherence = float(np.mean(coher)) if coher else 0.0
+        coherence = sum(coher) / len(coher) if coher else 0.0
         # topic consistency
         if topic_of:
             topics = [topic_of.get(n, -1) for n in p.nodes]

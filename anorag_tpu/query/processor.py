@@ -117,6 +117,11 @@ class QueryProcessor:
         )
         self.retriever.build_index(self.notes, embeddings)
         self.embeddings = self.retriever.embeddings
+        self._idx_of_cache = None      # note_id -> row (static notes)
+        self._emb_norms_cache = None   # per-row embedding norms
+
+        # (methods defined below; caches live here because notes/embeddings
+        # are fixed for the processor's lifetime)
 
         # --- sparse ----------------------------------------------------------
         bm = self.cfg.get("hybrid_search.bm25", {}) or {}
@@ -277,6 +282,19 @@ class QueryProcessor:
     # entry
     # ======================================================================
     @log_performance
+    def _note_idx_map(self) -> Dict[str, int]:
+        """note_id -> row, built once (notes are static; rebuilding the
+        10k-entry dict per stage call profiled ~240k inserts/query)."""
+        if self._idx_of_cache is None:
+            self._idx_of_cache = {n["note_id"]: i for i, n in enumerate(self.notes)}
+        return self._idx_of_cache
+
+    def _emb_norms(self) -> np.ndarray:
+        if self._emb_norms_cache is None:
+            self._emb_norms_cache = np.linalg.norm(
+                np.asarray(self.embeddings, np.float32), axis=1)
+        return self._emb_norms_cache
+
     def process(self, query: str, dataset: Optional[str] = None,
                 qid: Optional[str] = None) -> Dict[str, Any]:
         if self.cfg.get("query.use_subquestion_decomposition", False):
@@ -515,16 +533,24 @@ class QueryProcessor:
         scores are filtered; optional listwise rerank on the head."""
         if not candidates:
             return []
-        idx_of = {n["note_id"]: i for i, n in enumerate(self.notes)}
-        rows = [idx_of.get(c.get("note_id"), -1) for c in candidates]
+        idx_of = self._note_idx_map()
+        rows = np.array([idx_of.get(c.get("note_id"), -1) for c in candidates],
+                        np.int64)
         q_emb = self.em.encode_queries([query])[0]
         dense = np.zeros(len(candidates), np.float32)
-        for j, (c, i) in enumerate(zip(candidates, rows)):
+        if self.embeddings is not None:
+            # one gathered matvec instead of a per-candidate dot loop
+            # (profiled ~2.5k numpy dots per call); row norms cached
+            need = np.array(["similarity" not in c for c in candidates]) & (rows >= 0)
+            if need.any():
+                sel = rows[need]
+                qn = max(float(np.linalg.norm(q_emb)), 1e-9)
+                sims = (self.embeddings[sel] @ q_emb) / (
+                    np.maximum(self._emb_norms()[sel], 1e-9) * qn)
+                dense[need] = sims.astype(np.float32)
+        for j, c in enumerate(candidates):
             if "similarity" in c:
                 dense[j] = float(c["similarity"])
-            elif i >= 0 and self.embeddings is not None:
-                e = self.embeddings[i]
-                dense[j] = float(e @ q_emb / max(np.linalg.norm(e) * np.linalg.norm(q_emb), 1e-9))
         all_sparse = self.bm25.scores([query], normalize=True)[0] if len(self.notes) else np.zeros(0)
         sparse = np.array([
             float(c.get("sparse_score", all_sparse[i] if i >= 0 else 0.0))
@@ -616,7 +642,7 @@ class QueryProcessor:
         added: List[Dict[str, Any]] = []
         bridges: List[str] = []   # only bridges that actually mediated an expansion
         have = {c.get("note_id") for c in candidates}
-        idx_of = {n["note_id"]: i for i, n in enumerate(self.notes)}
+        idx_of = self._note_idx_map()
         for b in candidate_bridges:
             pool_ids = self.entity_index.lookup(b, fuzzy=False)
             pool_notes = []
@@ -652,7 +678,7 @@ class QueryProcessor:
         keep the top `keep_per_cluster` (reference :1637)."""
         if len(candidates) < 2 or self.embeddings is None:
             return candidates
-        idx_of = {n["note_id"]: i for i, n in enumerate(self.notes)}
+        idx_of = self._note_idx_map()
         rows = [idx_of.get(c.get("note_id"), -1) for c in candidates]
         emb = np.stack([
             self.embeddings[i] if i >= 0 else np.zeros(self.embeddings.shape[1])
@@ -799,7 +825,7 @@ class QueryProcessor:
             per_sub[sq] = res["notes"]
         q_emb = self.em.encode_queries([query])[0]
         note_embs = {}
-        idx_of = {n["note_id"]: i for i, n in enumerate(self.notes)}
+        idx_of = self._note_idx_map()
         for notes in per_sub.values():
             for n in notes:
                 i = idx_of.get(n.get("note_id"))
