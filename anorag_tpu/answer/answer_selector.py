@@ -25,6 +25,15 @@ _CUE_RELS = [
 ]
 
 
+def relation_cue_count(question: str) -> int:
+    """Number of distinct relation cues in the question — the hop-shape
+    signal: >= 2 means a nested multi-hop question whose bridge entity is
+    an intermediate (and must be excluded from EFSA answers); <= 1 means
+    the 'bridge' may BE the answer."""
+    low = (question or "").lower()
+    return sum(1 for pat, _ in _CUE_RELS if re.search(pat, low))
+
+
 def extract_rel_chain(question: str,
                       configured_chains: Optional[Sequence[Sequence[str]]] = None,
                       relax_last_hop: Optional[Sequence[str]] = None) -> Optional[List[str]]:
@@ -36,6 +45,12 @@ def extract_rel_chain(question: str,
         m = re.search(pat, low)
         if m:
             hits.append((m.start(), rel))
+    if len(hits) == 1:
+        # single-relation question ("Who performed X?"): a one-hop chain —
+        # the beam answers it structurally from the note graph instead of
+        # leaving it to EFSA, whose bridge exclusion would veto the very
+        # entity that IS the answer on 1-hop questions
+        return [hits[0][1]]
     if len(hits) < 2:
         if configured_chains:
             for chain in configured_chains:
@@ -43,9 +58,18 @@ def extract_rel_chain(question: str,
                        for c in chain):
                     return list(chain)
         return None
-    # innermost (= later position in "X of the Y of Z") resolves first
-    hits.sort(key=lambda t: -t[0])
-    chain = [rel for _, rel in hits]
+    # innermost (= later position in "X of the Y of Z") resolves first —
+    # EXCEPT a trailing verb after the last entity mention ("Where was the
+    # performer of X born?"), which is the OUTERMOST relation applied to
+    # the inner chain's result and must resolve last
+    ent_end = 0
+    for e in extract_entities_fallback(question):
+        p = low.rfind(e.lower())
+        if p >= 0:
+            ent_end = max(ent_end, p + len(e))
+    inner = sorted([h for h in hits if h[0] < ent_end], key=lambda t: -t[0])
+    outer = sorted([h for h in hits if h[0] >= ent_end], key=lambda t: t[0])
+    chain = [rel for _, rel in inner + outer]
     if relax_last_hop and chain:
         for relaxed in relax_last_hop:
             if chain[-1] in relaxed.split("|"):

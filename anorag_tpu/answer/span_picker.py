@@ -26,14 +26,20 @@ _CAPSPAN = re.compile(r"\b(?:[A-Z][\w'.-]*)(?:\s+(?:of|the|[A-Z][\w'.-]*)){0,4}"
 _NUMBER = re.compile(r"\b\d[\d,.]*\b")
 
 
+_PACK_MARKER = re.compile(r"^(?:\[?P\d+\]?|[A-Za-z]+_\d+)$")
+
+
 def candidate_spans(text: str) -> List[Tuple[str, str]]:
-    """[(span, span_type)] from one context text."""
+    """[(span, span_type)] from one context text. Structured-packer
+    artifacts — paragraph labels like '[P8]' and note/qid tokens like
+    'synth_1' — are never answer spans and are excluded."""
     out: List[Tuple[str, str]] = []
     seen = set()
 
     def add(span: str, stype: str):
         s = span.strip(" ,.;")
-        if s and s.lower() not in seen and 1 <= len(s) <= 60:
+        if (s and s.lower() not in seen and 1 <= len(s) <= 60
+                and not _PACK_MARKER.match(s)):
             seen.add(s.lower())
             out.append((s, stype))
 

@@ -360,7 +360,11 @@ DEFAULT_CONFIG: Dict[str, Any] = {
             "hop_decay": 0.85,
             "lower_threshold": 0.10,
         },
-        "answer_bias": {"who_person_boost": 1.10},
+        # who_person_boost: ref answer_bias; type_gate + subject_cooc_boost:
+        # wh-type answer gating and question-subject co-occurrence evidence
+        # (answer/efsa.py — lifted synthetic-200 EM substantially)
+        "answer_bias": {"who_person_boost": 1.10, "type_gate": True,
+                        "subject_cooc_boost": 1.0},
         "cluster_suppression": {"enabled": False, "cos_threshold": 0.9, "keep_per_cluster": 2},
         "features": {},
         "fusion": {},

@@ -244,6 +244,12 @@ class _RuleNoteGenerator:
                 raise RuntimeError("no LLM configured")
 
         self._gen = AtomicNoteGenerator(_NullLLM(), cfg)
+        # the per-paragraph quota (notes_llm.limit, default 1) guards
+        # against LLM over-generation; rule notes are one-per-sentence
+        # atomic facts, and capping them drops relation triples the note
+        # graph needs (measured: every born_in edge vanished, so the
+        # rel-chain selector could not answer 2-hop born questions)
+        self._gen.quota_per_bucket = max(self._gen.quota_per_bucket, 8)
 
     def generate_atomic_notes(self, chunks):
         out = []

@@ -246,7 +246,16 @@ class AtomicNoteGenerator:
 
     # ------------------------------------------------------------ fallback
     def _rule_fallback(self, text: str, sentences: Sequence[str]) -> List[Dict[str, Any]]:
-        """One note per informative sentence: the sentence IS the fact."""
+        """One note per informative sentence, PLUS a merged chunk-level note
+        at higher salience when several sentences qualify.
+
+        The bucketed per-paragraph quota (notes_llm.limit, quota 1 — the
+        reference default) assumes the LLM distilled the paragraph into one
+        information-COMPLETE note; per-sentence rule notes under that quota
+        kept an arbitrary single fact and dropped the rest (measured: every
+        'born in <city>' fact vanished from the LLM-free KB, answer EM 0.00
+        on where-questions). The merged note carries the union of facts and
+        wins the quota; sentence notes still surface when the quota allows."""
         out = []
         for i, s in enumerate(sentences):
             s = s.strip()
@@ -258,6 +267,19 @@ class AtomicNoteGenerator:
                 "source_sent_ids": [i],
                 "salience": 0.5,
             })
+        if len(out) > 1:
+            merged_ents: List[str] = []
+            for n in out:
+                for e in n["entities"]:
+                    if e not in merged_ents:
+                        merged_ents.append(e)
+            merged = {
+                "text": " ".join(n["text"] for n in out)[: self.max_note_chars],
+                "entities": merged_ents[:16],
+                "source_sent_ids": sorted({s for n in out for s in n["source_sent_ids"]}),
+                "salience": 0.6,
+            }
+            out = [merged] + out
         return out[: self.max_notes_per_chunk]
 
     # -------------------------------------------------------- post process

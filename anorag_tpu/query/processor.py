@@ -628,12 +628,19 @@ class QueryProcessor:
 
     # two-hop ---------------------------------------------------------------
     def _extract_entities_from_candidates(self, candidates, top_m: int) -> List[str]:
+        """Bridge candidates ordered by the RANK of the best candidate that
+        carries them (ties by frequency). Raw frequency alone promoted
+        distractor entities — with 8 distractor worlds each contributing a
+        couple of notes, the most frequent entity is usually noise while
+        the true bridge lives in the single top-ranked hop-1 note."""
+        first_rank: Dict[str, int] = {}
         counts: Dict[str, int] = {}
-        for c in candidates[:top_m]:
+        for rank, c in enumerate(candidates[:top_m]):
             for e in c.get("entities") or []:
                 e = str(e)
+                first_rank.setdefault(e, rank)
                 counts[e] = counts.get(e, 0) + 1
-        return [e for e, _ in sorted(counts.items(), key=lambda kv: -kv[1])][:10]
+        return sorted(counts, key=lambda e: (first_rank[e], -counts[e]))[:10]
 
     def _two_hop_expansion(self, query, candidates):
         candidate_bridges = self._extract_entities_from_candidates(candidates, self.two_hop_top_m)
@@ -645,6 +652,12 @@ class QueryProcessor:
         idx_of = self._note_idx_map()
         for b in candidate_bridges:
             pool_ids = self.entity_index.lookup(b, fuzzy=False)
+            # an entity that links 2+ notes mediates a path even when its
+            # hop-2 notes were already recalled directly — record it so the
+            # answer stage's bridge/path reasoning sees the TRUE bridge,
+            # not just whichever entity happened to add new notes
+            if len(pool_ids) >= 2 and b not in bridges:
+                bridges.append(b)
             pool_notes = []
             for nid in pool_ids:
                 if nid in have:
@@ -661,7 +674,7 @@ class QueryProcessor:
             if pool_notes:
                 scored = self._enhanced_hybrid_search_v2(f"{b} {query}", pool_notes)
                 hop2 = scored[: self.two_hop_max_second]
-                if hop2:
+                if hop2 and b not in bridges:
                     bridges.append(b)
                 for n in hop2:
                     n["hop_no"] = 2
@@ -756,12 +769,25 @@ class QueryProcessor:
                         "context": context}
         # (b) EFSA
         bridge, path_entities = extract_bridge_info_from_candidates(selected)
-        bridge = bridge or (bridge_entities[0] if bridge_entities else None)
+        # the two-hop stage's ranked bridge list leads: its first entry came
+        # from the top-ranked hop-1 note, while the note-attribute scan
+        # returns whichever hop-2 note happened to rank first (a distractor
+        # bridge on the synthetic multi-hop set)
+        bridge = (bridge_entities[0] if bridge_entities else None) or bridge
+        # single-relation questions have no intermediate: the "bridge" the
+        # expansion found may BE the answer, so EFSA must not exclude it
+        from anorag_tpu.answer.answer_selector import relation_cue_count
+
+        if bridge and relation_cue_count(query) < 2:
+            bridge = None
         efsa_ans, efsa_sup, efsa_score = efsa_answer_with_fallback(
             selected, query, bridge, path_entities,
             topN=self.cfg.get("context.max_notes_for_llm", 20),
             exclude_entities=extract_entities_fallback(query),
             who_person_boost=self.cfg.get("hybrid_search.answer_bias.who_person_boost", 1.10),
+            type_gate=bool(self.cfg.get("hybrid_search.answer_bias.type_gate", True)),
+            subject_cooc_boost=float(self.cfg.get(
+                "hybrid_search.answer_bias.subject_cooc_boost", 1.0)),
         )
         efsa_threshold = self.cfg.get("answering.efsa_hint.threshold", 0.70)
         if self.llm is None:

@@ -315,3 +315,58 @@ def test_efsa_excludes_question_subset_entities():
                                   exclude_entities=["Horizon"])
     assert ans == "Ivan Frost"
     assert support == [0]
+
+
+def test_rel_chain_single_hop_and_trailing_verb():
+    """Chain extraction: 1-hop questions produce a one-relation chain (the
+    beam answers them; EFSA's bridge exclusion must not), and a trailing
+    verb after the last entity is the OUTERMOST relation."""
+    from anorag_tpu.answer.answer_selector import (
+        extract_rel_chain, relation_cue_count)
+
+    assert extract_rel_chain("Who performed Marne Signal?") == ["performed_by"]
+    assert relation_cue_count("Who performed Marne Signal?") == 1
+    assert extract_rel_chain("Where was the performer of Tiba Harbor born?") \
+        == ["performed_by", "born_in"]
+    assert relation_cue_count("Where was the performer of X born?") == 2
+    assert extract_rel_chain("Who is the spouse of the performer of Blue Horizon?") \
+        == ["performed_by", "spouse_of|partner_of"]
+
+
+def test_efsa_type_gate_and_subject_cooc():
+    """'Where' answers can't be persons or years; question-subject
+    co-occurrence weights the linked note's entities up."""
+    from anorag_tpu.answer.efsa import efsa_answer
+
+    pool = [
+        {"note_id": "a", "doc_id": "d1", "title": "Work X",
+         "content": "Work X is an album performed by Ann Lee. It was released in 1983.",
+         "entities": ["Work X", "Ann Lee", "1983"], "final_score": 0.9,
+         "paragraph_idxs": [0]},
+        {"note_id": "b", "doc_id": "d2", "title": "Ann Lee",
+         "content": "Ann Lee was born in Denver.",
+         "entities": ["Ann Lee", "Denver"], "final_score": 0.3,
+         "paragraph_idxs": [1]},
+        {"note_id": "c", "doc_id": "d3", "title": "Bob Ray",
+         "content": "Bob Ray was born in Seattle.",
+         "entities": ["Bob Ray", "Seattle"], "final_score": 0.5,
+         "paragraph_idxs": [2]},
+    ]
+    ans, _, _ = efsa_answer(pool, "Where was the performer of Work X born?",
+                            bridge_entity="Ann Lee",
+                            exclude_entities=["Work X"])
+    assert ans == "Denver"   # not 1983 (year), not a person, not Seattle
+    # without the subject/bridge link, the higher-scored city wins instead
+    ans2, _, _ = efsa_answer(pool, "Where was the performer of Work X born?",
+                             subject_cooc_boost=0.0,
+                             exclude_entities=["Work X"])
+    assert ans2 in ("Denver", "Seattle")
+
+
+def test_span_picker_ignores_pack_markers():
+    from anorag_tpu.answer.span_picker import candidate_spans
+
+    spans = [s for s, _ in candidate_spans(
+        "[P8] synth_1: Ann Lee was born in Denver.")]
+    assert "Denver" in " ".join(spans)
+    assert not any(s in ("P8", "[P8]", "synth_1") for s in spans)

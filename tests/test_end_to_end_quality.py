@@ -71,5 +71,8 @@ def test_llm_free_pipeline_quality(tmp_path):
     assert metrics["n_evaluated"] == len(items)
     # LLM-free floor: the relation-chain selector + EFSA must nail the
     # synthetic set (exact surface forms present in the notes)
-    assert metrics["answer_em"] >= 0.75, metrics
+    # the round-2 answer-path work (merged rule notes, 1-hop rel chains,
+    # trailing-verb chain ordering, wh-type gating) took the synthetic-200
+    # driver eval from 0.44 to 1.00 EM; this floor guards the small set
+    assert metrics["answer_em"] >= 0.9, metrics
     assert metrics["support_f1"] >= 0.6, metrics
