@@ -61,17 +61,21 @@ def make_items(n: int, distractors: int, seed: int):
     worlds = [_world(rng) for _ in range(n)]
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 3
+        kind = i % 4
         if kind == 0:
             q, a = f"Who is the spouse of the performer of {w['work']}?", w["spouse"]
         elif kind == 1:
             q, a = f"Where was the performer of {w['work']} born?", w["city"]
-        else:
+        elif kind == 2:
             q, a = f"Who performed {w['work']}?", w["person"]
+        else:
+            q, a = f"When was {w['work']} released?", str(w["year"])
+        # 2-hop questions need both paragraphs; 1-hop only the work one
+        support_flags = [True, kind in (0, 1)]
         paras = []
-        for title, text in _paragraphs(w):
+        for (title, text), sup in zip(_paragraphs(w), support_flags):
             paras.append({"idx": len(paras), "title": title,
-                          "paragraph_text": text, "is_supporting": True})
+                          "paragraph_text": text, "is_supporting": sup})
         # distractors from other items' worlds (real competing facts, same
         # sentence shapes — not filler text)
         others = rng.choice([j for j in range(n) if j != i],
