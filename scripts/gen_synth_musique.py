@@ -40,6 +40,7 @@ def _world(rng):
         "work": f"{''.join(rng.choice(_SYL, 2)).capitalize()} {rng.choice(_WORK_W)}",
         "spouse": _name(rng),
         "city": str(rng.choice(_CITIES)),
+        "spouse_city": str(rng.choice(_CITIES)),
         "year": int(rng.integers(1950, 2020)),
     }
 
@@ -53,6 +54,9 @@ def _paragraphs(w):
          f"{w['person']} married {w['spouse']}. "
          f"The spouse of {w['person']} is {w['spouse']}. "
          f"{w['person']} was born in {w['city']}."),
+        (w["spouse"],
+         f"{w['spouse']} is married to {w['person']}. "
+         f"{w['spouse']} was born in {w['spouse_city']}."),
     ]
 
 
@@ -61,8 +65,11 @@ def make_items(n: int, distractors: int, seed: int):
     worlds = [_world(rng) for _ in range(n)]
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 4
-        if kind == 0:
+        kind = i % 5
+        if kind == 4:
+            q, a = (f"Where was the spouse of the performer of {w['work']} born?",
+                    w["spouse_city"])
+        elif kind == 0:
             q, a = f"Who is the spouse of the performer of {w['work']}?", w["spouse"]
         elif kind == 1:
             q, a = f"Where was the performer of {w['work']} born?", w["city"]
@@ -70,8 +77,9 @@ def make_items(n: int, distractors: int, seed: int):
             q, a = f"Who performed {w['work']}?", w["person"]
         else:
             q, a = f"When was {w['work']} released?", str(w["year"])
-        # 2-hop questions need both paragraphs; 1-hop only the work one
-        support_flags = [True, kind in (0, 1)]
+        # 3-hop needs all three paragraphs; 2-hop the first two; 1-hop
+        # only the work one
+        support_flags = [True, kind in (0, 1, 4), kind == 4]
         paras = []
         for (title, text), sup in zip(_paragraphs(w), support_flags):
             paras.append({"idx": len(paras), "title": title,
@@ -104,8 +112,8 @@ def main() -> int:
     with open(args.out, "w") as fh:
         for it in items:
             fh.write(json.dumps(it) + "\n")
-    hop2 = sum(1 for it in items if "spouse" in it["question"] or "born" in it["question"])
-    print(f"wrote {len(items)} items ({hop2} two-hop) -> {args.out}")
+    multi = sum(1 for it in items if "spouse" in it["question"] or "born" in it["question"])
+    print(f"wrote {len(items)} items ({multi} multi-hop) -> {args.out}")
     return 0
 
 
