@@ -76,3 +76,30 @@ def test_llm_free_pipeline_quality(tmp_path):
     # driver eval from 0.44 to 1.00 EM; this floor guards the small set
     assert metrics["answer_em"] >= 0.9, metrics
     assert metrics["support_f1"] >= 0.6, metrics
+
+
+@pytest.mark.slow
+def test_generated_musique_all_kinds(tmp_path):
+    """The 5-kind synthetic generator (scripts/gen_synth_musique.py) through
+    the full per-item pipeline: 1-hop (performed / released-year), 2-hop
+    bridge (spouse-of-performer, performer-born), and TRUE 3-hop
+    (spouse-of-performer-born). Guards the whole answer-path chain that
+    took the 200-item driver eval from 0.44 to 1.00 EM."""
+    import sys
+    from pathlib import Path as _P
+
+    sys.path.insert(0, str(_P(__file__).resolve().parents[1] / "scripts"))
+    from gen_synth_musique import make_items
+
+    cfg = ConfigLoader(auto_load=False)
+    cfg.set("embedding.backend", "hash")
+    cfg.set("embedding.dim", 128)
+    cfg.set("vector_store.index_type", "Flat")
+    items = make_items(10, distractors=4, seed=9)   # 2 of each kind
+    preds = []
+    for it in items:
+        res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
+        preds.append(res)
+    metrics = evaluate_dataset(preds, items)
+    assert metrics["answer_em"] >= 0.9, metrics
+    assert metrics["support_f1"] >= 0.8, metrics
