@@ -34,6 +34,16 @@ def relation_cue_count(question: str) -> int:
     return sum(1 for pat, _ in _CUE_RELS if re.search(pat, low))
 
 
+def has_nested_hop_shape(question: str) -> bool:
+    """Structural multi-hop signal independent of the cue lexicon: two or
+    more genitive/agentive connectives ('of the X of Y', 'by the producer
+    of Z') mark a nested question even when its relations (director-of,
+    capital-of, ...) are outside _CUE_RELS — so the bridge-exclusion gate
+    doesn't mistake a genuine multi-hop question for single-hop."""
+    low = (question or "").lower()
+    return len(re.findall(r"\b(?:of|by)\s+(?:the\s+)?\w", low)) >= 2
+
+
 def extract_rel_chain(question: str,
                       configured_chains: Optional[Sequence[Sequence[str]]] = None,
                       relax_last_hop: Optional[Sequence[str]] = None) -> Optional[List[str]]:
@@ -67,9 +77,15 @@ def extract_rel_chain(question: str,
         p = low.rfind(e.lower())
         if p >= 0:
             ent_end = max(ent_end, p + len(e))
-    inner = sorted([h for h in hits if h[0] < ent_end], key=lambda t: -t[0])
-    outer = sorted([h for h in hits if h[0] >= ent_end], key=lambda t: t[0])
-    chain = [rel for _, rel in inner + outer]
+    if ent_end == 0:
+        # no entity located (lowercase/unrecognized surfaces): without an
+        # entity boundary every hit would land in the 'outer' bucket sorted
+        # ascending, reversing the nesting — keep the innermost-first order
+        chain = [rel for _, rel in sorted(hits, key=lambda t: -t[0])]
+    else:
+        inner = sorted([h for h in hits if h[0] < ent_end], key=lambda t: -t[0])
+        outer = sorted([h for h in hits if h[0] >= ent_end], key=lambda t: t[0])
+        chain = [rel for _, rel in inner + outer]
     if relax_last_hop and chain:
         for relaxed in relax_last_hop:
             if chain[-1] in relaxed.split("|"):

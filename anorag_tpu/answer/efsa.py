@@ -15,6 +15,7 @@ vectorized here with numpy over entity ids (the candidate set is tiny, ~20).
 """
 from __future__ import annotations
 
+import re
 from pathlib import Path
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -101,8 +102,12 @@ def efsa_answer(
     w = base * (HOP_DECAY ** (hops - 1)) * (1 + COV_BONUS * cov_cons[:, 0] + CONS_BONUS * cov_cons[:, 1])
     if subject_cooc_boost and excluded:
         texts = [f"{n.get('title','')} {n.get('content','')}".lower() for n in pool]
+        # word-boundary match: raw containment let short entities ('1983',
+        # 2-3 letter names) fire inside unrelated tokens and double the
+        # evidence weight of unrelated notes
+        pats = [re.compile(r"\b" + re.escape(qe) + r"\b") for qe in excluded if qe]
         cooc = np.array([
-            1.0 if any(qe and qe in t for qe in excluded) else 0.0
+            1.0 if any(p.search(t) for p in pats) else 0.0
             for t in texts
         ])
         w = w * (1 + subject_cooc_boost * cooc)

@@ -389,6 +389,16 @@ class VectorIndex:
             arrays["sq_rotation"] = self._sq_rotation
         if self._lsh_planes is not None:
             arrays["lsh_planes"] = self._lsh_planes
+        if self._effective_type == "HNSW" and self._emb_f32 is not None:
+            self._materialize()  # graph must exist (and be current) to serialize
+        if self._effective_type == "HNSW" and not self._dirty and self._hnsw is not None:
+            # serialize the adjacency lists: the parallel build's link sets
+            # vary with thread interleaving, so a rebuild-from-embeddings
+            # would NOT return identical results to the saved index
+            g = self._hnsw.export_graph()
+            arrays["hnsw_meta"] = g["meta"]
+            arrays["hnsw_node_level"] = g["node_level"]
+            arrays["hnsw_links"] = g["links"]
         np.savez_compressed(str(path.with_suffix(".npz")), **arrays)
         meta = {
             "dimension": self.dimension,
@@ -436,4 +446,15 @@ class VectorIndex:
             # already normalized at save time; bypass re-normalization
             idx._emb_f32 = np.ascontiguousarray(emb, np.float32)
             idx._dirty = True
+            if "hnsw_meta" in data and idx._effective_type == "HNSW":
+                from anorag_tpu.native import HNSWNative
+
+                idx._hnsw = HNSWNative.from_graph(idx._emb_f32, {
+                    "meta": data["hnsw_meta"],
+                    "node_level": data["hnsw_node_level"],
+                    "links": data["hnsw_links"],
+                })
+                idx._device_emb = None
+                idx._layout = None
+                idx._dirty = False
         return idx

@@ -81,6 +81,19 @@ def load() -> Optional[ctypes.CDLL]:
         ]
         lib.anorag_hnsw_size.restype = ctypes.c_int64
         lib.anorag_hnsw_size.argtypes = [ctypes.c_void_p]
+        lib.anorag_hnsw_links_size.restype = ctypes.c_int64
+        lib.anorag_hnsw_links_size.argtypes = [ctypes.c_void_p]
+        lib.anorag_hnsw_export.restype = None
+        lib.anorag_hnsw_export.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ]
+        lib.anorag_hnsw_import.restype = ctypes.c_void_p
+        lib.anorag_hnsw_import.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+        ]
         lib.anorag_hnsw_free.restype = None
         lib.anorag_hnsw_free.argtypes = [ctypes.c_void_p]
         lib.anorag_pathrank.restype = None
@@ -189,23 +202,69 @@ def pathrank_native(
 class HNSWNative:
     """Owning wrapper over the C++ HNSW graph (build once, search many).
 
-    Inner-product similarity — callers normalize rows for cosine.
-    Deterministic for a fixed seed, so persistence can rebuild from the
-    saved embeddings instead of serializing the graph.
+    Inner-product similarity — callers normalize rows for cosine. The
+    LEVEL structure is seed-deterministic, but the parallel build's link
+    sets (n >= 20k rows on multi-core hosts) vary with thread interleaving
+    — so persistence serializes the adjacency lists (export_graph /
+    from_graph) instead of rebuilding from embeddings: a reloaded index
+    returns bit-identical results to the one that was saved.
     """
 
     def __init__(self, emb: np.ndarray, m: int = 16,
-                 ef_construction: int = 200, seed: int = 0):
+                 ef_construction: int = 200, seed: int = 0,
+                 _handle=None):
         lib = load()
         if lib is None:
             raise RuntimeError("native runtime unavailable")
         emb = np.ascontiguousarray(emb, np.float32)
         self._lib = lib
         self.n, self.d = emb.shape
+        if _handle is not None:
+            self._handle = _handle
+            return
         self._handle = lib.anorag_hnsw_build(
             emb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             self.n, self.d, int(m), int(ef_construction), int(seed),
         )
+
+    def export_graph(self) -> Dict[str, np.ndarray]:
+        """Serialize the graph: {'meta' (8,) i64, 'node_level' (n,) i32,
+        'links' (blob,) i32} — with the embeddings, enough to reconstruct
+        the exact index (from_graph)."""
+        blob_len = int(self._lib.anorag_hnsw_links_size(self._handle))
+        meta = np.zeros(8, np.int64)
+        node_level = np.zeros(self.n, np.int32)
+        links = np.zeros(max(blob_len, 1), np.int32)
+        self._lib.anorag_hnsw_export(
+            self._handle,
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            node_level.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            links.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return {"meta": meta, "node_level": node_level, "links": links[:blob_len]}
+
+    @classmethod
+    def from_graph(cls, emb: np.ndarray, graph: Dict[str, np.ndarray]) -> "HNSWNative":
+        """Reconstruct an index from export_graph() output + the embeddings."""
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable")
+        emb = np.ascontiguousarray(emb, np.float32)
+        meta = np.ascontiguousarray(graph["meta"], np.int64)
+        node_level = np.ascontiguousarray(graph["node_level"], np.int32)
+        links = np.ascontiguousarray(graph["links"], np.int32)
+        if links.size == 0:
+            links = np.zeros(1, np.int32)
+        handle = lib.anorag_hnsw_import(
+            emb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            node_level.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            links.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(np.ascontiguousarray(graph["links"], np.int32).size),
+        )
+        if not handle:
+            raise ValueError("corrupt HNSW graph blob")
+        return cls(emb, _handle=handle)
 
     def search(self, queries: np.ndarray, k: int,
                ef_search: int = 64) -> Tuple[np.ndarray, np.ndarray]:

@@ -776,9 +776,13 @@ class QueryProcessor:
         bridge = (bridge_entities[0] if bridge_entities else None) or bridge
         # single-relation questions have no intermediate: the "bridge" the
         # expansion found may BE the answer, so EFSA must not exclude it
-        from anorag_tpu.answer.answer_selector import relation_cue_count
+        from anorag_tpu.answer.answer_selector import (has_nested_hop_shape,
+                                                       relation_cue_count)
 
-        if bridge and relation_cue_count(query) < 2:
+        # multi-hop shape = >=2 lexicon cues OR structural nesting ('of the
+        # X of Y'): relations outside the 5-cue lexicon (director-of,
+        # capital-of, ...) still keep their bridge excluded
+        if bridge and relation_cue_count(query) < 2 and not has_nested_hop_shape(query):
             bridge = None
         efsa_ans, efsa_sup, efsa_score = efsa_answer_with_fallback(
             selected, query, bridge, path_entities,

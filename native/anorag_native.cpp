@@ -389,6 +389,67 @@ int64_t anorag_hnsw_size(void* handle) {
   return static_cast<HNSW*>(handle)->n;
 }
 
+// ---- graph serialization: the parallel build's link sets vary with thread
+// interleaving, so persistence must save the adjacency lists, not rebuild
+// from embeddings (rebuild is only bit-identical in the single-thread
+// regime). Layout: per node 0..n-1, per level 0..node_level[v]:
+// [count, neighbor...] concatenated into one int32 blob.
+
+int64_t anorag_hnsw_links_size(void* handle) {
+  auto* h = static_cast<HNSW*>(handle);
+  int64_t total = 0;
+  for (int64_t v = 0; v < h->n; ++v)
+    for (auto& lvl : h->links[v]) total += 1 + static_cast<int64_t>(lvl.size());
+  return total;
+}
+
+// meta: [n, d, M, Mmax0, efC, entry, max_level, seed] (8 x int64)
+void anorag_hnsw_export(void* handle, int64_t* meta, int32_t* node_level,
+                        int32_t* links_blob) {
+  auto* h = static_cast<HNSW*>(handle);
+  meta[0] = h->n; meta[1] = h->d; meta[2] = h->M; meta[3] = h->Mmax0;
+  meta[4] = h->efC; meta[5] = h->entry; meta[6] = h->max_level;
+  meta[7] = static_cast<int64_t>(h->seed);
+  int64_t off = 0;
+  for (int64_t v = 0; v < h->n; ++v) {
+    node_level[v] = h->node_level[v];
+    for (auto& lvl : h->links[v]) {
+      links_blob[off++] = static_cast<int32_t>(lvl.size());
+      for (int32_t u : lvl) links_blob[off++] = u;
+    }
+  }
+}
+
+void* anorag_hnsw_import(const float* emb, const int64_t* meta,
+                         const int32_t* node_level, const int32_t* links_blob,
+                         int64_t blob_len) {
+  auto* h = new HNSW();
+  h->n = meta[0]; h->d = meta[1];
+  h->M = static_cast<int32_t>(meta[2]);
+  h->Mmax0 = static_cast<int32_t>(meta[3]);
+  h->efC = static_cast<int32_t>(meta[4]);
+  h->entry = static_cast<int32_t>(meta[5]);
+  h->max_level = static_cast<int32_t>(meta[6]);
+  h->seed = static_cast<uint64_t>(meta[7]);
+  h->mult = 1.0 / std::log(static_cast<double>(h->M));
+  h->data.assign(emb, emb + h->n * h->d);
+  h->node_level.assign(node_level, node_level + h->n);
+  h->links.resize(h->n);
+  h->node_locks.reset(new std::mutex[h->n]);
+  int64_t off = 0;
+  for (int64_t v = 0; v < h->n; ++v) {
+    h->links[v].resize(h->node_level[v] + 1);
+    for (auto& lvl : h->links[v]) {
+      if (off >= blob_len) { delete h; return nullptr; }
+      const int32_t cnt = links_blob[off++];
+      if (off + cnt > blob_len) { delete h; return nullptr; }
+      lvl.assign(links_blob + off, links_blob + off + cnt);
+      off += cnt;
+    }
+  }
+  return h;
+}
+
 void anorag_hnsw_free(void* handle) { delete static_cast<HNSW*>(handle); }
 
 }  // extern "C"

@@ -333,6 +333,30 @@ def test_rel_chain_single_hop_and_trailing_verb():
         == ["performed_by", "spouse_of|partner_of"]
 
 
+def test_rel_chain_no_entity_falls_back_innermost_first():
+    """Lowercase/unrecognized entity surfaces locate no entity boundary
+    (ent_end == 0); the chain must still resolve innermost-first, not
+    reverse into question order."""
+    from anorag_tpu.answer.answer_selector import extract_rel_chain
+
+    chain = extract_rel_chain("who is the spouse of the performer of blue horizon?")
+    assert chain == ["performed_by", "spouse_of|partner_of"]
+
+
+def test_nested_hop_shape_outside_cue_lexicon():
+    """'of the X of Y' nesting marks a multi-hop question even when its
+    relations (director-of, capital-of, ...) are outside _CUE_RELS, so the
+    bridge-exclusion gate keeps the intermediate entity excluded."""
+    from anorag_tpu.answer.answer_selector import has_nested_hop_shape
+
+    assert has_nested_hop_shape(
+        "What is the capital of the country of origin of Blue Horizon?")
+    assert has_nested_hop_shape(
+        "Who directed the film produced by the founder of Acme?")
+    assert not has_nested_hop_shape("Who performed Marne Signal?")
+    assert not has_nested_hop_shape("What is the capital of France?")
+
+
 def test_efsa_type_gate_and_subject_cooc():
     """'Where' answers can't be persons or years; question-subject
     co-occurrence weights the linked note's entities up."""

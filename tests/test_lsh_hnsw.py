@@ -141,8 +141,35 @@ def test_vector_index_hnsw_roundtrip(rng, tmp_path):
     scores, ids = idx.search_arrays(emb[:4], top_k=10)
     assert list(ids[:, 0]) == [0, 1, 2, 3]
     idx.save(tmp_path / "hnsw")
+    # the graph adjacency itself is persisted (parallel builds are NOT
+    # interleaving-deterministic above 20k rows, so save/load must not
+    # rebuild) — loaded index is the same object, bit for bit
+    data = np.load(str((tmp_path / "hnsw").with_suffix(".npz")))
+    assert "hnsw_meta" in data and "hnsw_links" in data
     idx2 = VectorIndex.load(tmp_path / "hnsw")
     assert idx2.index_type == "HNSW"
-    # deterministic seed: rebuilt graph answers identically
+    assert not idx2._dirty  # imported, not queued for rebuild
     s2, i2 = idx2.search_arrays(emb[:4], top_k=10)
     np.testing.assert_array_equal(ids, i2)
+    np.testing.assert_array_equal(scores, s2)
+
+
+@needs_native
+def test_hnsw_graph_export_import_identical(rng):
+    emb = _clustered(rng, n=400)
+    h = native.HNSWNative(emb, m=8, ef_construction=100, seed=3)
+    g = h.export_graph()
+    h2 = native.HNSWNative.from_graph(emb, g)
+    s1, i1 = h.search(emb[:32], 10, ef_search=48)
+    s2, i2 = h2.search(emb[:32], 10, ef_search=48)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_array_equal(s1, s2)
+    # corrupt blob is rejected, not segfaulted
+    bad = dict(g)
+    bad["links"] = g["links"][: max(len(g["links"]) // 2, 1)]
+    try:
+        native.HNSWNative.from_graph(emb, bad)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
