@@ -169,6 +169,202 @@ def _dense_topk_pallas(
     return vals, idx
 
 
+def _bucket_kernel(nvalid_ref, q_ref, e_ref, vals_out, idx_out, wv_ref, wi_ref,
+                   *, w: int, tiles: int, transposed: bool):
+    """One grid step of the bucketed-winners scan (see bucket_topk).
+
+    Running winners live in VMEM scratch for the whole grid (emitting into
+    the revisited output refs directly was measured 1.5x slower — Mosaic
+    writes revisited output blocks back to HBM each step). Each grid step
+    streams `tiles` corpus sub-tiles through one resident block; with
+    `transposed` the corpus block is (D, tiles*W) so the per-tile matmul
+    contracts q's lanes against the block's sublanes — the MXU-natural
+    orientation, no per-step relayout."""
+    i = pl.program_id(0)
+    n_blocks = pl.num_programs(0)
+    b, _ = wv_ref.shape
+
+    @pl.when(i == 0)
+    def _init():
+        wv_ref[:] = jnp.full(wv_ref.shape, NEG_INF, jnp.float32)
+        wi_ref[:] = jnp.zeros(wi_ref.shape, jnp.int32)
+
+    q = q_ref[:]
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+    nvalid = nvalid_ref[0]
+
+    def tile_body(t, carry):
+        wv, wi = carry
+        if transposed:
+            e = e_ref[:, pl.dslice(t * w, w)]      # (D, W)
+            dims = (((1,), (0,)), ((), ()))
+        else:
+            e = e_ref[pl.dslice(t * w, w), :]      # (W, D)
+            dims = (((1,), (1,)), ((), ()))
+        s = jax.lax.dot_general(q, e, dimension_numbers=dims,
+                                preferred_element_type=jnp.float32)  # (B, W)
+        base = (i * tiles + t) * w
+        # pad rows exist only in the final tile: skip the mask work elsewhere
+        s = jax.lax.cond(
+            base + w > nvalid,
+            lambda s: jnp.where(base + col < nvalid, s, NEG_INF),
+            lambda s: s, s)
+        upd = s > wv                  # strict: ties keep the earlier block
+        return jnp.maximum(s, wv), jnp.where(upd, base + col, wi)
+
+    wv, wi = jax.lax.fori_loop(0, tiles, tile_body, (wv_ref[:], wi_ref[:]),
+                               unroll=True)
+    wv_ref[:] = wv
+    wi_ref[:] = wi
+
+    @pl.when(i == n_blocks - 1)
+    def _emit():
+        vals_out[:] = wv_ref[:]
+        idx_out[:] = wi_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("w", "tiles", "interpret",
+                                             "transposed"))
+def _bucket_winners_pallas(emb, queries, n_valid, w: int, tiles: int,
+                           interpret: bool, transposed: bool = False):
+    if transposed:
+        d, n_pad = emb.shape
+    else:
+        n_pad, d = emb.shape
+    b_pad, _ = queries.shape
+    rows_per_step = w * tiles
+    kernel = functools.partial(_bucket_kernel, w=w, tiles=tiles,
+                               transposed=transposed)
+    e_spec = (pl.BlockSpec((d, rows_per_step), lambda i: (0, i),
+                           memory_space=pltpu.VMEM)
+              if transposed else
+              pl.BlockSpec((rows_per_step, d), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        kernel,
+        grid=(n_pad // rows_per_step,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((b_pad, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            e_spec,
+        ],
+        out_specs=(
+            pl.BlockSpec((b_pad, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b_pad, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b_pad, w), jnp.float32),
+            jax.ShapeDtypeStruct((b_pad, w), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b_pad, w), jnp.float32),
+            pltpu.VMEM((b_pad, w), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b_pad * n_pad * d,
+            bytes_accessed=n_pad * d * emb.dtype.itemsize + b_pad * d * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(n_valid, queries, emb)
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def _bucket_winners_xla(emb, queries, n_valid, w: int):
+    """XLA oracle for _bucket_winners_pallas: identical bucket semantics
+    (strided bucket c -> c mod w, strict-greater update) via lax.scan —
+    the parity reference for the compiled Mosaic kernel."""
+    n_pad, d = emb.shape
+    b = queries.shape[0]
+
+    def body(carry, i):
+        wv, wi = carry
+        e_blk = jax.lax.dynamic_slice(emb, (i * w, 0), (w, d))
+        s = jax.lax.dot_general(
+            queries, e_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        base = i * w
+        col = jax.lax.broadcasted_iota(jnp.int32, (b, w), 1)
+        s = jnp.where(base + col < n_valid[0], s, NEG_INF)
+        upd = s > wv
+        return (jnp.where(upd, s, wv), jnp.where(upd, base + col, wi)), None
+
+    init = (jnp.full((b, w), NEG_INF, jnp.float32), jnp.zeros((b, w), jnp.int32))
+    (wv, wi), _ = jax.lax.scan(body, init, jnp.arange(n_pad // w))
+    return wv, wi
+
+
+def bucket_topk(emb, queries, k: int, w: int = 1024, tiles: int = 1,
+                interpret: bool | None = None, use_xla: bool = False,
+                transposed: bool = False):
+    """Bucketed-winners dense top-k: stream the corpus in (W, D) tiles,
+    matmul each tile on the MXU, and keep a (B, W) running elementwise max
+    in VMEM (global column c competes in bucket c mod W) — then one exact
+    top-k over the W winners. The (B, N) score matrix is never
+    materialized; per-block work is pure elementwise select (no K-round
+    extract-max merges, the cost that sank the streaming kernel at
+    ops/topk.py:40).
+
+    Approximation: two of the true top-k collide in a bucket with
+    probability 1/W per pair, so E[recall@k] ~= 1 - (k-1)/(2W); at k=10,
+    W=1024 that is ~0.9956 — above the approx_max_k rt=0.95 path this
+    replaces. Exact when n <= W (every column gets its own bucket).
+
+    Replaces the reference's FAISS Flat search
+    (/root/reference/vector_store/vector_index.py:206-263) at bounded
+    memory: HBM traffic is corpus + (B, 2W) instead of corpus + 3x(B, N).
+    """
+    emb = jnp.asarray(emb)
+    queries = jnp.asarray(queries)
+    if transposed:
+        d, n = emb.shape
+    else:
+        n, d = emb.shape
+    b = queries.shape[0]
+    k_eff = min(k, n)
+    while w < k_eff:          # winners must be at least k wide
+        w *= 2
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    d_pad = _round_up(d, 128)
+    b_pad = _round_up(max(b, 8), 8)
+    itemsize = jnp.dtype(emb.dtype).itemsize
+    # VMEM guard: double-buffered corpus block + resident q + winners
+    # (outputs + scratch + fori carry copies) + the f32 score tile must fit
+    # ~16MB; shrink tiles first, then the bucket width
+    def _vmem(w_, t_):
+        return (b_pad * d_pad * itemsize + 7 * b_pad * w_ * 4
+                + 2 * t_ * w_ * d_pad * itemsize)
+    while tiles > 1 and _vmem(w, tiles) > 12 * 1024 * 1024:
+        tiles //= 2
+    while w > 128 and w // 2 >= k_eff and _vmem(w, tiles) > 12 * 1024 * 1024:
+        w //= 2
+    n_pad = _round_up(n, w * tiles)
+    if transposed:
+        embp = jnp.pad(emb, ((0, d_pad - d), (0, n_pad - n)))
+    else:
+        embp = jnp.pad(emb, ((0, n_pad - n), (0, d_pad - d)))
+    qp = jnp.pad(queries.astype(emb.dtype), ((0, b_pad - b), (0, d_pad - d)))
+    n_valid = jnp.array([n], dtype=jnp.int32)
+    if use_xla:
+        if transposed:
+            embp = embp.T
+        wv, wi = _bucket_winners_xla(embp, qp, n_valid, w)
+    else:
+        wv, wi = _bucket_winners_pallas(embp, qp, n_valid, w, tiles, interpret,
+                                        transposed=transposed)
+    return _bucket_finish(wv, wi, b, k, k_eff)
+
+
+@functools.partial(jax.jit, static_argnames=("b", "k", "k_eff"))
+def _bucket_finish(wv, wi, b: int, k: int, k_eff: int):
+    tv, tp = jax.lax.top_k(wv[:b], k_eff)
+    ti = jnp.take_along_axis(wi[:b], tp, axis=1)
+    ti = jnp.where(tv > NEG_INF / 2, ti, -1)
+    return _pad_k(tv, ti, k, k_eff)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk", "approx", "recall_target"))
 def dense_topk_xla(emb: jax.Array, queries: jax.Array, k: int, chunk: int = 65536,
                    approx: bool = False, recall_target: float = 0.95) -> Tuple[jax.Array, jax.Array]:
@@ -361,7 +557,7 @@ def _pad_k(vals, idx, k, k_eff):
 
 @functools.partial(jax.jit, static_argnames=("k", "dense_k", "sparse_m",
                                               "sparse_weight", "recall_target", "n_docs",
-                                              "materialize_bytes"))
+                                              "materialize_bytes", "max_seg"))
 def hybrid_topk(
     emb: jax.Array,          # (N, D)
     queries: jax.Array,      # (B, D)
@@ -373,7 +569,8 @@ def hybrid_topk(
     sparse_m: int = 64,
     sparse_weight: float = 0.6,
     recall_target: float = 0.95,
-    materialize_bytes: int = 2 * 1024**3,
+    materialize_bytes: int = 8 * 1024**3,
+    max_seg: int = 0,        # max term instances per query (plan builder knows)
 ):
     """Hybrid v2 top-k via candidate-union fusion — fully scatter-free.
 
@@ -387,7 +584,8 @@ def hybrid_topk(
 
     Returns (fused scores (B, k), doc ids (B, k)) sorted desc; id -1 pads.
     """
-    from anorag_tpu.ops.bm25 import sparse_topm_from_sorted
+    from anorag_tpu.ops.bm25 import (sparse_topm_from_sorted,
+                                     sparse_topm_winners)
 
     # sparse top-m table: feeds the candidate list AND answers "what is the
     # BM25 score of this dense candidate" by equality match. (vmapped
@@ -396,8 +594,17 @@ def hybrid_topk(
     # lookup table loses too. A dense candidate outside the sparse top-m is
     # scored 0 on the sparse side; the error is bounded by the m-th BM25
     # value and covered docs are in the sparse candidate list anyway.)
-    _, sp_vals_all, sp_docs_all, sp_max = sparse_topm_from_sorted(
-        doc_rows, weight_rows, sparse_m, n_docs)
+    # On TPU the fused winners kernel keeps the (B, L) totals out of HBM.
+    # A 3D doc_rows is an L-major tiled plan (bm25.plan_tiles) — the
+    # contiguous-DMA layout; always routed to the winners kernel.
+    if doc_rows.ndim == 3 or (jax.default_backend() == "tpu"
+                              and doc_rows.shape[1] >= 2048):
+        sp_vals_all, sp_docs_all, sp_max = sparse_topm_winners(
+            doc_rows, weight_rows, sparse_m, n_docs, max_seg=max_seg,
+            b_valid=queries.shape[0])
+    else:
+        _, sp_vals_all, sp_docs_all, sp_max = sparse_topm_from_sorted(
+            doc_rows, weight_rows, sparse_m, n_docs)
     return hybrid_fuse(emb, queries, sp_vals_all, sp_docs_all, sp_max, k,
                        n_docs=n_docs, dense_k=dense_k,
                        sparse_weight=sparse_weight,
@@ -458,7 +665,7 @@ def hybrid_topk_bucketed(
     sparse_m: int = 64,
     sparse_weight: float = 0.6,
     recall_target: float = 0.95,
-    materialize_bytes: int = 2 * 1024**3,
+    materialize_bytes: int = 8 * 1024**3,
 ):
     """hybrid_topk with a LENGTH-BUCKETED sparse stage.
 
@@ -504,7 +711,7 @@ def hybrid_fuse(
     dense_k: int = 128,
     sparse_weight: float = 0.6,
     recall_target: float = 0.95,
-    materialize_bytes: int = 2 * 1024**3,
+    materialize_bytes: int = 8 * 1024**3,
 ):
     """Dense candidate generation + candidate-union fusion given the
     sparse top-m tables (the back half of hybrid_topk)."""
@@ -512,23 +719,24 @@ def hybrid_fuse(
     sp_docs = sp_docs_all
     inv_max = jnp.where(sp_max > 0, 1.0 / jnp.maximum(sp_max, 1e-30), 0.0)
 
-    # dense candidates via hardware approx top-k; sparse candidates' dense
-    # cross-scores by row gather. Below ~2GB the (B, N) score matrix is
-    # materialized once and reused for the gather; above it (huge corpora)
-    # the chunked approx scan + per-row embedding gather keeps memory
-    # O(B*chunk) with identical fusion semantics.
+    # Dense candidates via hardware approx top-k. The sparse candidates'
+    # dense cross-scores come from an embedding-row gather + einsum, NEVER
+    # from indexing the score matrix: when approx_max_k is the matmul's
+    # only consumer XLA fuses the PartialReduce into the matmul and the
+    # (B, N) f32 score matrix never reaches HBM — a take_along_axis on
+    # `scores` would force materialization and cost ~1 ms/batch512 at 200k
+    # (measured; see scripts/bench_kernel_breakdown.py).
     b = queries.shape[0]
     if 4 * b * n_docs <= materialize_bytes:
         scores = jnp.dot(queries, emb.T, preferred_element_type=jnp.float32)
         d_vals, d_idx = jax.lax.approx_max_k(scores, dense_k, recall_target=recall_target)
-        sp_dense = jnp.take_along_axis(scores, jnp.maximum(sp_docs, 0), axis=1)
     else:
         on_tpu = jax.default_backend() == "tpu"
         d_vals, d_idx = dense_topk_xla(emb, queries, dense_k,
                                        approx=on_tpu, recall_target=recall_target)
-        sp_emb = emb[jnp.maximum(sp_docs, 0)]           # (B, M, D)
-        sp_dense = jnp.einsum("bmd,bd->bm", sp_emb.astype(jnp.float32),
-                              queries.astype(jnp.float32))
+    sp_emb = emb[jnp.maximum(sp_docs, 0)]           # (B, M, D)
+    sp_dense = jnp.einsum("bmd,bd->bm", sp_emb.astype(jnp.float32),
+                          queries.astype(jnp.float32))
     # sparse score of dense candidates: equality match vs the lookup table
     eq = d_idx[:, :, None] == sp_docs_all[:, None, :]          # (B, Kd, Ml)
     d_sparse = jnp.sum(jnp.where(eq, sp_vals_all[:, None, :], 0.0), axis=-1)

@@ -228,12 +228,17 @@ class VectorRetriever:
             vals, ids = fn(emb_dev, jnp.asarray(q_prep, jnp.float32),
                            jnp.asarray(doc_rows), jnp.asarray(weight_rows))
             return ("pending", list(queries), vals, ids)
+        # max term instances per query (bucketed pow2 for jit-shape reuse)
+        # unlocks the scan-free windowed BM25 kernel
+        max_seg = max((len(t) for t in q_terms), default=0)
+        max_seg = min(1 << max(max_seg - 1, 0).bit_length(), 32) if max_seg else 0
         vals, ids = hybrid_topk(
             emb_dev, jnp.asarray(q_prep, emb_dev.dtype),
             jnp.asarray(doc_rows), jnp.asarray(weight_rows),
             k_eff, n_docs=len(self.notes),
             dense_k=dense_k, sparse_m=sparse_m,
             sparse_weight=sparse_weight, recall_target=recall_target,
+            max_seg=max_seg,
         )
         return ("pending", list(queries), vals, ids)
 

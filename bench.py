@@ -1,23 +1,31 @@
 #!/usr/bin/env python
-"""Benchmark: hybrid-query (dense + BM25, v2 fusion) QPS per chip.
+"""Benchmark: hybrid-query (dense + BM25, v2 fusion) QPS per chip + MFU,
+plus the encoder forward pass (tokens/s, MFU) and e2e encode->search QPS.
 
 The headline workload from BASELINE.md: over an atomic-notes corpus
 (N x 1024, MuSiQue-scale vocabulary), answer query batches with
   final = 1.0 * dense_cosine + 0.6 * bm25_max_normalized, top-k
-on TPU — dense+fusion via the candidate-union device kernel, BM25 via the
-sorted-posting cumsum path. Two scale points in ONE JSON line:
+on TPU — dense via the fused matmul+approx_max_k two-pass (XLA fuses the
+PartialReduce into the matmul: the (B, N) f32 score matrix never reaches
+HBM), BM25 via the fused segment+winners Pallas kernel. Two scale points:
 
   * 200k docs — with the exact-f32 CPU baseline (numpy brute force, the
     FAISS-Flat-CPU stand-in; FAISS is not installed) and recall@10 over
     the full batch;
   * 1M docs  — device-resident corpus (generated on-chip: >1GB host
     device_puts crawl through the tunnel), recall@10 vs an f32
-    HIGHEST-precision device oracle on a 64-query subset (a full CPU
-    oracle at 1M x 1024 would take minutes for no extra signal).
+    HIGHEST-precision device oracle on a 64-query subset.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": QPS, "unit": "queries/s", "vs_baseline": x,
-   ..., "scale_1m": {...}}
+Before timing, compiled-Mosaic parity is asserted on-chip (kernel_parity):
+the CPU-forced pytest suite never exactness-tests the compiled kernels, so
+this is the gate that catches Mosaic regressions (runs every round).
+
+MFU accounting: achieved_tflops counts only the dense matmul flops
+(2*B*N*D) over the full hybrid latency — sparse scoring, fusion, and
+dispatch overhead all discount it, so mfu is an end-to-end number, not a
+kernel-best number. Peak is per device_kind (v5 lite: 197 bf16 TF/s).
+
+Prints ONE JSON line.
 """
 from __future__ import annotations
 
@@ -25,6 +33,19 @@ import json
 import time
 
 import numpy as np
+
+
+def peak_tflops(device_kind: str) -> float:
+    kind = device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 197e12
+    if "v5p" in kind or "v5" in kind:
+        return 459e12
+    if "v4" in kind:
+        return 275e12
+    if "v6" in kind or "trillium" in kind:
+        return 918e12
+    return 197e12
 
 
 def make_doc_terms(n_docs: int, vocab: int, doc_len: int, rng) -> np.ndarray:
@@ -44,11 +65,80 @@ def make_query_terms(b: int, vocab: int, q_len: int, rng, min_rank: int = 100):
     return [rng.choice(ranks, size=q_len, p=p).tolist() for _ in range(b)]
 
 
+def kernel_parity() -> dict:
+    """Compiled-kernel exactness ON the current backend, asserted before any
+    timing. Covers the two Pallas kernels in the hybrid path against their
+    XLA oracles; raises on mismatch (failing the whole bench run)."""
+    import jax
+    import jax.numpy as jnp
+
+    from anorag_tpu.ops.bm25 import sparse_topm_from_sorted, sparse_topm_winners
+    from anorag_tpu.ops.topk import bucket_topk
+
+    rng = np.random.default_rng(7)
+    # bucket_topk: compiled pallas vs XLA-scan oracle, exact equality
+    emb = rng.standard_normal((3000, 256)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((16, 256)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    embd, qd = jnp.asarray(emb), jnp.asarray(q)
+    v1, i1 = bucket_topk(embd, qd, 10, w=512, interpret=False)
+    v2, i2 = bucket_topk(embd, qd, 10, w=512, use_xla=True)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2)), "bucket_topk Mosaic != XLA"
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+
+    # segment winners kernel: scores of shared docs must match the exact
+    # XLA segment chain bit-tolerant; winner doc set within collision class
+    n_docs, b, l = 4000, 8, 4096
+    rows, ws = [], []
+    for _ in range(b):
+        nv = int(rng.integers(l // 2, l))
+        ids = np.sort(rng.integers(0, n_docs, nv))
+        ids = np.concatenate([ids, np.full(l - nv, n_docs)]).astype(np.int32)
+        rows.append(ids)
+    a = np.stack(rows)
+    w = np.where(a < n_docs, rng.random((b, l)).astype(np.float32) + 0.01, 0.0)
+    ad, wd = jnp.asarray(a), jnp.asarray(w)
+    _, tv, td, mx = sparse_topm_from_sorted(ad, wd, 16, n_docs, impl="xla")
+
+    def _winner_check(tv2, td2, mx2, name):
+        np.testing.assert_allclose(np.asarray(mx2), np.asarray(mx), rtol=1e-4,
+                                   err_msg=f"{name} mx mismatch")
+        tvh, tdh, tv2h, td2h = map(np.asarray, (tv, td, tv2, td2))
+        recs = []
+        for bi in range(b):
+            gold = {d: v for d, v in zip(tdh[bi], tvh[bi]) if d >= 0}
+            got = {d: v for d, v in zip(td2h[bi], tv2h[bi]) if d >= 0}
+            shared = set(gold) & set(got)
+            recs.append(len(shared) / max(len(gold), 1))
+            for d in shared:
+                np.testing.assert_allclose(got[d], gold[d], rtol=1e-4,
+                                           err_msg=f"{name} score mismatch")
+        rec = float(np.mean(recs))
+        assert rec >= 0.9, f"{name} recall vs oracle too low: {rec}"
+        return round(rec, 4)
+
+    rec_scan = _winner_check(*sparse_topm_winners(ad, wd, 16, n_docs),
+                             "segment_winners")
+    # window kernel needs the true max duplicate-run length of the rows
+    max_run = 1
+    for bi in range(b):
+        row = a[bi][a[bi] < n_docs]
+        if len(row):
+            _, counts = np.unique(row, return_counts=True)
+            max_run = max(max_run, int(counts.max()))
+    rec_win = _winner_check(
+        *sparse_topm_winners(ad, wd, 16, n_docs, max_seg=min(max_run, 32)),
+        "window_winners")
+    return {"bucket_topk": "exact", "segment_winners": rec_scan,
+            "window_winners": rec_win, "backend": jax.default_backend()}
+
+
 def bench_hybrid(n_docs: int, b: int = 512, dim: int = 1024, vocab: int = 30_000,
                  doc_len: int = 40, q_len: int = 8, k: int = 100,
-                 topk_eval: int = 10, rounds: int = 10,
+                 topk_eval: int = 10, rounds: int = 20,
                  cpu_baseline: bool = True, oracle_queries: int = 0,
-                 seed: int = 0) -> dict:
+                 seed: int = 0, keep_ctx: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -81,7 +171,7 @@ def bench_hybrid(n_docs: int, b: int = 512, dim: int = 1024, vocab: int = 30_000
     def hybrid_dev():
         return hybrid_topk(emb_dev, q_dev, dr_dev, wr_dev, k, n_docs=n_docs,
                            dense_k=128, sparse_m=64, sparse_weight=0.6,
-                           recall_target=0.95)
+                           recall_target=0.95, max_seg=q_len)
 
     # warm up / compile. NOTE: timing forces a value read — on tunneled
     # devices block_until_ready can return before the work drains. Device
@@ -112,10 +202,15 @@ def bench_hybrid(n_docs: int, b: int = 512, dim: int = 1024, vocab: int = 30_000
 
     gi, _ = gather_plan(postings, q_terms)
 
+    lat_s = best_dt_dev / rounds
+    dense_flops = 2.0 * b * n_docs * dim
+    peak = peak_tflops(jax.devices()[0].device_kind) if on_tpu else 1e12
     out = {
         "n_docs": n_docs, "batch": b,
         "qps": round(qps, 1),
-        "latency_ms_per_batch": round(1000.0 * b / qps, 2),
+        "latency_ms_per_batch": round(1000.0 * lat_s, 2),
+        "achieved_tflops": round(dense_flops / lat_s / 1e12, 1),
+        "mfu": round(dense_flops / lat_s / peak, 4),
     }
 
     if cpu_baseline:
@@ -156,28 +251,120 @@ def bench_hybrid(n_docs: int, b: int = 512, dim: int = 1024, vocab: int = 30_000
             len(set(our_idx[j]) & set(oracle_i[j])) / topk_eval for j in range(nq)
         ])), 4)
         out["recall_oracle_queries"] = nq
+    if keep_ctx:
+        out["_ctx"] = {"emb_dev": emb_dev, "dr_dev": dr_dev, "wr_dev": wr_dev,
+                       "k": k, "n_docs": n_docs}
     return out
+
+
+def bench_encoder(ctx: dict | None, b: int = 256, seq: int = 128,
+                  q_seq: int = 64, rounds: int = 5) -> dict:
+    """The north-star hot loop #2: the sharded JAX embedding forward pass
+    (ref /root/reference/vector_store/embedding_manager.py:374-407 encodes
+    with bge-m3). Weights are random-init ON DEVICE (no pretrained
+    checkpoint is obtainable in-image; random weights are
+    compute-identical) at the bge-m3-class config: 24L/1024h/16heads/4096i,
+    XLM-R vocab. Reports tokens/s + encoder MFU, and — when a hybrid ctx
+    is given — e2e encode->hybrid-search QPS at query length q_seq."""
+    import jax
+    import jax.numpy as jnp
+
+    from anorag_tpu.models.encoder import EncoderConfig, encode, init_params
+    from anorag_tpu.ops.topk import hybrid_topk
+
+    on_tpu = jax.default_backend() == "tpu"
+    cfg = EncoderConfig(max_position=max(seq, q_seq))
+    params = jax.jit(lambda key: init_params(key, cfg))(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    enc = jax.jit(lambda p, ids, m: encode(p, ids, m, cfg))
+    rng = np.random.default_rng(0)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, seq)), jnp.int32)
+    mask = jnp.ones((b, seq), jnp.int32)
+
+    out = enc(params, ids, mask)
+    _ = float(np.asarray(out[0, 0]))
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(rounds):
+            out = enc(params, ids, mask)
+        _ = float(np.asarray(out[0, 0]))
+        best = min(best, time.perf_counter() - t0)
+    lat = best / rounds
+    tokens = b * seq
+    h, i_sz, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    flops_tok = L * (2 * (4 * h * h + 2 * h * i_sz) + 4 * seq * h)
+    flops = tokens * flops_tok
+    peak = peak_tflops(jax.devices()[0].device_kind) if on_tpu else 1e12
+    res = {
+        "config": "bge-m3-class 24L/1024h (random-init, in-image)",
+        "batch": b, "seq_len": seq,
+        "tokens_per_s": round(tokens / lat, 1),
+        "latency_ms_per_batch": round(lat * 1e3, 2),
+        "achieved_tflops": round(flops / lat / 1e12, 1),
+        "mfu": round(flops / lat / peak, 4),
+    }
+
+    if ctx is not None:
+        emb_dev, dr, wr = ctx["emb_dev"], ctx["dr_dev"], ctx["wr_dev"]
+        n_docs, k = ctx["n_docs"], ctx["k"]
+        eb = dr.shape[0]  # batch must match the sparse plan's
+        q_ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (eb, q_seq)), jnp.int32)
+        q_mask = jnp.ones((eb, q_seq), jnp.int32)
+
+        def e2e():
+            qv = enc(params, q_ids, q_mask).astype(emb_dev.dtype)
+            return hybrid_topk(emb_dev, qv, dr, wr, k, n_docs=n_docs,
+                               dense_k=128, sparse_m=64, sparse_weight=0.6,
+                               recall_target=0.95, max_seg=8)
+
+        v, _ = e2e()
+        _ = float(np.asarray(v[0, 0]))
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(rounds):
+                v, _ = e2e()
+            _ = float(np.asarray(v[0, 0]))
+            best = min(best, time.perf_counter() - t0)
+        res["e2e_encode_search_qps"] = round(eb * rounds / best, 1)
+        res["e2e_query_seq_len"] = q_seq
+    return res
 
 
 def main() -> int:
     import jax
 
-    headline = bench_hybrid(200_000, cpu_baseline=True)
-    scale_1m = bench_hybrid(1_000_000, cpu_baseline=False, oracle_queries=64,
-                            rounds=5, seed=1)
+    parity = kernel_parity()
 
+    headline = bench_hybrid(200_000, cpu_baseline=True, keep_ctx=True)
+    ctx = headline.pop("_ctx")
+    encoder = bench_encoder(ctx)
+    del ctx
+    scale_1m = bench_hybrid(1_000_000, cpu_baseline=False, oracle_queries=64,
+                            rounds=10, seed=1)
+
+    on_tpu = jax.default_backend() == "tpu"
     out = {
         "metric": "hybrid_query_qps_per_chip",
-        "search_method": "candidate-union: approx_max_k dense + sorted-cumsum bm25 (rt 0.95)",
+        "search_method": "fused matmul+approx_max_k dense (no (B,N) in HBM) "
+                         "+ segment-winners bm25 kernel (rt 0.95)",
         "value": headline["qps"],
         "unit": "queries/s",
         "vs_baseline": headline["vs_baseline"],
         "recall_at_10_vs_exact_f32": headline["recall_at_10_vs_exact_f32"],
         "corpus": {"n_docs": headline["n_docs"], "dim": 1024,
-                   "dtype": "bfloat16" if jax.default_backend() == "tpu" else "float32"},
+                   "dtype": "bfloat16" if on_tpu else "float32"},
         "batch": headline["batch"],
         "latency_ms_per_batch": headline["latency_ms_per_batch"],
+        "achieved_tflops": headline["achieved_tflops"],
+        "mfu": headline["mfu"],
+        "peak_tflops_assumed": round(peak_tflops(
+            jax.devices()[0].device_kind) / 1e12) if on_tpu else None,
         "cpu_baseline_qps": headline["cpu_baseline_qps"],
+        "kernel_parity": parity,
+        "encoder": encoder,
         "scale_1m": scale_1m,
         "backend": jax.default_backend(),
     }

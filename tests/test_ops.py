@@ -375,3 +375,113 @@ def test_hybrid_topk_huge_n_branch_matches_materialized():
     np.testing.assert_allclose(np.asarray(v_small), np.asarray(v_huge),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(i_small), np.asarray(i_huge))
+
+
+def test_bucket_topk_exact_and_parity():
+    """Bucketed-winners dense top-k: exact when n <= w; pallas(interpret)
+    == the XLA-scan oracle bit-for-bit in the approx regime; -1 padding
+    when k > n."""
+    import jax.numpy as jnp
+    from anorag_tpu.ops.topk import bucket_topk, dense_topk_np
+
+    rng = np.random.default_rng(0)
+    emb = rng.standard_normal((500, 96)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((7, 96)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    ov, oi = dense_topk_np(emb, q, 10)
+    v, i = bucket_topk(emb, q, 10, w=1024)       # exact: one bucket per col
+    np.testing.assert_array_equal(np.asarray(i), oi)
+
+    emb6 = rng.standard_normal((6000, 128)).astype(np.float32)
+    emb6 /= np.linalg.norm(emb6, axis=1, keepdims=True)
+    q6 = rng.standard_normal((16, 128)).astype(np.float32)
+    for tiles in (1, 2):
+        v1, i1 = bucket_topk(emb6, q6, 10, w=512, tiles=tiles)
+        v2, i2 = bucket_topk(emb6, q6, 10, w=512, use_xla=True)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-6)
+    ov, oi = dense_topk_np(emb6, q6, 10)
+    rec = np.mean([len(set(np.asarray(i1)[j]) & set(oi[j])) / 10
+                   for j in range(16)])
+    assert rec >= 0.97                            # 1/512-per-pair collisions
+
+    v, i = bucket_topk(emb6[:5], q6, 10)
+    assert np.all(np.asarray(i)[:, 5:] == -1)
+
+
+def test_window_winners_matches_scan_and_oracle():
+    """The scan-free windowed BM25 winners kernel: == the scan winners
+    kernel through the tiled-plan layout, and scores agree with the exact
+    XLA segment chain on all shared docs — across empty rows, full rows,
+    duplicate-term segments, and block-straddling segments."""
+    import jax.numpy as jnp
+    from anorag_tpu.ops.bm25 import (plan_tiles, sparse_topm_from_sorted,
+                                     sparse_topm_winners)
+
+    rng = np.random.default_rng(5)
+    n_docs, b, l, max_seg = 3000, 10, 2300, 8
+    rows = []
+    for bi in range(b):
+        if bi == 0:
+            ids = np.full(l, n_docs)                      # empty row
+        else:
+            nv = l if bi == 1 else int(rng.integers(1, l))  # one FULL row
+            ids = np.sort(rng.integers(0, n_docs, nv))
+            v, c = np.unique(ids, return_counts=True)
+            ids = np.repeat(v, np.minimum(c, max_seg))
+            ids = np.concatenate([ids, np.full(max(l - len(ids), 0), n_docs)])
+        rows.append(ids[:l].astype(np.int32))
+    a = np.stack(rows)
+    w = np.where(a < n_docs, rng.random((b, l)).astype(np.float32) + 0.01, 0.0)
+    ad, wd_ = jnp.asarray(a), jnp.asarray(w)
+
+    _, tv, td, mx = sparse_topm_from_sorted(ad, wd_, 8, n_docs, impl="xla")
+    tv1, td1, mx1 = sparse_topm_winners(ad, wd_, 8, n_docs, max_seg=max_seg)
+    a3, w3 = plan_tiles(a, w, n_docs)
+    tv2, td2, mx2 = sparse_topm_winners(jnp.asarray(a3), jnp.asarray(w3), 8,
+                                        n_docs, max_seg=max_seg, b_valid=b)
+    np.testing.assert_allclose(np.asarray(mx2), np.asarray(mx1), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(td2), np.asarray(td1))
+    np.testing.assert_allclose(np.asarray(tv2), np.asarray(tv1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(mx1), np.asarray(mx), rtol=1e-3)
+
+    tv, td, tv2, td2 = map(np.asarray, (tv, td, tv2, td2))
+    for bi in range(b):
+        gold = {d: v for d, v in zip(td[bi], tv[bi]) if d >= 0}
+        got = {d: v for d, v in zip(td2[bi], tv2[bi]) if d >= 0}
+        for d in set(gold) & set(got):
+            np.testing.assert_allclose(got[d], gold[d], rtol=1e-3, atol=1e-5)
+
+
+def test_hybrid_topk_tiled_plan_end_to_end():
+    """hybrid_topk accepts an L-major tiled plan (3D doc_rows) and fuses
+    identically to the exact-oracle semantics class."""
+    import jax.numpy as jnp
+    from anorag_tpu.ops.bm25 import build_postings, gather_plan_sorted, plan_tiles
+    from anorag_tpu.ops.topk import hybrid_topk
+
+    rng = np.random.default_rng(9)
+    n, d, b = 3000, 64, 8
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    docs = [rng.integers(0, 300, 12).tolist() for _ in range(n)]
+    p = build_postings(docs, vocab_size=300)
+    queries = [rng.integers(0, 300, 5).tolist() for _ in range(b)]
+    dr, wr, _ = gather_plan_sorted(p, queries)
+    a3, w3 = plan_tiles(dr, wr, n)
+
+    v1, i1 = hybrid_topk(jnp.asarray(emb), jnp.asarray(q), jnp.asarray(dr),
+                         jnp.asarray(wr), k=10, n_docs=n, dense_k=64,
+                         sparse_m=64, sparse_weight=0.6, recall_target=0.95)
+    v2, i2 = hybrid_topk(jnp.asarray(emb), jnp.asarray(q), jnp.asarray(a3),
+                         jnp.asarray(w3), k=10, n_docs=n, dense_k=64,
+                         sparse_m=64, sparse_weight=0.6, recall_target=0.95,
+                         max_seg=8)
+    # same candidates modulo the winners approximation class: top-1 must agree
+    np.testing.assert_array_equal(np.asarray(i1)[:, 0], np.asarray(i2)[:, 0])
+    overlap = np.mean([len(set(np.asarray(i1)[j]) & set(np.asarray(i2)[j])) / 10
+                       for j in range(b)])
+    assert overlap >= 0.9, overlap
