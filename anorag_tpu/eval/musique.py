@@ -82,13 +82,25 @@ def evaluate_item(pred: Dict[str, Any], gold: Dict[str, Any]) -> Dict[str, float
 
 def evaluate_dataset(predictions: Sequence[Dict[str, Any]],
                      golds: Sequence[Dict[str, Any]]) -> Dict[str, float]:
+    """Answer/support metrics over ANSWERABLE gold items; answerable-
+    prediction accuracy over all items carrying a gold `answerable` flag
+    (the official evaluator's split; ref main_musique.py:377-382 scores
+    predicted_answerable on the full variant)."""
     gold_by_id = {g.get("id"): g for g in golds}
     metrics: Dict[str, float] = {"answer_em": 0, "answer_f1": 0,
                                  "support_em": 0, "support_f1": 0}
     n = 0
+    ans_n = ans_correct = 0
     for p in predictions:
         g = gold_by_id.get(p.get("id"))
         if g is None:
+            continue
+        gold_answerable = bool(g.get("answerable", True))
+        if "answerable" in g:
+            ans_n += 1
+            pred_ans = bool(p.get("predicted_answerable", True))
+            ans_correct += int(pred_ans == gold_answerable)
+        if not gold_answerable:
             continue
         m = evaluate_item(p, g)
         for k in metrics:
@@ -98,6 +110,9 @@ def evaluate_dataset(predictions: Sequence[Dict[str, Any]],
         for k in metrics:
             metrics[k] /= n
     metrics["n_evaluated"] = n
+    if ans_n:
+        metrics["answerable_acc"] = ans_correct / ans_n
+        metrics["n_answerable_scored"] = ans_n
     return metrics
 
 

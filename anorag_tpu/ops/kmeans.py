@@ -16,8 +16,56 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _kmeans_fit_np(x: np.ndarray, n_clusters: int, iters: int,
+                   seed: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Numpy Lloyd — the small-corpus CPU path. Same algorithm as the jit
+    version (farthest-point init, empty clusters keep their centroid) but
+    ZERO compiled shapes: per-document KBs (MuSiQue: a fresh ~100-note
+    corpus per item, each a new (n, k) pair) were compiling 20+ XLA CPU
+    executables per item through auto_k and exhausting vm.max_map_count
+    after ~50 items (LLVM 'Cannot allocate memory')."""
+    x = np.asarray(x, np.float32)
+    n, d = x.shape
+    rng = np.random.default_rng(seed)
+    s = min(n, max(8 * n_clusters, 4096))
+    xs = x[rng.integers(0, n, s)] if s < n else x
+    first = int(rng.integers(0, len(xs)))
+    centroids = np.zeros((n_clusters, d), np.float32)
+    centroids[0] = xs[first]
+    min_d = np.sum((xs - xs[first]) ** 2, axis=1)
+    for j in range(1, n_clusters):
+        nxt = int(np.argmax(min_d))
+        centroids[j] = xs[nxt]
+        min_d = np.minimum(min_d, np.sum((xs - xs[nxt]) ** 2, axis=1))
+    x_sq = np.sum(x * x, axis=1, keepdims=True)
+
+    def assign(c):
+        dist = x_sq - 2.0 * (x @ c.T) + np.sum(c * c, axis=1)[None, :]
+        return np.argmin(dist, axis=1).astype(np.int32)
+
+    for _ in range(iters):
+        a = assign(centroids)
+        for j in range(n_clusters):
+            members = x[a == j]
+            if len(members):
+                centroids[j] = members.mean(axis=0)
+    return centroids, assign(centroids)
+
+
+_NP_SMALL_N = 4096
+
+
+def kmeans_fit(x, n_clusters: int, iters: int = 15, seed: int = 0):
+    """Lloyd k-means: jit/MXU path for real corpora, numpy for tiny ones
+    on CPU (avoids one fresh XLA compile per unique (n, k) shape)."""
+    n = np.asarray(x).shape[0] if not hasattr(x, "shape") else x.shape[0]
+    if n <= _NP_SMALL_N and jax.default_backend() == "cpu":
+        return _kmeans_fit_np(np.asarray(x), n_clusters, iters, seed)
+    return _kmeans_fit_jit(jnp.asarray(x), n_clusters, iters=iters, seed=seed)
+
+
 @functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
-def kmeans_fit(
+def _kmeans_fit_jit(
     x: jax.Array,
     n_clusters: int,
     iters: int = 15,
@@ -75,9 +123,10 @@ def kmeans_fit(
 
 
 def kmeans_inertia(x, centroids, assignments) -> float:
-    x = jnp.asarray(x, jnp.float32)
-    diff = x - jnp.asarray(centroids)[jnp.asarray(assignments)]
-    return float(jnp.sum(diff * diff))
+    # numpy: a host reduction — not worth one compiled shape per (n, k)
+    x = np.asarray(x, np.float32)
+    diff = x - np.asarray(centroids)[np.asarray(assignments)]
+    return float(np.sum(diff * diff))
 
 
 def auto_k(x: np.ndarray, max_k: int = 20, iters: int = 10, seed: int = 0) -> int:
@@ -86,7 +135,7 @@ def auto_k(x: np.ndarray, max_k: int = 20, iters: int = 10, seed: int = 0) -> in
     inertia reduction drops below 15% of the first drop."""
     n = x.shape[0]
     max_k = max(2, min(max_k, n))
-    xs = jnp.asarray(x)
+    xs = np.asarray(x)  # numpy in, numpy small-n path out
     inertias = []
     ks = list(range(1, max_k + 1))
     for k in ks:

@@ -2,15 +2,25 @@
 """Generate a synthetic MuSiQue-style dataset (the real dev set is not in
 this image; BASELINE.md configs 1/4 are exercised with this stand-in).
 
-Items follow the MuSiQue contract {id, question, answer, paragraphs:
-[{idx, title, paragraph_text, is_supporting}]}: a mix of 1-hop factoids
-and 2-hop bridge questions (the answer lives in a paragraph reachable
-only through a bridge entity named in another), padded with distractor
-paragraphs drawn from OTHER items' worlds so retrieval must actually
-discriminate. Entity names are random syllable compounds — no lexical
-leakage between the question surface and the answer string.
+Items follow the MuSiQue contract {id, question, answer, answer_aliases,
+answerable, paragraphs: [{idx, title, paragraph_text, is_supporting}]}.
 
-Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 8] [--seed 0]
+v2 (round 3): the v1 set saturated at EM 1.00, so this generator adds the
+headroom the judge asked for (VERDICT r2 "de-saturate the eval"):
+  * 8 question kinds per cycle — the 5 v1 kinds plus a TRUE 4-hop chain
+    (work -> label -> founder -> spouse -> city), a 3-hop chain whose
+    relations (label-of / founded-by) sit OUTSIDE the answer layer's cue
+    lexicon, and an UNANSWERABLE kind (asks about an off-corpus work;
+    gold `answerable: false`, scored via predicted_answerable);
+  * answer aliases / surface variants: city paragraphs sometimes write
+    "Denver, Colorado" (gold answer stays "Denver" with the long form as
+    an alias), year paragraphs sometimes write "the year 1983";
+  * confusable distractor worlds: every item carries two distractor
+    worlds whose work titles share the same suffix word (e.g. "Bami
+    Horizon" vs "Bafen Horizon") plus regular distractors (default 12,
+    was 8).
+
+Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
 
@@ -25,6 +35,12 @@ _WORK_W = ["Horizon", "River", "Steps", "Origins", "Echo", "Garden",
            "Signal", "Harbor", "Summit", "Mosaic"]
 _CITIES = ["Boston", "Chicago", "Denver", "Austin", "Seattle", "Portland",
            "Atlanta", "Nashville", "Tucson", "Madison"]
+_STATES = {"Boston": "Massachusetts", "Chicago": "Illinois",
+           "Denver": "Colorado", "Austin": "Texas", "Seattle": "Washington",
+           "Portland": "Oregon", "Atlanta": "Georgia",
+           "Nashville": "Tennessee", "Tucson": "Arizona",
+           "Madison": "Wisconsin"}
+_LABEL_W = ["Records", "Sound", "Audio", "Disc", "Music"]
 
 
 def _name(rng) -> str:
@@ -33,71 +49,143 @@ def _name(rng) -> str:
     return f"{word()} {word()}"
 
 
-def _world(rng):
-    """One item's facts: performer, work, spouse, founder, city, year."""
+def _world(rng, work_suffix=None, work_first=None):
+    """One item's facts: performer, work, spouse, label chain, cities."""
+    first = work_first or "".join(rng.choice(_SYL, 2)).capitalize()
+    suffix = work_suffix or str(rng.choice(_WORK_W))
     return {
         "person": _name(rng),
-        "work": f"{''.join(rng.choice(_SYL, 2)).capitalize()} {rng.choice(_WORK_W)}",
+        "work": f"{first} {suffix}",
         "spouse": _name(rng),
         "city": str(rng.choice(_CITIES)),
         "spouse_city": str(rng.choice(_CITIES)),
         "year": int(rng.integers(1950, 2020)),
+        "label": f"{''.join(rng.choice(_SYL, 2)).capitalize()} {rng.choice(_LABEL_W)}",
+        "founder": _name(rng),
+        "founder_spouse": _name(rng),
+        "founder_spouse_city": str(rng.choice(_CITIES)),
     }
 
 
-def _paragraphs(w):
+def _city_surface(city: str, rng) -> str:
+    """Sometimes the long 'City, State' surface — the gold stays short with
+    the long form as an alias, so span extraction must normalize."""
+    return f"{city}, {_STATES[city]}" if rng.random() < 0.4 else city
+
+
+def _paragraphs(w, rng):
+    year_surface = (f"the year {w['year']}" if rng.random() < 0.3
+                    else str(w["year"]))
     return [
         (f"{w['work']} (album)",
          f"{w['work']} is an album performed by {w['person']}. "
-         f"It was released in {w['year']}."),
+         f"It was released in {year_surface} on the label {w['label']}."),
         (w["person"],
          f"{w['person']} married {w['spouse']}. "
          f"The spouse of {w['person']} is {w['spouse']}. "
-         f"{w['person']} was born in {w['city']}."),
+         f"{w['person']} was born in {_city_surface(w['city'], rng)}."),
         (w["spouse"],
          f"{w['spouse']} is married to {w['person']}. "
-         f"{w['spouse']} was born in {w['spouse_city']}."),
+         f"{w['spouse']} was born in {_city_surface(w['spouse_city'], rng)}."),
+        (w["label"],
+         f"{w['label']} is a record label. {w['label']} was founded by "
+         f"{w['founder']}."),
+        (w["founder"],
+         f"{w['founder']} founded {w['label']}. The spouse of "
+         f"{w['founder']} is {w['founder_spouse']}."),
+        (w["founder_spouse"],
+         f"{w['founder_spouse']} is married to {w['founder']}. "
+         f"{w['founder_spouse']} was born in "
+         f"{_city_surface(w['founder_spouse_city'], rng)}."),
     ]
+
+
+_CITY_KEYS = {"city", "spouse_city", "founder_spouse_city"}
+
+
+def _aliases(w, key) -> list:
+    if key in _CITY_KEYS:
+        city = w[key]
+        return [f"{city}, {_STATES[city]}"]
+    return []
 
 
 def make_items(n: int, distractors: int, seed: int):
     rng = np.random.default_rng(seed)
     worlds = [_world(rng) for _ in range(n)]
+    # off-corpus worlds for the unanswerable kind
+    ghost_worlds = [_world(rng) for _ in range(n // 8 + 2)]
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 5
-        if kind == 4:
-            q, a = (f"Where was the spouse of the performer of {w['work']} born?",
-                    w["spouse_city"])
-        elif kind == 0:
-            q, a = f"Who is the spouse of the performer of {w['work']}?", w["spouse"]
+        kind = i % 8
+        answerable = True
+        akey = None
+        # support indexes into _paragraphs(w): 0 work, 1 person, 2 spouse,
+        # 3 label, 4 founder, 5 founder_spouse
+        if kind == 0:
+            q, a, akey = (f"Who is the spouse of the performer of {w['work']}?",
+                          w["spouse"], None)
+            support = {0, 1}
         elif kind == 1:
-            q, a = f"Where was the performer of {w['work']} born?", w["city"]
+            q, a, akey = (f"Where was the performer of {w['work']} born?",
+                          w["city"], "city")
+            support = {0, 1}
         elif kind == 2:
             q, a = f"Who performed {w['work']}?", w["person"]
-        else:
+            support = {0}
+        elif kind == 3:
             q, a = f"When was {w['work']} released?", str(w["year"])
-        # 3-hop needs all three paragraphs; 2-hop the first two; 1-hop
-        # only the work one
-        support_flags = [True, kind in (0, 1, 4), kind == 4]
+            support = {0}
+        elif kind == 4:
+            q, a, akey = (f"Where was the spouse of the performer of "
+                          f"{w['work']} born?", w["spouse_city"], "spouse_city")
+            support = {0, 1, 2}
+        elif kind == 5:
+            # TRUE 4-hop: work -> label -> founder -> spouse -> city
+            q, a, akey = (f"Where was the spouse of the founder of the label "
+                          f"that released {w['work']} born?",
+                          w["founder_spouse_city"], "founder_spouse_city")
+            support = {0, 3, 4, 5}
+        elif kind == 6:
+            # 3-hop with relations OUTSIDE the cue lexicon (label/founded)
+            q, a = (f"Who is the spouse of the founder of the label that "
+                    f"released {w['work']}?", w["founder_spouse"])
+            support = {0, 3, 4}
+        else:
+            # unanswerable: asks about a work that exists in no paragraph
+            ghost = ghost_worlds[i % len(ghost_worlds)]
+            q, a = f"Who is the spouse of the performer of {ghost['work']}?", ""
+            support = set()
+            answerable = False
         paras = []
-        for (title, text), sup in zip(_paragraphs(w), support_flags):
+        for pi, (title, text) in enumerate(_paragraphs(w, rng)):
             paras.append({"idx": len(paras), "title": title,
-                          "paragraph_text": text, "is_supporting": sup})
-        # distractors from other items' worlds (real competing facts, same
-        # sentence shapes — not filler text)
+                          "paragraph_text": text,
+                          "is_supporting": pi in support})
+        # two CONFUSABLE distractor worlds: same work-title suffix
+        suffix = w["work"].split()[-1]
+        for _ in range(2):
+            cw = _world(rng, work_suffix=suffix)
+            for title, text in _paragraphs(cw, rng)[:3]:
+                paras.append({"idx": len(paras), "title": title,
+                              "paragraph_text": text, "is_supporting": False})
+        # regular distractors from other items' worlds
         others = rng.choice([j for j in range(n) if j != i],
                             min(distractors, n - 1), replace=False)
         for j in others:
-            for title, text in _paragraphs(worlds[j])[: 1 + int(rng.integers(0, 2))]:
+            take = 1 + int(rng.integers(0, 3))
+            for title, text in _paragraphs(worlds[j], rng)[:take]:
                 paras.append({"idx": len(paras), "title": title,
                               "paragraph_text": text, "is_supporting": False})
         order = rng.permutation(len(paras))
         remap = [paras[k] for k in order]
         for new_idx, p in enumerate(remap):
             p["idx"] = new_idx
-        items.append({"id": f"synth_{i}", "question": q, "answer": a,
-                      "paragraphs": remap})
+        item = {"id": f"synth_{i}", "question": q, "answer": a,
+                "answerable": answerable, "paragraphs": remap}
+        if akey:
+            item["answer_aliases"] = _aliases(w, akey)
+        items.append(item)
     return items
 
 
@@ -105,15 +193,20 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("out")
     ap.add_argument("--n", type=int, default=200)
-    ap.add_argument("--distractors", type=int, default=8)
+    ap.add_argument("--distractors", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
     items = make_items(args.n, args.distractors, args.seed)
     with open(args.out, "w") as fh:
         for it in items:
             fh.write(json.dumps(it) + "\n")
-    multi = sum(1 for it in items if "spouse" in it["question"] or "born" in it["question"])
-    print(f"wrote {len(items)} items ({multi} multi-hop) -> {args.out}")
+    kinds = {}
+    for i, it in enumerate(items):
+        kinds[i % 8] = kinds.get(i % 8, 0) + 1
+    n_multi = sum(v for k, v in kinds.items() if k in (0, 1, 4, 5, 6))
+    n_unans = kinds.get(7, 0)
+    print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
+          f"unanswerable, kinds 0-7 cycle) -> {args.out}")
     return 0
 
 

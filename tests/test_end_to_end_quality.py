@@ -80,11 +80,14 @@ def test_llm_free_pipeline_quality(tmp_path):
 
 @pytest.mark.slow
 def test_generated_musique_all_kinds(tmp_path):
-    """The 5-kind synthetic generator (scripts/gen_synth_musique.py) through
-    the full per-item pipeline: 1-hop (performed / released-year), 2-hop
-    bridge (spouse-of-performer, performer-born), and TRUE 3-hop
-    (spouse-of-performer-born). Guards the whole answer-path chain that
-    took the 200-item driver eval from 0.44 to 1.00 EM."""
+    """The v2 8-kind synthetic generator (scripts/gen_synth_musique.py)
+    through the full per-item pipeline. The v1 kinds (1/2/3-hop over the
+    cue lexicon) must stay SOLVED (they took the 200-item driver eval from
+    0.44 to 1.00 EM); the v2 de-saturation kinds (4-hop label chain,
+    outside-lexicon relations, unanswerable) are the round-3 headroom —
+    their floor (EM 0 / ansAcc 0) is asserted as a CEILING-ONLY guard so
+    future answer-path work shows up as measurable gains, not silent
+    regressions on the solved kinds."""
     import sys
     from pathlib import Path as _P
 
@@ -95,11 +98,19 @@ def test_generated_musique_all_kinds(tmp_path):
     cfg.set("embedding.backend", "hash")
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
-    items = make_items(10, distractors=4, seed=9)   # 2 of each kind
+    items = make_items(16, distractors=4, seed=9)   # 2 of each of 8 kinds
     preds = []
     for it in items:
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
         preds.append(res)
+    # v1 kinds (cycle positions 0-4) must stay at EM 1.0
+    v1_ids = {it["id"] for i, it in enumerate(items) if i % 8 <= 4}
+    v1_metrics = evaluate_dataset([p for p in preds if p["id"] in v1_ids],
+                                  [g for g in items if g["id"] in v1_ids])
+    assert v1_metrics["answer_em"] >= 0.9, v1_metrics
+    assert v1_metrics["support_f1"] >= 0.8, v1_metrics
+    # whole-set floor: the driver-eval starting point for round-3 quality
+    # work (200-item run: EM 0.709, support F1 0.854, ansAcc 0.875)
     metrics = evaluate_dataset(preds, items)
-    assert metrics["answer_em"] >= 0.9, metrics
-    assert metrics["support_f1"] >= 0.8, metrics
+    assert metrics["answer_em"] >= 0.55, metrics
+    assert metrics["support_f1"] >= 0.7, metrics
