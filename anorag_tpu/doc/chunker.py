@@ -21,9 +21,30 @@ from anorag_tpu.utils.text import split_paragraphs, split_sentences
 
 logger = get_logger("anorag.doc")
 
-_EVENT_CUES = re.compile(
-    r"\b(founded|acquired|merged|married|died|born|released|launched|elected|"
-    r"announced|won|moved|joined|left|resigned)\b", re.IGNORECASE)
+# typed event families (ref chunker.py:11-30 event_keywords): the types
+# drive the chain-relatedness rules below, not just cue detection
+_EVENT_TYPES: Dict[str, "re.Pattern[str]"] = {
+    "acquisition": re.compile(r"\b(acquired|acquisition|bought|purchased|took over)\b", re.I),
+    "merger": re.compile(r"\b(merged|merger)\b", re.I),
+    "ownership": re.compile(r"\b(owned|owner|ownership|belongs to|subsidiary)\b", re.I),
+    "succession": re.compile(r"\b(succeeded|successor|replaced|inherited)\b", re.I),
+    "bankruptcy": re.compile(r"\b(bankrupt|bankruptcy|insolvent|liquidat\w+)\b", re.I),
+    "partnership": re.compile(r"\b(partner(?:ed|ship)?|joint venture|alliance)\b", re.I),
+    "founding": re.compile(r"\b(founded|established|created|launched)\b", re.I),
+    "life": re.compile(r"\b(married|died|born|divorced)\b", re.I),
+    "career": re.compile(r"\b(elected|appointed|joined|left|resigned|won|moved)\b", re.I),
+    "release": re.compile(r"\b(released|published|announced|premiered)\b", re.I),
+}
+
+# event-chain relatedness (ref chunker.py:544-562): same type, or a pair in
+# this set, makes two event sentences part of one chain
+_RELATED_PAIRS = {
+    frozenset(p) for p in [
+        ("acquisition", "ownership"), ("succession", "ownership"),
+        ("merger", "acquisition"), ("bankruptcy", "acquisition"),
+        ("partnership", "merger"), ("founding", "ownership"),
+    ]
+}
 
 
 class DocumentChunker:
@@ -74,12 +95,12 @@ class DocumentChunker:
             if self.strategy == "event_aware":
                 pieces = self._event_aware(text)
             else:
-                pieces = self._sentence_pack(text)
-            for sents in pieces:
+                pieces = [(p, {}) for p in self._sentence_pack(text)]
+            for sents, meta in pieces:
                 body = " ".join(sents)
                 if len(body) < self.min_chunk_chars:
                     continue
-                chunks.append({
+                chunk = {
                     "doc_id": doc_id,
                     "chunk_index": len(chunks),
                     "title": title,
@@ -89,7 +110,9 @@ class DocumentChunker:
                     "paragraph_idx": pidx,
                     "paragraph_idx_mapping": mapping,
                     "source_info": {"file_name": doc.get("file_name", "")},
-                })
+                }
+                chunk.update(meta)
+                chunks.append(chunk)
         return self._filter(chunks)
 
     def _paragraphs(self, doc: Dict[str, Any]) -> List[Tuple[str, int]]:
@@ -138,30 +161,128 @@ class DocumentChunker:
             pieces.append(cur)
         return pieces
 
-    def _event_aware(self, paragraph: str) -> List[List[str]]:
-        """Keep event-cue sentences joined with their neighbors (event-chain
-        extension), then pack under the budget."""
-        sents = split_sentences(paragraph)
-        groups: List[List[str]] = []
-        cur: List[str] = []
+    # --------------------------------------------------- event-aware chain
+    # Full machinery (ref chunker.py:374-726): standard pieces -> boundary
+    # optimization around event chains -> oversized-chunk split by event
+    # proximity -> overlap merge. Pieces are SENTENCE-INDEX RANGES over the
+    # paragraph, so boundary extension, overlap ratio, and merging are
+    # exact interval operations instead of the reference's substring
+    # searches (its text.find() misattributes repeated sentences).
+
+    _EVENT_WINDOW = 5          # ~500 chars of context (ref :519 distance<=500)
+    _GROUP_GAP = 2             # ~200 chars (ref :598 proximity grouping)
+    _OVERSIZE = 1.5            # extension cap (ref :427 chunk_size*1.5)
+    _MERGE_OVERLAP = 0.7       # overlap merge threshold (ref :623)
+
+    @staticmethod
+    def _identify_event_sentences(sents: Sequence[str]) -> List[Dict[str, Any]]:
+        """[{index, types}] for sentences carrying event cues (ref :396)."""
+        out = []
         for i, s in enumerate(sents):
-            cur.append(s)
-            is_event = bool(_EVENT_CUES.search(s))
-            next_event = i + 1 < len(sents) and bool(_EVENT_CUES.search(sents[i + 1]))
-            if not (is_event or next_event):
-                groups.append(cur)
-                cur = []
-        if cur:
-            groups.append(cur)
-        # re-pack groups under the char budget
-        pieces: List[List[str]] = []
-        for g in groups:
-            body = " ".join(g)
-            if len(body) <= self.max_chunk_chars:
-                pieces.append(g)
+            types = [t for t, pat in _EVENT_TYPES.items() if pat.search(s)]
+            if types:
+                out.append({"index": i, "types": types})
+        return out
+
+    @staticmethod
+    def _events_related(types1: Sequence[str], types2: Sequence[str]) -> bool:
+        for t1 in types1:
+            for t2 in types2:
+                if t1 == t2 or frozenset((t1, t2)) in _RELATED_PAIRS:
+                    return True
+        return False
+
+    def _event_aware(self, paragraph: str) -> List[Tuple[List[str], Dict[str, Any]]]:
+        sents = split_sentences(paragraph)
+        events = self._identify_event_sentences(sents)
+        base = self._sentence_pack(paragraph)
+        if not events:
+            return [(p, {}) for p in base]
+
+        # base pieces as [lo, hi) sentence-index ranges
+        ranges: List[List[int]] = []
+        pos = 0
+        for piece in base:
+            ranges.append([pos, pos + len(piece)])
+            pos += len(piece)
+        lens = [len(s) for s in sents]
+
+        def span_chars(lo: int, hi: int) -> int:
+            return sum(lens[lo:hi]) + max(hi - lo - 1, 0)
+
+        # boundary optimization: extend each event-bearing piece to cover
+        # its related events within the window (ref :427-517)
+        optimized: List[Tuple[List[int], Dict[str, Any]]] = []
+        for lo, hi in ranges:
+            inside = [e for e in events if lo <= e["index"] < hi]
+            if not inside:
+                optimized.append(([lo, hi], {}))
+                continue
+            related = list(inside)
+            for e in inside:
+                for other in events:
+                    if other in related:
+                        continue
+                    if (abs(other["index"] - e["index"]) <= self._EVENT_WINDOW
+                            and self._events_related(e["types"], other["types"])):
+                        related.append(other)
+            new_lo = min(lo, min(e["index"] for e in related))
+            new_hi = max(hi, max(e["index"] for e in related) + 1)
+            meta = {"event_chain_optimized": True,
+                    "related_events": [e["types"] for e in related]}
+            if span_chars(new_lo, new_hi) > self.max_chunk_chars * self._OVERSIZE:
+                # split by event proximity groups, keeping chains whole
+                # (ref :564-621)
+                groups: List[List[Dict[str, Any]]] = []
+                for e in sorted(related, key=lambda x: x["index"]):
+                    if groups and e["index"] - groups[-1][-1]["index"] <= self._GROUP_GAP:
+                        groups[-1].append(e)
+                    else:
+                        groups.append([e])
+                cursor = new_lo
+                for gi, g in enumerate(groups):
+                    g_hi = (new_hi if gi == len(groups) - 1
+                            else min(g[-1]["index"] + 1, new_hi))
+                    if g_hi > cursor:
+                        optimized.append(([cursor, g_hi], {
+                            "event_chain_optimized": True,
+                            "event_group": [e["types"] for e in g]}))
+                    cursor = g_hi
             else:
-                pieces.extend(self._sentence_pack(body))
-        return pieces
+                optimized.append(([new_lo, new_hi], meta))
+
+        # overlap merge (ref :623-691): interval overlap over the shorter
+        # range >= threshold -> union the ranges and the event metadata
+        optimized.sort(key=lambda t: (t[0][0], t[0][1]))
+        merged: List[Tuple[List[int], Dict[str, Any]]] = []
+        for rng_, meta in optimized:
+            if merged:
+                prev, pmeta = merged[-1]
+                inter = min(prev[1], rng_[1]) - max(prev[0], rng_[0])
+                shorter = min(prev[1] - prev[0], rng_[1] - rng_[0])
+                if shorter > 0 and inter / shorter >= self._MERGE_OVERLAP:
+                    prev[0] = min(prev[0], rng_[0])
+                    prev[1] = max(prev[1], rng_[1])
+                    if meta.get("related_events") or meta.get("event_group"):
+                        pmeta.setdefault("related_events", []).extend(
+                            meta.get("related_events", meta.get("event_group", [])))
+                        pmeta["event_chain_optimized"] = True
+                    continue
+            merged.append((rng_, dict(meta)))
+
+        out: List[Tuple[List[str], Dict[str, Any]]] = []
+        for (lo, hi), meta in merged:
+            piece = sents[lo:hi]
+            chain = bool(meta.get("event_chain_optimized"))
+            # event-chain chunks stay whole past the budget (the reference's
+            # merged chunks are never re-split, ref :623); only unoptimized
+            # residue re-packs, and a 3x hard cap guards pathological chains
+            cap = self.max_chunk_chars * (3.0 if chain else self._OVERSIZE)
+            if span_chars(lo, hi) <= cap:
+                out.append((piece, meta))
+            else:
+                out.extend((p, meta) for p in self._sentence_pack(" ".join(piece)))
+        return out
 
     # ------------------------------------------------------------- filter
     def _filter(self, chunks: List[Dict[str, Any]]) -> List[Dict[str, Any]]:

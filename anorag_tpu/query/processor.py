@@ -265,6 +265,11 @@ class QueryProcessor:
             lw = (comps.get("listwise") or {}).get("listt5_weight")
             if lw is not None:
                 self.cfg.set("calibration.listt5_weight", float(lw))
+            lfw = comps.get("learned_fusion") or {}
+            if "dense_weight" in lfw:
+                self.fusion_dense_w = float(lfw["dense_weight"])
+            if "bm25_weight" in lfw:
+                self.fusion_sparse_w = float(lfw["bm25_weight"])
             ke = (comps.get("k_estimator") or {}).get("complexity_per_k")
             if ke is not None:
                 self.packer.k_estimator.thresholds["complexity_per_k"] = float(ke)

@@ -74,6 +74,54 @@ def test_chunker_event_aware():
     assert any("married" in t for t in joined)
 
 
+def test_event_chain_boundary_extension():
+    """Related events split across base-piece boundaries are pulled into
+    one chunk (ref chunker.py:427-517): an acquisition sentence and an
+    ownership sentence within the window end up together, with
+    event_chain_optimized metadata."""
+    filler = "The weather report mentioned light rain. "
+    text = ("Acme Corp acquired Beta Ltd in 2001. " + filler * 4 +
+            "Beta Ltd remains a subsidiary owned by Acme Corp. " + filler * 3)
+    # budget sized so the extended chain (~260 chars) fits under the 1.5x
+    # oversize cap; a smaller budget would (correctly) split the chain by
+    # proximity groups instead
+    ch = DocumentChunker(max_chunk_chars=200, strategy="event_aware")
+    chunks = ch.chunk_document({"id": "d", "text": text})
+    opt = [c for c in chunks if c.get("event_chain_optimized")]
+    assert opt, [c["text"] for c in chunks]
+    assert any("acquired" in c["text"] and "owned" in c["text"] for c in opt), \
+        [c["text"] for c in opt]
+    # metadata carries the related event types
+    assert any(any("acquisition" in types or "ownership" in types
+                   for types in c.get("related_events", c.get("event_group", [])))
+               for c in opt)
+
+
+def test_event_chain_oversize_split_groups():
+    """An extended chain larger than 1.5x the budget splits by event
+    proximity groups (ref chunker.py:564-621) instead of one giant chunk."""
+    far = "Unrelated filler sentence about scenery and travel plans. " * 10
+    text = ("Acme acquired Beta. Beta was owned by Gamma. " + far +
+            "Delta merged with Epsilon. Epsilon acquired Zeta. " + far)
+    ch = DocumentChunker(max_chunk_chars=100, strategy="event_aware")
+    chunks = ch.chunk_document({"id": "d", "text": text})
+    for c in chunks:
+        assert len(c["text"]) <= 100 * 1.5 + 80, len(c["text"])
+    # the two distant event groups land in different chunks
+    has_acq = [i for i, c in enumerate(chunks) if "acquired Beta" in c["text"]]
+    has_merge = [i for i, c in enumerate(chunks) if "merged with Epsilon" in c["text"]]
+    assert has_acq and has_merge and has_acq[0] != has_merge[0]
+
+
+def test_event_aware_no_events_matches_sentence_pack():
+    text = "Plain first sentence here. Another neutral sentence follows. " * 6
+    a = DocumentChunker(max_chunk_chars=150, strategy="event_aware")
+    b = DocumentChunker(max_chunk_chars=150, strategy="sentence")
+    ca = [c["text"] for c in a.chunk_document({"id": "d", "text": text})]
+    cb = [c["text"] for c in b.chunk_document({"id": "d", "text": text})]
+    assert ca == cb
+
+
 def test_chunker_filters_junk():
     ch = DocumentChunker(min_chunk_chars=20)
     chunks = ch.chunk_document({"id": "x", "text": "!!! ??? ###\n\nok"})
@@ -113,6 +161,77 @@ def test_incremental_plan(tmp_path):
     f1.write_text("changed")
     plan3 = inc.get_processing_plan([f1])
     assert plan3["to_process"] == [str(f1)]
+
+
+def test_incremental_dependency_propagation(tmp_path):
+    """A change to a file re-plans its transitive dependents, in
+    dependency-first topological order (ref incremental_processor.py:
+    123-304)."""
+    a, b, c, d = [tmp_path / n for n in ("a.txt", "b.txt", "c.txt", "d.txt")]
+    for f in (a, b, c, d):
+        f.write_text(f.name)
+    inc = IncrementalProcessor(tmp_path / "cache")
+    # b depends on a; c depends on b (transitive); d independent
+    inc.add_dependency(b, [a])
+    inc.add_dependency(c, [b])
+    plan = inc.get_processing_plan([a, b, c, d])
+    inc.commit(plan["_hashes"])
+    assert inc.get_processing_plan([a, b, c, d])["can_skip_processing"]
+
+    a.write_text("changed")
+    plan = inc.get_processing_plan([a, b, c, d])
+    # direct change + transitive dependents, dependencies first
+    assert plan["to_process"] == [str(a), str(b), str(c)]
+    assert set(plan["dependents"]) == {str(b), str(c)}
+    assert plan["skip"] == [str(d)]
+    assert not plan["can_skip_processing"]
+
+
+def test_incremental_result_cache_and_repair(tmp_path):
+    """Per-file result cache + integrity validation/repair: vanished files
+    drop out, stale hashes refresh, broken dep edges prune, orphaned
+    results clear (ref incremental_processor.py:304-368)."""
+    a, b = tmp_path / "a.txt", tmp_path / "b.txt"
+    a.write_text("a")
+    b.write_text("b")
+    inc = IncrementalProcessor(tmp_path / "cache")
+    inc.add_dependency(b, [a])
+    inc.update_file_cache(a, {"notes": 3})
+    inc.update_file_cache(b, {"notes": 5})
+    assert inc.get_cached_result(a) == {"notes": 3}
+
+    # reload from disk: state survives
+    inc2 = IncrementalProcessor(tmp_path / "cache")
+    assert inc2.get_cached_result(b) == {"notes": 5}
+    assert inc2.validate_cache_integrity()["ok"]
+
+    # stale hash + vanished dependency + orphaned result
+    a.write_text("mutated")
+    v = inc2.validate_cache_integrity()
+    assert v["hash_mismatches"] == [str(a)]
+    inc2._results["ghost.txt"] = {"x": 1}
+    b_path = str(b)
+    b.unlink()
+    v = inc2.validate_cache_integrity()
+    assert str(b_path) in v["missing_files"]
+    assert "ghost.txt" in v["orphaned_cache_entries"]
+    inc2.repair_cache(v)
+    v2 = inc2.validate_cache_integrity()
+    assert v2["ok"], v2
+    assert inc2.get_cached_result(b) is None       # dropped with the file
+    stats = inc2.get_cache_statistics()
+    assert stats["total_cached_files"] == 1        # only a remains
+
+
+def test_incremental_topo_order_cycle_safe(tmp_path):
+    f1, f2 = tmp_path / "x.txt", tmp_path / "y.txt"
+    f1.write_text("x")
+    f2.write_text("y")
+    inc = IncrementalProcessor(tmp_path / "cache")
+    inc.add_dependency(f1, [f2])
+    inc.add_dependency(f2, [f1])      # malformed cycle must not hang/fail
+    order = inc.optimize_processing_order([str(f1), str(f2)])
+    assert sorted(order) == sorted([str(f1), str(f2)])
 
 
 def test_consistency_checker(notes):
