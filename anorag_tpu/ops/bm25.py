@@ -451,7 +451,7 @@ def _window_winners_kernel(a_ref, w_ref, wv_out, wd_out, mx_ref,
 
 
 def plan_tiles(doc_rows, weight_rows, n_docs: int, block_l: int = 1024,
-               block_b: int = 128):
+               block_b: int = 128, round_pow2: bool = False):
     """Host-side re-tiling of a (B, L) sorted plan into L-major tiles
     (L/block_l, B, block_l): a kernel block sliced from the (B, L) layout
     is B strided 4 KB row-pieces and measured only ~60-90 GB/s effective
@@ -464,6 +464,11 @@ def plan_tiles(doc_rows, weight_rows, n_docs: int, block_l: int = 1024,
     b, l = doc_rows.shape
     bp = -(-b // block_b) * block_b
     lp = -(-(l + 1) // block_l) * block_l
+    if round_pow2:
+        # bound the jit-shape set for serving (per-batch L varies): round
+        # the tile count up to a power of two; pad tiles are all-invalid
+        nj_p = 1 << (max(lp // block_l - 1, 0)).bit_length()
+        lp = max(nj_p, 1) * block_l
     a = np.full((bp, lp), n_docs, np.int32)
     a[:b, :l] = doc_rows
     w = np.zeros((bp, lp), np.float32)

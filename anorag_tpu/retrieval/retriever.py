@@ -232,6 +232,16 @@ class VectorRetriever:
         # unlocks the scan-free windowed BM25 kernel
         max_seg = max((len(t) for t in q_terms), default=0)
         max_seg = min(1 << max(max_seg - 1, 0).bit_length(), 32) if max_seg else 0
+        import jax
+
+        if (jax.default_backend() == "tpu" and 0 < max_seg <= 32
+                and doc_rows.shape[1] >= 2048):
+            # L-major tiled plan: contiguous kernel DMAs; pow2 tile count
+            # bounds the per-batch jit-shape set
+            from anorag_tpu.ops.bm25 import plan_tiles
+
+            doc_rows, weight_rows = plan_tiles(
+                doc_rows, weight_rows, len(self.notes), round_pow2=True)
         vals, ids = hybrid_topk(
             emb_dev, jnp.asarray(q_prep, emb_dev.dtype),
             jnp.asarray(doc_rows), jnp.asarray(weight_rows),

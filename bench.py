@@ -142,7 +142,8 @@ def bench_hybrid(n_docs: int, b: int = 512, dim: int = 1024, vocab: int = 30_000
     import jax
     import jax.numpy as jnp
 
-    from anorag_tpu.ops.bm25 import build_postings, gather_plan, gather_plan_sorted
+    from anorag_tpu.ops.bm25 import (build_postings, gather_plan,
+                                     gather_plan_sorted, plan_tiles)
     from anorag_tpu.ops.topk import hybrid_topk
 
     on_tpu = jax.default_backend() == "tpu"
@@ -164,6 +165,9 @@ def bench_hybrid(n_docs: int, b: int = 512, dim: int = 1024, vocab: int = 30_000
     q_terms = make_query_terms(b, vocab, q_len, rng)
 
     doc_rows, weight_rows, _ = gather_plan_sorted(postings, q_terms)
+    if on_tpu:
+        # L-major tiled layout: contiguous kernel DMAs (plan_tiles docstring)
+        doc_rows, weight_rows = plan_tiles(doc_rows, weight_rows, n_docs)
     dr_dev = jax.device_put(jnp.asarray(doc_rows))
     wr_dev = jax.device_put(jnp.asarray(weight_rows))
     q_dev = jax.device_put(jnp.asarray(q, dtype))
@@ -253,7 +257,7 @@ def bench_hybrid(n_docs: int, b: int = 512, dim: int = 1024, vocab: int = 30_000
         out["recall_oracle_queries"] = nq
     if keep_ctx:
         out["_ctx"] = {"emb_dev": emb_dev, "dr_dev": dr_dev, "wr_dev": wr_dev,
-                       "k": k, "n_docs": n_docs}
+                       "k": k, "n_docs": n_docs, "batch": b}
     return out
 
 
@@ -309,7 +313,7 @@ def bench_encoder(ctx: dict | None, b: int = 256, seq: int = 128,
     if ctx is not None:
         emb_dev, dr, wr = ctx["emb_dev"], ctx["dr_dev"], ctx["wr_dev"]
         n_docs, k = ctx["n_docs"], ctx["k"]
-        eb = dr.shape[0]  # batch must match the sparse plan's
+        eb = ctx["batch"]  # batch must match the sparse plan's
         q_ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (eb, q_seq)), jnp.int32)
         q_mask = jnp.ones((eb, q_seq), jnp.int32)
 

@@ -88,6 +88,29 @@ def main():
     dt_p = (time.perf_counter() - t0) / args.steady_batches
     assert n_res == args.batch * args.steady_batches
 
+    # ServingEngine: cross-REQUEST pipelining (the serve.py production
+    # path) — 4 concurrent clients, each steady_batches requests; the one
+    # dispatcher keeps `depth` device batches in flight across clients
+    import concurrent.futures as cf
+
+    from anorag_tpu.serving import ServingEngine
+
+    engine = ServingEngine(qp, sub_batch=args.batch, depth=args.depth)
+    engine.process(queries)  # warm
+    n_clients = 4
+
+    def client(_):
+        for _ in range(args.steady_batches):
+            rows = engine.process(queries)
+            assert len(rows) == args.batch
+        return True
+
+    t0 = time.perf_counter()
+    with cf.ThreadPoolExecutor(max_workers=n_clients) as ex:
+        list(ex.map(client, range(n_clients)))
+    dt_e = (time.perf_counter() - t0) / (args.steady_batches * n_clients)
+    engine.close()
+
     qp.retriever.hybrid_search(queries)  # warm (own shape bucket)
     t0 = time.perf_counter()
     for _ in range(args.steady_batches):
@@ -95,7 +118,9 @@ def main():
     dev = (time.perf_counter() - t0) / args.steady_batches
     print(f"steady-state: {dt*1e3:.1f} ms/batch{args.batch} = {qps:.0f} QPS "
           f"({dt/args.batch*1e3:.2f} ms/query); pipelined: {dt_p*1e3:.1f} ms/batch "
-          f"= {args.batch/dt_p:.0f} QPS; retrieval(device+tunnel) "
+          f"= {args.batch/dt_p:.0f} QPS; engine({n_clients} clients): "
+          f"{dt_e*1e3:.1f} ms/batch = {args.batch/dt_e:.0f} QPS; "
+          f"retrieval(device+tunnel) "
           f"{dev*1e3:.1f} ms, host stages {max(dt-dev,0)*1e3:.1f} ms; "
           f"answer accuracy on probes: {correct}/{args.batch}", flush=True)
 

@@ -54,7 +54,12 @@ def build_processor(work_dir: str, no_llm: bool = True):
     )
 
 
-def make_handler(qp):
+def make_handler(qp, engine=None):
+    """`engine` (ServingEngine) pipelines retrieval across requests: the
+    dispatcher thread keeps up to `depth` device batches in flight while
+    request threads wait on futures — request B's retrieval is already on
+    the device while request A runs host answer stages. Without an engine
+    (tests), requests serialize behind the lock as before."""
     lock = threading.Lock()   # QueryProcessor.process mutates per-call dicts
 
     class Handler(BaseHTTPRequestHandler):
@@ -88,18 +93,21 @@ def make_handler(qp):
                     return self._send(400, {"error": "missing 'queries' list"})
                 qs = [str(x) for x in queries]
                 try:
-                    with lock:
-                        # large requests run the pipelined path: device
-                        # dispatch of sub-batch i+1 overlaps host answer
-                        # stages of sub-batch i (QueryProcessor.process_stream)
-                        sb = int(config.get("serving.stream_batch", 64))
-                        if len(qs) > sb:
-                            depth = int(config.get("serving.stream_depth", 3))
-                            chunks = [qs[i:i + sb] for i in range(0, len(qs), sb)]
-                            rows = [r for out in qp.process_stream(
-                                chunks, top_k=top_k, depth=depth) for r in out]
-                        else:
-                            rows = qp.process_batch(qs, top_k=top_k)
+                    if engine is not None:
+                        # cross-request pipelined path: this thread blocks
+                        # on the future; the engine's dispatcher keeps the
+                        # device busy with every in-flight request's batches
+                        rows = engine.process(qs, top_k=top_k)
+                    else:
+                        with lock:
+                            sb = int(config.get("serving.stream_batch", 64))
+                            if len(qs) > sb:
+                                depth = int(config.get("serving.stream_depth", 3))
+                                chunks = [qs[i:i + sb] for i in range(0, len(qs), sb)]
+                                rows = [r for out in qp.process_stream(
+                                    chunks, top_k=top_k, depth=depth) for r in out]
+                            else:
+                                rows = qp.process_batch(qs, top_k=top_k)
                     return self._send(200, {"results": [
                         {"query": r["query"], "answer": r["answer"],
                          "predicted_support_idxs": r["predicted_support_idxs"],
@@ -121,6 +129,19 @@ def make_handler(qp):
                         for n in notes
                     ]})
                 if self.path == "/query":
+                    if engine is not None and not payload.get("qid"):
+                        r = engine.process([query],
+                                           dataset=payload.get("dataset"))[0]
+                        return self._send(200, {
+                            "answer": r["answer"],
+                            "predicted_support_idxs": r["predicted_support_idxs"],
+                            "answer_method": r["answer_method"],
+                            "notes": [
+                                {k: n.get(k) for k in
+                                 ("note_id", "title", "content", "final_score")}
+                                for n in r.get("notes", [])[:top_k]
+                            ],
+                        })
                     with lock:
                         res = qp.process(query, dataset=payload.get("dataset"),
                                          qid=payload.get("qid"))
@@ -161,12 +182,22 @@ def main() -> int:
         return 1
     setup_logging()
     qp = build_processor(str(work), no_llm=not args.llm)
-    server = ThreadingHTTPServer((args.host, args.port), make_handler(qp))
+    from anorag_tpu.serving import ServingEngine
+
+    engine = ServingEngine(
+        qp,
+        sub_batch=int(config.get("serving.stream_batch", 64)),
+        depth=int(config.get("serving.stream_depth", 4)),
+        host_workers=int(config.get("serving.host_workers", 1)),
+    )
+    server = ThreadingHTTPServer((args.host, args.port), make_handler(qp, engine))
     print(f"serving KB ({len(qp.notes)} notes) on http://{args.host}:{args.port}")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
+    finally:
+        engine.close()
     return 0
 
 

@@ -120,3 +120,83 @@ def test_concurrent_clients(server):
     assert all(code == 200 for code, _ in results)
     answers = [b.get("answer") for code, b in results if "answer" in b]
     assert answers and all(a for a in answers)
+
+
+@pytest.fixture(scope="module")
+def engine_server():
+    """Server wired through the ServingEngine (the production path):
+    cross-request pipelining via the dispatcher thread."""
+    from anorag_tpu.serving import ServingEngine
+
+    cfg = ConfigLoader(auto_load=False)
+    cfg.set("embedding.backend", "hash")
+    cfg.set("embedding.dim", 64)
+    cfg.set("vector_store.index_type", "Flat")
+    qp = QueryProcessor(make_notes(12), cfg=cfg,
+                        embedding_manager=EmbeddingManager(cfg=cfg, singleton=False))
+    engine = ServingEngine(qp, sub_batch=4, depth=3, host_workers=1)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0),
+                              serve_mod.make_handler(qp, engine))
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+    engine.close()
+
+
+def test_engine_batch_ordering(engine_server):
+    """A batch larger than sub_batch splits into pipelined chunks and
+    reassembles in request order with correct answers."""
+    qs = ["Who is the director of Silent River?",
+          "Who founded Nexus Labs?"] * 5   # 10 > sub_batch 4
+    code, body = _post(engine_server + "/query_batch", {"queries": qs, "top_k": 5})
+    assert code == 200 and len(body["results"]) == 10
+    assert [r["query"] for r in body["results"]] == qs
+    assert body["results"][0]["answer"] == body["results"][8]["answer"]
+
+
+def test_engine_concurrent_requests(engine_server):
+    """Parallel requests pipeline through the one dispatcher: every client
+    gets complete, correct, correctly-ordered results."""
+    import concurrent.futures as cf
+
+    def hit(i):
+        if i % 2 == 0:
+            return _post(engine_server + "/query",
+                         {"query": "Who founded Nexus Labs?"})
+        return _post(engine_server + "/query_batch",
+                     {"queries": ["Who is the director of Silent River?"] * 6,
+                      "top_k": 3})
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(hit, range(16)))
+    assert all(code == 200 for code, _ in results)
+    for code, b in results:
+        if "results" in b:
+            assert len(b["results"]) == 6
+            assert len({r["answer"] for r in b["results"]}) == 1
+
+
+def test_engine_direct_api():
+    """ServingEngine directly: futures resolve in order; empty requests and
+    post-close submissions behave."""
+    from anorag_tpu.serving import ServingEngine
+
+    cfg = ConfigLoader(auto_load=False)
+    cfg.set("embedding.backend", "hash")
+    cfg.set("embedding.dim", 64)
+    cfg.set("vector_store.index_type", "Flat")
+    qp = QueryProcessor(make_notes(8), cfg=cfg,
+                        embedding_manager=EmbeddingManager(cfg=cfg, singleton=False))
+    engine = ServingEngine(qp, sub_batch=2, depth=2)
+    try:
+        futs = [engine.submit(["Who founded Nexus Labs?"] * 3) for _ in range(4)]
+        for f in futs:
+            rows = f.result(timeout=60)
+            assert len(rows) == 3
+            assert all(r["answer"] for r in rows)
+        assert engine.process([]) == []
+    finally:
+        engine.close()
+    with pytest.raises(RuntimeError):
+        engine.submit(["x"])
