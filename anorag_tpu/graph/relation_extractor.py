@@ -200,10 +200,14 @@ class RelationExtractor:
         k = min(self.max_semantic_edges + 1, len(notes))
         import jax
 
-        if jax.default_backend() == "cpu" and 4 * len(emb) ** 2 <= 2 * 1024**3:
+        if 4 * len(emb) ** 2 <= 2 * 1024**3 and (
+                jax.default_backend() == "cpu" or len(emb) <= 20_000):
             # numpy BLAS beats the XLA 1-core chunked scan by ~30x here
-            # (33.4 s -> ~1 s at 10k x 256); the device kernel stays the
-            # path whenever an accelerator is attached
+            # (33.4 s -> ~1 s at 10k x 256). Small corpora stay on host
+            # even with an accelerator attached: the one-off emb upload +
+            # dispatch round trips exceed the BLAS time below ~20k rows
+            # (and crawl when the device is tunneled); the device kernel
+            # is the path for corpus-scale builds
             vals, idx = dense_topk_np(emb, emb, k)
         else:
             vals, idx = dense_topk(emb, emb, k)

@@ -31,6 +31,7 @@ Pipeline (traditional path, reference :1941-2639):
 """
 from __future__ import annotations
 
+import re
 from pathlib import Path
 from typing import Any, Dict, Iterable, List, Optional, Sequence
 
@@ -750,8 +751,43 @@ class QueryProcessor:
         return filter_notes_by_namespace(out, dataset)
 
     # answer ------------------------------------------------------------------
+    @staticmethod
+    def _question_subject_covered(query: str, selected) -> bool:
+        """Unanswerable gate signal: does ANY extracted question entity
+        surface in the selected evidence? An entity is covered by a full
+        word-boundary phrase match or by at least half its tokens
+        appearing — liberal coverage so the gate fires only when the KB
+        plainly knows nothing about the question's subject (ref
+        main_musique.py:377-382 scores predicted_answerable)."""
+        ents = [e for e in extract_entities_fallback(query) if len(e) >= 4]
+        if not ents:
+            return True        # nothing to check: assume answerable
+        texts = [f"{n.get('title','')} {n.get('content','')}".lower()
+                 for n in selected]
+        blob = " \n ".join(texts)
+        for e in ents:
+            el = e.lower()
+            if re.search(r"\b" + re.escape(el) + r"\b", blob):
+                return True
+            toks = [t for t in el.split() if len(t) >= 3]
+            if toks:
+                hits = sum(1 for t in toks
+                           if re.search(r"\b" + re.escape(t) + r"\b", blob))
+                # strict majority: a shared suffix word alone ("... Horizon")
+                # must not count a 2-token ghost entity as covered
+                if hits * 2 > len(toks) or hits == len(toks):
+                    return True
+        return False
+
     def _answer(self, query, selected, candidates, bridge_entities) -> Dict[str, Any]:
         context, support = self.packer.pack_context(selected, query)
+        # unanswerable gate: when no question entity surfaces anywhere in
+        # the evidence, answering would only hallucinate a distractor
+        if (self.cfg.get("answering.unanswerable_gate", True) and selected
+                and not self._question_subject_covered(query, selected)):
+            return {"answer": "insufficient information", "support_idxs": [],
+                    "answerable": False, "method": "unanswerable_gate",
+                    "context": context}
         # (a) relation-chain selector
         if self.answer_selector_enabled and self.answer_selector_before_llm:
             sel = answer_question(

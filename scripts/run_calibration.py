@@ -74,6 +74,12 @@ def main() -> int:
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
 
+    # force the CPU backend BEFORE any jax use: per-item KBs are tiny and
+    # the tunneled-TPU dispatch latency would dominate every eval
+    from anorag_tpu.device import apply_device_config
+
+    apply_device_config(make_cfg())
+
     dev = make_items(args.dev_n, distractors=8, seed=args.seed)
     # calibrate on answerable items (the unanswerable kind scores a flag,
     # not params); keep them for the final delta report

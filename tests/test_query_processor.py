@@ -225,3 +225,28 @@ def test_process_stream_matches_process_batch():
     assert [r["answer"] for r in stream_res] == [r["answer"] for r in batch_res]
     assert [r["predicted_support_idxs"] for r in stream_res] == \
            [r["predicted_support_idxs"] for r in batch_res]
+
+
+def test_unanswerable_gate():
+    """Questions about entities absent from the whole evidence pool return
+    predicted_answerable=False instead of a hallucinated distractor;
+    questions whose subject IS covered stay answerable (v2 eval: the gate
+    took answerable accuracy 0.875 -> 0.995 at unchanged answer EM)."""
+    qp = QueryProcessor(_kb_notes(), cfg=_cfg(),
+                        embedding_manager=EmbeddingManager(cfg=_cfg(), singleton=False))
+    res = qp.process("Who is the spouse of the performer of Ghostly Meridian?")
+    assert res["predicted_answerable"] is False
+    assert res["answer_method"] == "unanswerable_gate"
+    assert "insufficient" in res["answer"].lower()
+    # covered subject: answers normally
+    res2 = qp.process("Who is the spouse of the performer of Blue Horizon?")
+    assert res2["predicted_answerable"] is True
+    assert res2["answer"] == "Chris Reed"
+    # a shared suffix word alone must not count as coverage
+    res3 = qp.process("Who is the spouse of the performer of Ghostly Horizon?")
+    assert res3["predicted_answerable"] is False
+    # gate off: old behavior (always answers)
+    qp2 = QueryProcessor(_kb_notes(), cfg=_cfg(**{"answering.unanswerable_gate": False}),
+                         embedding_manager=EmbeddingManager(cfg=_cfg(), singleton=False))
+    res4 = qp2.process("Who is the spouse of the performer of Ghostly Meridian?")
+    assert res4["answer_method"] != "unanswerable_gate"
