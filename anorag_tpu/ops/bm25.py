@@ -110,20 +110,32 @@ def gather_plan_sorted(
     postings: BM25Postings,
     query_terms: Sequence[Sequence[int]],
     pad_multiple: int = 128,
+    max_df_ratio: float = 0.75,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Host prep for scatter-free scoring: per-query posting rows SORTED by
     doc id, so segment sums become a cumsum trick on device.
+
+    Terms with document frequency above `max_df_ratio * N` are excluded
+    from the plan: their +1-variant Okapi idf is <= ln(1 + 1/3) ~ 0.29 at
+    the 0.75 default (vs ~ln(N) for discriminative terms) while their
+    postings are ~the whole corpus — one stopword-band term ('created' in
+    a template corpus) otherwise inflates L from ~1k to ~N and dominates
+    both the plan upload and the device scan. Set 1.0 to disable
+    (bit-exact full Okapi).
 
     Returns (doc_rows (B, L) int32 — doc id per posting, N pad;
              weight_rows (B, L) f32 — precomputed Okapi weight, 0 pad;
              max_rows actual lengths (B,)).
     """
     off = postings.term_offsets
+    df_cap = max_df_ratio * postings.n_docs
     rows_docs: List[np.ndarray] = []
     rows_w: List[np.ndarray] = []
     for terms in query_terms:
         spans = [np.arange(off[t], off[t + 1], dtype=np.int64)
-                 for t in terms if 0 <= t < postings.vocab_size]
+                 for t in terms
+                 if 0 <= t < postings.vocab_size
+                 and off[t + 1] - off[t] <= df_cap]
         if spans:
             idx = np.concatenate(spans)
             d = postings.doc_ids[idx]
@@ -462,6 +474,9 @@ def plan_tiles(doc_rows, weight_rows, n_docs: int, block_l: int = 1024,
     doc_rows = np.asarray(doc_rows)
     weight_rows = np.asarray(weight_rows)
     b, l = doc_rows.shape
+    # small batches pad to 8 rows, not a full 128-row block: serving
+    # batches of 64 were uploading 2x their plan bytes through the tunnel
+    block_b = min(block_b, max(8, -(-b // 8) * 8))
     bp = -(-b // block_b) * block_b
     lp = -(-(l + 1) // block_l) * block_l
     if round_pow2:
