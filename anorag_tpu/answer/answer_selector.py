@@ -21,8 +21,30 @@ _CUE_RELS = [
     (r"\bperform(?:ed|er|s)?\b|\bsing(?:er|s)?\b|\bsang\b", "performed_by"),
     (r"\bborn\b|\bbirthplace\b", "born_in"),
     (r"\bmember\b", "member_of"),
+    (r"\blabel (?:that|which) released\b|\breleased on\b|\bon the label\b",
+     "released_on_label"),
+    (r"\bfound(?:ed|er)\b|\bestablish(?:ed|er)\b", "founded_by"),
     (r"\breleased?\b", "released_in"),
 ]
+
+# cue families that fire on the SAME question verb: when the specific form
+# matched ("label that released"), the generic one ("released" -> year) is
+# a shadow of it, not a second hop
+_SHADOWED_BY = {"released_in": "released_on_label"}
+
+
+def _cue_hits(question: str):
+    """[(match_start, rel)] with shadowed generic cues removed (e.g. the
+    'released' inside 'label that released X' is not a year-release hop)."""
+    low = (question or "").lower()
+    hits = []
+    for pat, rel in _CUE_RELS:
+        m = re.search(pat, low)
+        if m:
+            hits.append((m.start(), rel))
+    rels = {r for _, r in hits}
+    return [(p, r) for p, r in hits
+            if _SHADOWED_BY.get(r) not in rels]
 
 
 def relation_cue_count(question: str) -> int:
@@ -30,8 +52,7 @@ def relation_cue_count(question: str) -> int:
     signal: >= 2 means a nested multi-hop question whose bridge entity is
     an intermediate (and must be excluded from EFSA answers); <= 1 means
     the 'bridge' may BE the answer."""
-    low = (question or "").lower()
-    return sum(1 for pat, _ in _CUE_RELS if re.search(pat, low))
+    return len(_cue_hits(question))
 
 
 def has_nested_hop_shape(question: str) -> bool:
@@ -50,11 +71,7 @@ def extract_rel_chain(question: str,
     """Order cue hits by the grammatical nesting: in 'spouse of the performer
     of X' the innermost relation (performer) resolves first."""
     low = (question or "").lower()
-    hits: List[Tuple[int, str]] = []
-    for pat, rel in _CUE_RELS:
-        m = re.search(pat, low)
-        if m:
-            hits.append((m.start(), rel))
+    hits: List[Tuple[int, str]] = _cue_hits(question)
     if len(hits) == 1:
         # single-relation question ("Who performed X?"): a one-hop chain —
         # the beam answers it structurally from the note graph instead of

@@ -283,7 +283,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "multi_hop": {
             "enabled": True,
             "strategy": "hybrid",
-            "max_hops": 3,
+            "max_hops": 4,
             "max_paths": 10,
             "min_path_score": 0.3,
             "min_path_score_floor": 0.1,

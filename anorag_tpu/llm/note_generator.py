@@ -10,6 +10,7 @@ bucketed per-paragraph note limits (notes_llm.limit).
 from __future__ import annotations
 
 import hashlib
+import re
 from collections import defaultdict
 from typing import Any, Dict, List, Optional, Sequence
 
@@ -52,6 +53,18 @@ _DEFAULT_REL_LEXICON = {
 }
 _DEFAULT_SPLITTERS = [" is ", " was ", " were ", " by ", " in ", " of "]
 
+# relations whose cue outranks position: "released in 2006 on the label X"
+# carries BOTH released_in and the (rarer, more discriminative) label
+# relation — the label edge is the one multi-hop chains traverse
+_PRIORITY_RELS = {
+    "released_on_label": ["on the label", "released on", "on label"],
+}
+
+# active-voice cues name the relation from the OBJECT's perspective:
+# "X founded Y" = Y founded_by X (head/tail invert); the passive "by"
+# forms keep subject-side heads
+_ACTIVE_INVERT_CUES = {"founded", "established", "created", "directed"}
+
 
 def extract_note_keys(
     text: str,
@@ -79,18 +92,33 @@ def extract_note_keys(
         ents_in_text = ents[:2]
         positions = {ents_in_text[0]: 0, ents_in_text[1]: len(low)}
 
+    # priority relations first: their cue wins regardless of position, and
+    # the head is the sentence SUBJECT (first entity) — "W was released in
+    # 2006 on the label L" must key W --released_on_label--> L even though
+    # the year entity sits closer to the cue
+    for rel, cues in _PRIORITY_RELS.items():
+        for cue in cues:
+            p = low.find(cue.lower())
+            if p < 0:
+                continue
+            tail = next((e for e in ents_in_text if positions[e] > p), None)
+            head = ents_in_text[0]
+            if tail is not None and tail != head:
+                return {"head_key": head, "rel": normalize_predicate(rel),
+                        "tail_key": tail}
+
     lexicon = rel_lexicon or _DEFAULT_REL_LEXICON
-    best_rel, best_pos = None, len(low) + 1
+    best_rel, best_pos, best_cue = None, len(low) + 1, ""
     for rel, cues in lexicon.items():
         for cue in cues:
             p = low.find(cue.lower())
             if 0 <= p < best_pos:
-                best_rel, best_pos = rel, p
+                best_rel, best_pos, best_cue = rel, p, cue.lower()
     if best_rel is None:
         for sp in (fallback_splitters or _DEFAULT_SPLITTERS):
             p = low.find(sp)
             if p >= 0:
-                best_rel, best_pos = default_rel, p
+                best_rel, best_pos, best_cue = default_rel, p, sp
                 break
     if best_rel is None:
         return {}
@@ -102,6 +130,10 @@ def extract_note_keys(
         tail = next((e for e in ents_in_text if e != head), None)
     if tail is None:
         return {}
+    if (best_cue in _ACTIVE_INVERT_CUES
+            and not low[best_pos + len(best_cue):].lstrip().startswith("by")):
+        # active voice: "X founded Y" -> Y founded_by X
+        head, tail = tail, head
     return {"head_key": head, "rel": normalize_predicate(best_rel), "tail_key": tail}
 
 
@@ -229,7 +261,8 @@ class AtomicNoteGenerator:
         if not isinstance(parsed, list):
             if self.enable_rule_fallback:
                 self.stats["rule_fallback"] += 1
-                parsed = self._rule_fallback(text, sentences)
+                parsed = self._rule_fallback(text, sentences,
+                                             title=chunk.get("title") or "")
             else:
                 return []
         return self._post_process(parsed, chunk)
@@ -245,7 +278,11 @@ class AtomicNoteGenerator:
             return ""
 
     # ------------------------------------------------------------ fallback
-    def _rule_fallback(self, text: str, sentences: Sequence[str]) -> List[Dict[str, Any]]:
+    _LEAD_PRONOUN = re.compile(
+        r"^(It|He|She|They|This|The (?:album|song|film|band|label|company))\b")
+
+    def _rule_fallback(self, text: str, sentences: Sequence[str],
+                       title: str = "") -> List[Dict[str, Any]]:
         """One note per informative sentence, PLUS a merged chunk-level note
         at higher salience when several sentences qualify.
 
@@ -255,15 +292,30 @@ class AtomicNoteGenerator:
         kept an arbitrary single fact and dropped the rest (measured: every
         'born in <city>' fact vanished from the LLM-free KB, answer EM 0.00
         on where-questions). The merged note carries the union of facts and
-        wins the quota; sentence notes still surface when the quota allows."""
+        wins the quota; sentence notes still surface when the quota allows.
+
+        Leading pronouns resolve to the running subject (previous
+        sentence's first entity, seeded from the title): 'It was released
+        on the label L' otherwise keys the YEAR as head and the work's
+        label edge never enters the note graph."""
+        # seed the subject from the title sans parenthetical ("W (album)")
+        subject = re.sub(r"\s*\(.*?\)\s*$", "", title or "").strip()
         out = []
         for i, s in enumerate(sentences):
             s = s.strip()
             if len(s) < self.filter.min_chars:
                 continue
+            ents = extract_entities_fallback(s)
+            m = self._LEAD_PRONOUN.match(s)
+            if m and subject:
+                s = subject + s[m.end():]
+                if subject not in ents:
+                    ents = [subject] + ents
+            elif ents:
+                subject = ents[0]
             out.append({
                 "text": s[: self.max_note_chars],
-                "entities": extract_entities_fallback(s),
+                "entities": ents,
                 "source_sent_ids": [i],
                 "salience": 0.5,
             })

@@ -801,10 +801,16 @@ class QueryProcessor:
             )
             if sel:
                 id_to_note = {n["note_id"]: n for n in self.notes}
+                chain_notes = [id_to_note[nid] for nid in sel["support_note_ids"]
+                               if nid in id_to_note]
+                # every hop of the resolved chain IS support — intermediate
+                # hops carry neither the answer nor a question entity, so
+                # the repair heuristics alone would drop them
+                seed = [p for n in chain_notes
+                        for p in (n.get("paragraph_idxs") or [])]
                 sup = fill_support_idxs_noid(
-                    sel["answer"],
-                    [id_to_note[nid] for nid in sel["support_note_ids"] if nid in id_to_note]
-                    or selected, query=query)
+                    sel["answer"], chain_notes or selected,
+                    existing_idxs=list(dict.fromkeys(seed)), query=query)
                 return {"answer": sel["answer"], "support_idxs": sup,
                         "answerable": True, "method": "answer_selector",
                         "context": context}

@@ -394,3 +394,39 @@ def test_span_picker_ignores_pack_markers():
         "[P8] synth_1: Ann Lee was born in Denver.")]
     assert "Denver" in " ".join(spans)
     assert not any(s in ("P8", "[P8]", "synth_1") for s in spans)
+
+
+def test_label_chain_extraction_and_keys():
+    """Round-3 label-chain machinery: the 'label that released X' questions
+    parse into released_on_label chains (the generic 'released'->year cue
+    is shadowed), and note-key extraction handles the priority label
+    relation, pronoun-coref'd subjects, and active-voice inversion."""
+    from anorag_tpu.answer.answer_selector import (extract_rel_chain,
+                                                   relation_cue_count)
+    from anorag_tpu.llm.note_generator import extract_note_keys
+
+    q6 = "Who is the spouse of the founder of the label that released Togor Echo?"
+    assert extract_rel_chain(q6) == [
+        "released_on_label", "founded_by", "spouse_of|partner_of"]
+    q5 = ("Where was the spouse of the founder of the label that released "
+          "Togor Echo born?")
+    assert extract_rel_chain(q5) == [
+        "released_on_label", "founded_by", "spouse_of|partner_of", "born_in"]
+    assert relation_cue_count(q6) == 3
+    # shadowing must NOT remove released_in from plain year questions
+    assert extract_rel_chain("When was Togor Echo released?") == ["released_in"]
+
+    # priority label relation keys the subject, not the nearer year entity
+    assert extract_note_keys(
+        "Togor Echo was released in 2006 on the label Fenza Disc.",
+        ["Togor Echo", "2006", "Fenza Disc"]) == {
+        "head_key": "Togor Echo", "rel": "released_on_label",
+        "tail_key": "Fenza Disc"}
+    # active voice inverts; passive keeps subject-side head
+    active = extract_note_keys("Tigor Toshavel founded Fenza Disc.",
+                               ["Tigor Toshavel", "Fenza Disc"])
+    passive = extract_note_keys("Fenza Disc was founded by Tigor Toshavel.",
+                                ["Fenza Disc", "Tigor Toshavel"])
+    assert active == passive == {
+        "head_key": "Fenza Disc", "rel": "founded_by",
+        "tail_key": "Tigor Toshavel"}
