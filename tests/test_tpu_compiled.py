@@ -198,3 +198,55 @@ def test_hybrid_topk_on_chip():
     got = np.asarray(idx)
     rec = np.mean([len(set(got[i]) & set(exact[i])) / 10 for i in range(b)])
     assert rec >= 0.85  # bf16 scores + approx_max_k both cost a little
+
+
+@needs_tpu
+def test_compiled_bucket_topk_matches_xla_oracle():
+    """The Mosaic bucketed-winners dense kernel == its XLA-scan oracle,
+    compiled on the real chip (bit-identical bucket semantics)."""
+    from anorag_tpu.ops.topk import bucket_topk
+
+    emb, q = _mk(3000, 256, 16, seed=5)
+    embd, qd = jnp.asarray(emb), jnp.asarray(q)
+    v1, i1 = bucket_topk(embd, qd, 10, w=512, interpret=False)
+    v2, i2 = bucket_topk(embd, qd, 10, w=512, use_xla=True)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+
+
+@needs_tpu
+def test_compiled_window_winners_matches_scan_kernel():
+    """Compiled scan-free window kernel (tiled + untiled layouts) agrees
+    with the scan winners kernel and the exact XLA chain on shared docs."""
+    from anorag_tpu.ops.bm25 import (plan_tiles, sparse_topm_from_sorted,
+                                     sparse_topm_winners)
+
+    rng = np.random.default_rng(3)
+    n_docs, b, l, max_seg = 4000, 16, 4096, 6
+    rows = []
+    for _ in range(b):
+        nv = int(rng.integers(l // 2, l))
+        ids = np.sort(rng.integers(0, n_docs, nv))
+        v, c = np.unique(ids, return_counts=True)
+        ids = np.repeat(v, np.minimum(c, max_seg))
+        ids = np.concatenate([ids, np.full(max(l - len(ids), 0), n_docs)])
+        rows.append(ids[:l].astype(np.int32))
+    a = np.stack(rows)
+    w = np.where(a < n_docs, rng.random((b, l)).astype(np.float32) + 0.01, 0.0)
+    ad, wd = jnp.asarray(a), jnp.asarray(w)
+    _, tv0, td0, mx0 = sparse_topm_from_sorted(ad, wd, 16, n_docs, impl="xla")
+    tv1, td1, mx1 = sparse_topm_winners(ad, wd, 16, n_docs, max_seg=max_seg)
+    a3, w3 = plan_tiles(a, w, n_docs)
+    tv2, td2, mx2 = sparse_topm_winners(jnp.asarray(a3), jnp.asarray(w3), 16,
+                                        n_docs, max_seg=max_seg, b_valid=b)
+    np.testing.assert_allclose(np.asarray(mx1), np.asarray(mx0), rtol=1e-4)
+    np.testing.assert_array_equal(np.asarray(td2), np.asarray(td1))
+    np.testing.assert_allclose(np.asarray(tv2), np.asarray(tv1), rtol=1e-5)
+    tv0, td0, tv1, td1 = map(np.asarray, (tv0, td0, tv1, td1))
+    for bi in range(b):
+        gold = {d: v for d, v in zip(td0[bi], tv0[bi]) if d >= 0}
+        got = {d: v for d, v in zip(td1[bi], tv1[bi]) if d >= 0}
+        shared = set(gold) & set(got)
+        assert len(shared) >= 0.8 * len(gold)
+        for d in shared:
+            np.testing.assert_allclose(got[d], gold[d], rtol=1e-4)
