@@ -20,6 +20,20 @@ headroom the judge asked for (VERDICT r2 "de-saturate the eval"):
     Horizon" vs "Bafen Horizon") plus regular distractors (default 12,
     was 8).
 
+v3 (late round 3): the round-3 answer-path work closed the v2 kinds
+(EM 0.709 -> 0.994), so the cycle widens to 10 with two kinds the
+current machinery cannot solve — fresh headroom for round 4:
+  * kind 8, comparative: "Which was released first, A or B?" — needs
+    cross-paragraph year comparison, not a relation chain; the answer is
+    one of two work titles named in the question (so bridge/entity
+    exclusion must not veto it);
+  * kind 9, paraphrase: "Which city is the birthplace of the artist
+    behind W?" — the performer hop is worded outside every cue lexicon
+    ('artist behind');
+  * person/spouse paragraphs sometimes open follow-up sentences with
+    pronouns ("She was born in ..."), exercising subject coref on the
+    production path.
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -76,6 +90,9 @@ def _city_surface(city: str, rng) -> str:
 def _paragraphs(w, rng):
     year_surface = (f"the year {w['year']}" if rng.random() < 0.3
                     else str(w["year"]))
+    # follow-up sentences sometimes open with a pronoun (production coref)
+    p_sub = "She" if rng.random() < 0.3 else w["person"]
+    s_sub = "He" if rng.random() < 0.3 else w["spouse"]
     return [
         (f"{w['work']} (album)",
          f"{w['work']} is an album performed by {w['person']}. "
@@ -83,10 +100,10 @@ def _paragraphs(w, rng):
         (w["person"],
          f"{w['person']} married {w['spouse']}. "
          f"The spouse of {w['person']} is {w['spouse']}. "
-         f"{w['person']} was born in {_city_surface(w['city'], rng)}."),
+         f"{p_sub} was born in {_city_surface(w['city'], rng)}."),
         (w["spouse"],
          f"{w['spouse']} is married to {w['person']}. "
-         f"{w['spouse']} was born in {_city_surface(w['spouse_city'], rng)}."),
+         f"{s_sub} was born in {_city_surface(w['spouse_city'], rng)}."),
         (w["label"],
          f"{w['label']} is a record label. {w['label']} was founded by "
          f"{w['founder']}."),
@@ -117,9 +134,10 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = [_world(rng) for _ in range(n // 8 + 2)]
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 8
+        kind = i % 10
         answerable = True
         akey = None
+        extra_support_world = None   # (world, para_indices) appended as support
         # support indexes into _paragraphs(w): 0 work, 1 person, 2 spouse,
         # 3 label, 4 founder, 5 founder_spouse
         if kind == 0:
@@ -151,17 +169,42 @@ def make_items(n: int, distractors: int, seed: int):
             q, a = (f"Who is the spouse of the founder of the label that "
                     f"released {w['work']}?", w["founder_spouse"])
             support = {0, 3, 4}
-        else:
+        elif kind == 7:
             # unanswerable: asks about a work that exists in no paragraph
             ghost = ghost_worlds[i % len(ghost_worlds)]
             q, a = f"Who is the spouse of the performer of {ghost['work']}?", ""
             support = set()
             answerable = False
+        elif kind == 8:
+            # comparative: cross-paragraph year comparison; the answer IS a
+            # work title named in the question (exclusion gates must not
+            # veto it). v3 headroom: no relation chain solves this.
+            wb = worlds[(i + 3) % n]
+            if wb["year"] == w["year"]:
+                wb = worlds[(i + 7) % n]
+            first = w if w["year"] < wb["year"] else wb
+            q = f"Which was released first, {w['work']} or {wb['work']}?"
+            a = first["work"]
+            support = {0}
+            extra_support_world = (wb, [0])
+        else:
+            # paraphrase: the performer hop worded outside every cue
+            # lexicon ('artist behind'). v3 headroom.
+            q, a, akey = (f"Which city is the birthplace of the artist "
+                          f"behind {w['work']}?", w["city"], "city")
+            support = {0, 1}
         paras = []
         for pi, (title, text) in enumerate(_paragraphs(w, rng)):
             paras.append({"idx": len(paras), "title": title,
                           "paragraph_text": text,
                           "is_supporting": pi in support})
+        if extra_support_world is not None:
+            ew, epis = extra_support_world
+            eparas = _paragraphs(ew, rng)
+            for pi in epis:
+                title, text = eparas[pi]
+                paras.append({"idx": len(paras), "title": title,
+                              "paragraph_text": text, "is_supporting": True})
         # two CONFUSABLE distractor worlds: same work-title suffix
         suffix = w["work"].split()[-1]
         for _ in range(2):
@@ -202,11 +245,12 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 8] = kinds.get(i % 8, 0) + 1
-    n_multi = sum(v for k, v in kinds.items() if k in (0, 1, 4, 5, 6))
+        kinds[i % 10] = kinds.get(i % 10, 0) + 1
+    n_multi = sum(v for k, v in kinds.items() if k in (0, 1, 4, 5, 6, 9))
     n_unans = kinds.get(7, 0)
+    n_hard = kinds.get(8, 0) + kinds.get(9, 0)
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, kinds 0-7 cycle) -> {args.out}")
+          f"unanswerable, {n_hard} v3-hard, kinds 0-9 cycle) -> {args.out}")
     return 0
 
 

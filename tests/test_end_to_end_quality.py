@@ -98,13 +98,13 @@ def test_generated_musique_all_kinds(tmp_path):
     cfg.set("embedding.backend", "hash")
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
-    items = make_items(16, distractors=4, seed=9)   # 2 of each of 8 kinds
+    items = make_items(20, distractors=4, seed=9)   # 2 of each of 10 kinds
     preds = []
     for it in items:
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
         preds.append(res)
     # v1 kinds (cycle positions 0-4) must stay at EM 1.0
-    v1_ids = {it["id"] for i, it in enumerate(items) if i % 8 <= 4}
+    v1_ids = {it["id"] for i, it in enumerate(items) if i % 10 <= 4}
     v1_metrics = evaluate_dataset([p for p in preds if p["id"] in v1_ids],
                                   [g for g in items if g["id"] in v1_ids])
     assert v1_metrics["answer_em"] >= 0.9, v1_metrics
