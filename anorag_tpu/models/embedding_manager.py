@@ -99,6 +99,20 @@ class EmbeddingManager:
                         lambda p, ids, mask: enc.encode(p, ids, mask, self._enc_cfg)
                     )
                     self._encoder = enc
+                    # in-image trained checkpoint (scripts/
+                    # train_retrieval_encoder.py) — auto-loaded from config
+                    ckpt = self._cfg.get("embedding.checkpoint_path", "")
+                    if ckpt:
+                        try:
+                            import orbax.checkpoint as ocp
+                            from pathlib import Path as _P
+
+                            ckptr = ocp.StandardCheckpointer()
+                            self._params = ckptr.restore(
+                                _P(ckpt).resolve(), self._params)
+                            logger.info("encoder checkpoint loaded: %s", ckpt)
+                        except Exception as e:
+                            logger.warning("encoder checkpoint load failed: %s", e)
 
     def load_checkpoint(self, path: str) -> bool:
         """Restore encoder params with orbax (returns False if unavailable)."""

@@ -87,3 +87,38 @@ def test_mean_pooling_parity(converted):
     ours = np.asarray(encode(params, jnp.asarray(ids, jnp.int32),
                              jnp.asarray(mask, jnp.int32), cfg_mean))
     np.testing.assert_allclose(ours, want, rtol=2e-4, atol=2e-4)
+
+
+def test_shipped_synth_checkpoint_loads_and_discriminates():
+    """The in-image trained checkpoint (scripts/train_retrieval_encoder.py)
+    loads through the production config path (embedding.checkpoint_path)
+    and separates related from unrelated text — random-init does not.
+    This is the same ingestion path a converted bge-m3 checkpoint takes."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from anorag_tpu.config import ConfigLoader
+    from anorag_tpu.models.embedding_manager import EmbeddingManager
+
+    ckpt = Path(__file__).resolve().parents[1] / "checkpoints" / "encoder_synth_small"
+    if not ckpt.exists():
+        import pytest
+        pytest.skip("shipped checkpoint not present")
+    cfg = ConfigLoader(auto_load=False)
+    for k, v in {"embedding.backend": "jax", "embedding.dim": 256,
+                 "embedding.model_name": "", "encoder.vocab_size": 8192,
+                 "encoder.hidden_size": 256, "encoder.num_layers": 4,
+                 "encoder.num_heads": 8, "encoder.intermediate_size": 1024,
+                 "encoder.max_position": 128, "encoder.pooling": "mean",
+                 "embedding.checkpoint_path": str(ckpt)}.items():
+        cfg.set(k, v)
+    em = EmbeddingManager(cfg=cfg, singleton=False)
+    e = em.encode_texts([
+        "Who performed Bami Summit?",
+        "Bami Summit is an album performed by Holnelu Keslune.",
+        "The weather report mentioned light rain over the harbor.",
+    ])
+    rel = float(e[0] @ e[1])
+    unrel = float(e[0] @ e[2])
+    assert rel > unrel + 0.2, (rel, unrel)
