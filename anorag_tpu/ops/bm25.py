@@ -602,6 +602,83 @@ def window_winners_pallas(doc_rows: jax.Array, weight_rows: jax.Array,
     return wv[:b], wd[:b], mx[:b, :1]
 
 
+def plan_tiles_bucketed(doc_rows, weight_rows, lens, n_docs: int,
+                        groups: int = 2, block_l: int = 1024,
+                        block_b: int = 128):
+    """Length-bucketed tiled plans: sort queries by posting-plan length,
+    split into `groups` contiguous buckets, tile each at its own pow2
+    width. Real batches are skewed (bench workload mean ~10k vs max ~33k),
+    so the batch-max padding wastes ~3x scan work on the short half; the
+    round-2 bucketed attempt lost to per-bucket DISPATCH over the tunnel —
+    this variant is consumed by ONE jit (sparse_topm_winners_bucketed),
+    so the only added cost is one extra kernel launch inside the program.
+
+    Returns ([(a3, w3, rows_in_bucket), ...], inv (B,) i32) where inv maps
+    concatenated bucket outputs back to input order."""
+    doc_rows = np.asarray(doc_rows)
+    weight_rows = np.asarray(weight_rows)
+    lens = np.asarray(lens)
+    b = doc_rows.shape[0]
+    groups = max(1, min(groups, b))
+    order = np.argsort(lens, kind="stable")
+    splits = [s for s in np.array_split(order, groups) if len(s)]
+    plans = []
+    for rows in splits:
+        li = max(int(lens[rows].max()), 1)
+        li = min(doc_rows.shape[1], max(block_l, 1 << (li - 1).bit_length()))
+        a3, w3 = plan_tiles(doc_rows[rows, :li], weight_rows[rows, :li],
+                            n_docs, block_l=block_l, block_b=block_b)
+        plans.append((a3, w3, len(rows)))
+    inv = np.empty(b, np.int32)
+    inv[np.concatenate(splits)] = np.arange(b, dtype=np.int32)
+    return plans, inv
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n_docs", "max_seg",
+                                             "b_valids"))
+def sparse_topm_winners_bucketed(
+    plan_arrays,            # tuple of (a3, w3) device arrays per bucket
+    inv,                    # (B,) permutation back to input order
+    m: int,
+    n_docs: int,
+    max_seg: int,
+    b_valids,               # tuple of true batch sizes per bucket
+):
+    """Length-bucketed winners: every bucket's window kernel runs inside
+    THIS one jit (single dispatch), outputs concatenated and unpermuted on
+    device. Semantics identical to sparse_topm_winners over the unsplit
+    plan (same kernel, same buckets-within-kernel)."""
+    tvs, tds, mxs = [], [], []
+    for (a3, w3), bv in zip(plan_arrays, b_valids):
+        wv, wd, mx = window_winners_tiled(a3, w3, n_docs, max_seg=max_seg,
+                                          b_valid=bv)
+        tv, td, mx = _winners_select(wv, wd, mx, m)
+        tvs.append(tv)
+        tds.append(td)
+        mxs.append(mx)
+    top_vals = jnp.concatenate(tvs, axis=0)[inv]
+    top_docs = jnp.concatenate(tds, axis=0)[inv]
+    mx = jnp.concatenate(mxs, axis=0)[inv]
+    return top_vals, top_docs, mx
+
+
+def _winners_select(wv, wd, mx, m: int):
+    """Top-m over a winners table: shared back half of the winners paths."""
+    from anorag_tpu.ops.topk import NEG_INF as _NEG_INF
+
+    k_eff = min(m, wv.shape[1])
+    top_vals, top_pos = jax.lax.top_k(wv, k_eff)
+    top_docs = jnp.take_along_axis(wd, top_pos, axis=1)
+    live = top_vals > _NEG_INF / 2
+    top_docs = jnp.where(live, top_docs, -1)
+    top_vals = jnp.where(live, top_vals, 0.0)
+    if k_eff < m:
+        pad = ((0, 0), (0, m - k_eff))
+        top_vals = jnp.pad(top_vals, pad)
+        top_docs = jnp.pad(top_docs, pad, constant_values=-1)
+    return top_vals, top_docs, mx
+
+
 @functools.partial(jax.jit, static_argnames=("m", "n_docs", "max_seg",
                                              "b_valid"))
 def sparse_topm_winners(
@@ -634,17 +711,7 @@ def sparse_topm_winners(
                                            max_seg=max_seg)
     else:
         wv, wd, mx = segment_winners_pallas(doc_rows, weight_rows, n_docs)
-    k_eff = min(m, wv.shape[1])
-    top_vals, top_pos = jax.lax.top_k(wv, k_eff)
-    top_docs = jnp.take_along_axis(wd, top_pos, axis=1)
-    live = top_vals > _NEG_INF / 2
-    top_docs = jnp.where(live, top_docs, -1)
-    top_vals = jnp.where(live, top_vals, 0.0)
-    if k_eff < m:
-        pad = ((0, 0), (0, m - k_eff))
-        top_vals = jnp.pad(top_vals, pad)
-        top_docs = jnp.pad(top_docs, pad, constant_values=-1)
-    return top_vals, top_docs, mx
+    return _winners_select(wv, wd, mx, m)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n_docs", "impl"))

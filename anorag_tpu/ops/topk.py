@@ -612,6 +612,46 @@ def hybrid_topk(
                        materialize_bytes=materialize_bytes)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "dense_k", "sparse_m",
+                                              "sparse_weight", "recall_target",
+                                              "n_docs", "max_seg", "b_valids"))
+def hybrid_topk_bucketed_tiled(
+    emb: jax.Array,
+    queries: jax.Array,
+    plan_arrays,             # tuple of (a3, w3) tiled plans per length bucket
+    inv: jax.Array,          # (B,) permutation back to input order
+    k: int,
+    n_docs: int,
+    b_valids,                # tuple of per-bucket true batch sizes
+    dense_k: int = 128,
+    sparse_m: int = 64,
+    sparse_weight: float = 0.6,
+    recall_target: float = 0.95,
+    max_seg: int = 8,
+):
+    """hybrid_topk with a length-bucketed sparse stage — ONE dispatch.
+
+    Short-plan queries run the window kernel at their own (pow2) width
+    instead of the batch max (bench workload: mean ~10k vs max ~33k posting
+    entries). Unlike the round-2 hybrid_topk_bucketed (one dispatch per
+    bucket: +28 ms through the tunnel), all buckets live inside this
+    single jit. Fusion semantics identical to hybrid_topk (tested equal).
+
+    Measured verdict on the bench workload (200k x 1024, B=512): 5.39 ->
+    5.29 ms at groups=2, WORSE at groups=3 — the element savings are eaten
+    by back-to-back kernel overheads, so the unbucketed path stays the
+    default; this variant pays only for much more skewed plan-length
+    distributions."""
+    from anorag_tpu.ops.bm25 import sparse_topm_winners_bucketed
+
+    sp_vals, sp_docs, sp_max = sparse_topm_winners_bucketed(
+        plan_arrays, inv, sparse_m, n_docs, max_seg, b_valids)
+    return hybrid_fuse(emb, queries, sp_vals, sp_docs, sp_max, k,
+                       n_docs=n_docs, dense_k=dense_k,
+                       sparse_weight=sparse_weight,
+                       recall_target=recall_target)
+
+
 class BucketedSparsePlan(NamedTuple):
     """Device-resident length-bucketed posting plan (make_bucketed_plan)."""
     buckets: tuple          # ((n_valid, dr_dev (Bg, Lg), wr_dev), ...)

@@ -485,3 +485,35 @@ def test_hybrid_topk_tiled_plan_end_to_end():
     overlap = np.mean([len(set(np.asarray(i1)[j]) & set(np.asarray(i2)[j])) / 10
                        for j in range(b)])
     assert overlap >= 0.9, overlap
+
+
+def test_hybrid_bucketed_tiled_matches_unbucketed():
+    """Single-dispatch length-bucketed sparse stage == the unbucketed tiled
+    path, bit for bit (same kernel, same within-kernel buckets)."""
+    import jax.numpy as jnp
+    from anorag_tpu.ops.bm25 import (build_postings, gather_plan_sorted,
+                                     plan_tiles, plan_tiles_bucketed)
+    from anorag_tpu.ops.topk import hybrid_topk, hybrid_topk_bucketed_tiled
+
+    rng = np.random.default_rng(9)
+    n, d, b = 3000, 64, 12
+    emb = rng.standard_normal((n, d)).astype(np.float32)
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    q = rng.standard_normal((b, d)).astype(np.float32)
+    docs = [rng.integers(0, 300, 12).tolist() for _ in range(n)]
+    p = build_postings(docs, vocab_size=300)
+    queries = [rng.integers(0, 300, int(rng.integers(2, 6))).tolist()
+               for _ in range(b)]
+    dr, wr, lens = gather_plan_sorted(p, queries)
+    a3, w3 = plan_tiles(dr, wr, n)
+    kw = dict(k=10, n_docs=n, dense_k=64, sparse_m=64, sparse_weight=0.6,
+              recall_target=0.95, max_seg=8)
+    v1, i1 = hybrid_topk(jnp.asarray(emb), jnp.asarray(q), jnp.asarray(a3),
+                         jnp.asarray(w3), **kw)
+    plans, inv = plan_tiles_bucketed(dr, wr, lens, n, groups=2)
+    pa = tuple((jnp.asarray(a), jnp.asarray(w)) for a, w, _ in plans)
+    bvs = tuple(bv for _, _, bv in plans)
+    v2, i2 = hybrid_topk_bucketed_tiled(jnp.asarray(emb), jnp.asarray(q), pa,
+                                        jnp.asarray(inv), b_valids=bvs, **kw)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
