@@ -340,8 +340,35 @@ def bench_encoder(ctx: dict | None, b: int = 256, seq: int = 128,
     return res
 
 
+def _scale_1m() -> dict:
+    return bench_hybrid(1_000_000, cpu_baseline=False, oracle_queries=64,
+                        rounds=10, seed=1)
+
+
 def main() -> int:
+    import subprocess
+    import sys
+
     import jax
+
+    if "--scale-1m-only" in sys.argv:
+        print(json.dumps(_scale_1m()))
+        return 0
+
+    # The 1M point runs FIRST, in its own process, so the large corpus
+    # gets a clean device: when it shares the chip with the 200k+encoder
+    # phases' resident HBM it has measured up to +2.7 ms worse. (Tunnel
+    # latency itself varies ~2x run-to-run, so isolation removes one
+    # variance source rather than guaranteeing the best-case number.)
+    # The child exits and frees everything before the phases below
+    # allocate.
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--scale-1m-only"],
+            capture_output=True, text=True, timeout=1800, check=True)
+        scale_1m = json.loads(proc.stdout.strip().splitlines()[-1])
+    except Exception:
+        scale_1m = None           # fallback: measure in-process at the end
 
     parity = kernel_parity()
 
@@ -349,8 +376,8 @@ def main() -> int:
     ctx = headline.pop("_ctx")
     encoder = bench_encoder(ctx)
     del ctx
-    scale_1m = bench_hybrid(1_000_000, cpu_baseline=False, oracle_queries=64,
-                            rounds=10, seed=1)
+    if scale_1m is None:
+        scale_1m = _scale_1m()
 
     on_tpu = jax.default_backend() == "tpu"
     out = {
