@@ -18,7 +18,11 @@ from anorag_tpu.utils.text import extract_entities_fallback
 # question cue -> relation
 _CUE_RELS = [
     (r"\bspouse\b|\bmarried\b|\bwife\b|\bhusband\b", "spouse_of|partner_of"),
-    (r"\bperform(?:ed|er|s)?\b|\bsing(?:er|s)?\b|\bsang\b", "performed_by"),
+    (r"\bperform(?:ed|er|s)?\b|\bsing(?:er|s)?\b|\bsang\b"
+     # agentive paraphrases: "the artist behind W" names the performer
+     # relation without any performance verb
+     r"|\b(?:artist|band|musician|group|voice|act)s?\s+behind\b",
+     "performed_by"),
     (r"\bborn\b|\bbirthplace\b", "born_in"),
     (r"\bmember\b", "member_of"),
     (r"\blabel (?:that|which) released\b|\breleased on\b|\bon the label\b",

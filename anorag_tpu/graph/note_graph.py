@@ -9,9 +9,10 @@ controller and the relation-chain answer selector.
 """
 from __future__ import annotations
 
+import re
 from collections import defaultdict
 from dataclasses import dataclass
-from typing import Any, Dict, List, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 from anorag_tpu.utils.text import tokenize
 
@@ -84,6 +85,23 @@ class NoteGraph:
         """(rel, tail_key, note_id, weight, paragraph_idx) tuples."""
         return [(e.rel, e.tail_key, e.note_id, e.weight, e.paragraph_idx)
                 for e in self._edges.get(head_key, ())]
+
+    def resolve_head(self, surface: str) -> Optional[str]:
+        """Case-insensitive head-key lookup for a question surface form;
+        also tries the surface with any trailing parenthesized type suffix
+        ("W (album)") stripped."""
+        if surface in self._edges:
+            return surface
+        low = surface.lower()
+        base = re.sub(r"\s*\([^)]*\)\s*$", "", surface).strip().lower()
+        hit = None
+        for h in self._edges:
+            hl = h.lower()
+            if hl == low:
+                return h
+            if hit is None and hl == base:
+                hit = h
+        return hit
 
     def seed_recall(self, question: str, top_k: int = 40, diversify: bool = True) -> List[str]:
         """Lexical token-overlap recall, length-normalized; optionally keep

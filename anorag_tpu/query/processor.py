@@ -38,6 +38,7 @@ from typing import Any, Dict, Iterable, List, Optional, Sequence
 import numpy as np
 
 from anorag_tpu.answer.answer_selector import answer_question
+from anorag_tpu.answer.comparative import answer_comparative
 from anorag_tpu.answer.efsa import efsa_answer_with_fallback, extract_bridge_info_from_candidates
 from anorag_tpu.answer.evidence_rerank import EvidenceReranker
 from anorag_tpu.answer.path_validator import PathValidator
@@ -788,6 +789,19 @@ class QueryProcessor:
             return {"answer": "insufficient information", "support_idxs": [],
                     "answerable": False, "method": "unanswerable_gate",
                     "context": context}
+        # (a0) comparative exact math ("Which was released first, A or B?")
+        # — must precede the rel-chain selector: no chain solves a parallel
+        # comparison (the 1-hop released_in chain would answer a bare year)
+        # and the answer IS a question entity, which EFSA's exclusion vetoes
+        if self.cfg.get("answering.comparative.enabled", True):
+            comp = answer_comparative(query, self.note_graph, selected)
+            if comp:
+                sup = fill_support_idxs_noid(
+                    comp["answer"], selected,
+                    existing_idxs=comp["support_idxs"], query=query)
+                return {"answer": comp["answer"], "support_idxs": sup,
+                        "answerable": True, "method": "comparative",
+                        "context": context}
         # (a) relation-chain selector
         if self.answer_selector_enabled and self.answer_selector_before_llm:
             sel = answer_question(

@@ -22,7 +22,11 @@ headroom the judge asked for (VERDICT r2 "de-saturate the eval"):
 
 v3 (late round 3): the round-3 answer-path work closed the v2 kinds
 (EM 0.709 -> 0.994), so the cycle widens to 10 with two kinds the
-current machinery cannot solve — fresh headroom for round 4:
+machinery of that moment could not solve (both closed later in round 3
+by answer/comparative.py and the agentive 'artist behind' cue family;
+work titles are now collision-free across worlds — a duplicate title
+made the performer hop ambiguous and ghost-work collisions could make
+an unanswerable item answerable):
   * kind 8, comparative: "Which was released first, A or B?" — needs
     cross-paragraph year comparison, not a relation chain; the answer is
     one of two work titles named in the question (so bridge/entity
@@ -127,11 +131,26 @@ def _aliases(w, key) -> list:
     return []
 
 
+def _unique_worlds(rng, count, seen, **kw):
+    """Worlds with work titles unseen so far: a title collision puts two
+    contradictory '<W> (album)' paragraphs in one item (the performer hop
+    becomes ambiguous), and a ghost work colliding with a real one makes
+    an 'unanswerable' item answerable."""
+    out = []
+    while len(out) < count:
+        w = _world(rng, **kw)
+        if w["work"] not in seen:
+            seen.add(w["work"])
+            out.append(w)
+    return out
+
+
 def make_items(n: int, distractors: int, seed: int):
     rng = np.random.default_rng(seed)
-    worlds = [_world(rng) for _ in range(n)]
+    seen_works = set()
+    worlds = _unique_worlds(rng, n, seen_works)
     # off-corpus worlds for the unanswerable kind
-    ghost_worlds = [_world(rng) for _ in range(n // 8 + 2)]
+    ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
         kind = i % 10
@@ -207,8 +226,7 @@ def make_items(n: int, distractors: int, seed: int):
                               "paragraph_text": text, "is_supporting": True})
         # two CONFUSABLE distractor worlds: same work-title suffix
         suffix = w["work"].split()[-1]
-        for _ in range(2):
-            cw = _world(rng, work_suffix=suffix)
+        for cw in _unique_worlds(rng, 2, seen_works, work_suffix=suffix):
             for title, text in _paragraphs(cw, rng)[:3]:
                 paras.append({"idx": len(paras), "title": title,
                               "paragraph_text": text, "is_supporting": False})
