@@ -1,21 +1,26 @@
-"""Deterministic comparative-question answering ("Which was released
-first, A or B?").
+"""Deterministic exact-math answering over resolved facts: pairwise
+comparatives ("Which was released first, A or B?"), temporal differences
+("How many years after the release of A was B released?"), yes/no
+polarity ("Was A released before B?"), and label-set aggregation
+(superlative "Which album on the label L was released first?" and count
+"How many albums were released on the label L?").
 
-Parity target: the reference has no exact comparative math — it routes
-comparative questions to the LLM via the query-type classification in
-/root/reference/llm/prompts/__init__.py:235 and answers from generation.
-This module is the LLM-free exact equivalent, in the same spirit as
-answer/efsa.py (reference answer/efsa_answer.py: do exact span math
-before generation): parse the two options named in the question, resolve
-each option's compared attribute (a year) from the note graph's triples
-— falling back to a regex scan of the retrieved candidates — compare,
-and answer with the winning option's title verbatim.
+Parity target: the reference has no exact comparative/aggregate math — it
+routes these question types to the LLM via the query-type classification
+in /root/reference/llm/prompts/__init__.py:235 and answers from
+generation. This module is the LLM-free exact equivalent, in the same
+spirit as answer/efsa.py (reference answer/efsa_answer.py: do exact span
+math before generation): parse the options/set named in the question,
+resolve each compared attribute (a year) from the note graph's triples —
+falling back to a regex scan of the retrieved candidates — then compare,
+subtract, argmin/argmax, or count.
 
-No relation chain solves these questions (the compared works are
-parallel, not nested), and the answer IS an entity named in the question
-— so the stage must run before the rel-chain selector (whose 1-hop
-`released_in` chain would answer with a bare year) and outside EFSA's
-question-entity exclusion.
+No relation chain solves these questions (the compared facts are
+parallel, not nested), and the answer is either an entity named in the
+question (comparative/superlative — EFSA's question-entity exclusion
+would veto it), a computed number present in no paragraph (difference,
+count), or a bare polarity (yes/no) — so the stage must run before the
+rel-chain selector and EFSA.
 """
 from __future__ import annotations
 
@@ -148,3 +153,183 @@ def answer_comparative(
     support = list(dict.fromkeys(resolved[0][2] + resolved[1][2]))
     return {"answer": best[0], "support_idxs": support,
             "years": {o: y for o, y, _ in resolved}, "method": "comparative"}
+
+
+# ---------------------------------------------------------------- temporal
+# "How many years after (the release of) A was B released?"
+_TDIFF_RE = re.compile(
+    r"\bhow\s+many\s+years\s+(?P<dir>after|before)\s+"
+    r"(?:the\s+(?:release|founding|publication)\s+of\s+)?"
+    r"(?P<a>.+?)\s+(?:was|did|were)\s+(?P<b>.+?)\s+"
+    r"(?P<verb>released|founded|established|formed|created|published|"
+    r"recorded|built|made)\s*\??\s*$",
+    re.IGNORECASE)
+
+# "Was A released before/after B?"
+_YESNO_RE = re.compile(
+    r"\b(?:was|were|is|did)\s+(?P<a>.+?)\s+"
+    r"(?P<verb>released|founded|established|formed|created|published|"
+    r"recorded|built|made)\s+(?P<dir>before|after|earlier\s+than|"
+    r"later\s+than)\s+(?P<b>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+# "Which album on the label L was released first / most recently?"
+_SUPERL_RE = re.compile(
+    r"\bwhich\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:was|were|got|came)\s+[^?]*?"
+    r"\b(?P<ord>" + _ORD_MIN + r"|" + _ORD_MAX + r")\b",
+    re.IGNORECASE)
+
+# "How many albums were released on the label L?"
+_COUNT_RE = re.compile(
+    r"\bhow\s+many\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:was|were)\s+(?P<verb>released|published|recorded|put\s+out|made)\s+"
+    r"(?:on|by|through|under)\s+(?:the\s+label\s+)?(?P<set>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+# relations whose TAIL is the set anchor for label aggregation
+_SET_RELS = ("released_on_label",)
+
+
+def _resolve_year(option: str, verb: str, graph: Optional[NoteGraph],
+                  candidates: Sequence[Dict[str, Any]]
+                  ) -> Optional[Tuple[int, List[int]]]:
+    """(year, support paragraph idxs) for option's <verb>-year attribute,
+    graph triples first, candidate regex fallback."""
+    rels = _VERB_RELS.get(verb, ())
+    if graph is not None:
+        got = _year_from_graph(option, rels, graph)
+        if got is not None:
+            year, note_id = got
+            note = graph.notes.get(note_id, {})
+            return year, list(note.get("paragraph_idxs") or [])
+    fb = _year_from_candidates(option, verb, candidates)
+    if fb is None:
+        return None
+    year, note = fb
+    return year, list(note.get("paragraph_idxs") or [])
+
+
+def answer_temporal_diff(question: str, graph: Optional[NoteGraph],
+                         candidates: Sequence[Dict[str, Any]]
+                         ) -> Optional[Dict[str, Any]]:
+    m = _TDIFF_RE.search((question or "").strip())
+    if not m:
+        return None
+    ra = _resolve_year(m.group("a").strip(), m.group("verb").lower(),
+                       graph, candidates)
+    rb = _resolve_year(m.group("b").strip(), m.group("verb").lower(),
+                       graph, candidates)
+    if ra is None or rb is None:
+        return None
+    diff = rb[0] - ra[0] if m.group("dir").lower() == "after" \
+        else ra[0] - rb[0]
+    if diff <= 0:
+        return None          # ill-posed premise: fall through to LLM stages
+    support = list(dict.fromkeys(ra[1] + rb[1]))
+    return {"answer": str(diff), "support_idxs": support,
+            "method": "temporal_diff"}
+
+
+def answer_yesno(question: str, graph: Optional[NoteGraph],
+                 candidates: Sequence[Dict[str, Any]]
+                 ) -> Optional[Dict[str, Any]]:
+    m = _YESNO_RE.search((question or "").strip())
+    if not m:
+        return None
+    ra = _resolve_year(m.group("a").strip(), m.group("verb").lower(),
+                       graph, candidates)
+    rb = _resolve_year(m.group("b").strip(), m.group("verb").lower(),
+                       graph, candidates)
+    if ra is None or rb is None or ra[0] == rb[0]:
+        return None
+    earlier = re.sub(r"\s+", " ", m.group("dir").lower()) in (
+        "before", "earlier than")
+    yes = (ra[0] < rb[0]) if earlier else (ra[0] > rb[0])
+    support = list(dict.fromkeys(ra[1] + rb[1]))
+    return {"answer": "yes" if yes else "no", "support_idxs": support,
+            "method": "yesno"}
+
+
+def _label_set(set_surface: str, graph: Optional[NoteGraph]
+               ) -> List[Tuple[str, int, List[int]]]:
+    """All (work, year, support paras) released on the label named by
+    set_surface, via reverse edges + each head's released_in triple."""
+    if graph is None:
+        return []
+    key = graph.resolve_tail(set_surface)
+    if key is None:
+        return []
+    out = []
+    for rel, head, note_id in graph.rheads(key):
+        if rel not in _SET_RELS:
+            continue
+        got = _year_from_graph(head, ("released_in",), graph)
+        note = graph.notes.get(note_id, {})
+        paras = list(note.get("paragraph_idxs") or [])
+        if got is not None:
+            ynote = graph.notes.get(got[1], {})
+            paras += [p for p in (ynote.get("paragraph_idxs") or [])
+                      if p not in paras]
+            out.append((head, got[0], paras))
+        else:
+            out.append((head, -1, paras))
+    # one entry per distinct work (a work can carry several label notes)
+    seen: Dict[str, Tuple[str, int, List[int]]] = {}
+    for w, y, p in out:
+        if w not in seen or (seen[w][1] < 0 <= y):
+            seen[w] = (w, y, p)
+    return list(seen.values())
+
+
+def answer_superlative(question: str, graph: Optional[NoteGraph],
+                       candidates: Sequence[Dict[str, Any]]
+                       ) -> Optional[Dict[str, Any]]:
+    m = _SUPERL_RE.search((question or "").strip())
+    if not m:
+        return None
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    if len(entries) < 2:
+        return None
+    ordinal = re.sub(r"\s+", " ", m.group("ord").lower())
+    best = min(entries, key=lambda t: t[1]) \
+        if re.fullmatch(_ORD_MIN, ordinal) else max(entries, key=lambda t: t[1])
+    years = sorted(y for _, y, _ in entries)
+    if years.count(best[1]) > 1:
+        return None                              # tied extremum: ambiguous
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": best[0], "support_idxs": support,
+            "method": "superlative"}
+
+
+def answer_count(question: str, graph: Optional[NoteGraph],
+                 candidates: Sequence[Dict[str, Any]]
+                 ) -> Optional[Dict[str, Any]]:
+    m = _COUNT_RE.search((question or "").strip())
+    if not m:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if not entries:
+        return None
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": str(len(entries)), "support_idxs": support,
+            "method": "count"}
+
+
+def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
+                      candidates: Sequence[Dict[str, Any]]
+                      ) -> Optional[Dict[str, Any]]:
+    """Dispatcher over every exact-math family; None = not such a question
+    or unresolvable (callers fall through to the regular stages)."""
+    for fn in (answer_comparative, answer_temporal_diff, answer_yesno,
+               answer_superlative, answer_count):
+        res = fn(question, note_graph, candidates)
+        if res:
+            return res
+    return None

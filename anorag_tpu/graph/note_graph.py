@@ -40,6 +40,10 @@ class NoteGraph:
         self.default_rel = default_rel
         self.notes: Dict[str, Dict[str, Any]] = {}
         self._edges: Dict[str, List[KeyEdge]] = defaultdict(list)
+        # reverse adjacency: tail_key -> [(rel, head_key, note_id)] — set
+        # enumeration for the aggregation answer stages ("all works
+        # released on label L")
+        self._redges: Dict[str, List[Tuple[str, str, str]]] = defaultdict(list)
 
     @classmethod
     def from_config(cls, cfg) -> "NoteGraph":
@@ -72,9 +76,19 @@ class NoteGraph:
             weight += self.w_type
         if para >= 0:
             weight += self.b_para
-        self._edges[head].append(
-            KeyEdge(note.get("rel") or self.default_rel, tail, nid, weight, para)
-        )
+        rel = note.get("rel") or self.default_rel
+        self._edges[head].append(KeyEdge(rel, tail, nid, weight, para))
+        self._redges[tail].append((rel, head, nid))
+        # secondary triples: a sentence can assert more than one fact
+        # ("W was released in 2006 on the label L"); the extra edges share
+        # the note and its paragraphs
+        for sk in note.get("secondary_keys") or ():
+            sh, st = sk.get("head_key") or "", sk.get("tail_key") or ""
+            if not sh or not st:
+                continue
+            srel = sk.get("rel") or self.default_rel
+            self._edges[sh].append(KeyEdge(srel, st, nid, weight, para))
+            self._redges[st].append((srel, sh, nid))
 
     def add_notes(self, notes: Sequence[Dict[str, Any]]) -> None:
         for n in notes:
@@ -90,18 +104,30 @@ class NoteGraph:
         """Case-insensitive head-key lookup for a question surface form;
         also tries the surface with any trailing parenthesized type suffix
         ("W (album)") stripped."""
-        if surface in self._edges:
+        return self._resolve(surface, self._edges)
+
+    def resolve_tail(self, surface: str) -> Optional[str]:
+        """resolve_head over the reverse adjacency (tail keys)."""
+        return self._resolve(surface, self._redges)
+
+    @staticmethod
+    def _resolve(surface: str, keys) -> Optional[str]:
+        if surface in keys:
             return surface
         low = surface.lower()
         base = re.sub(r"\s*\([^)]*\)\s*$", "", surface).strip().lower()
         hit = None
-        for h in self._edges:
+        for h in keys:
             hl = h.lower()
             if hl == low:
                 return h
             if hit is None and hl == base:
                 hit = h
         return hit
+
+    def rheads(self, tail_key: str) -> List[Tuple[str, str, str]]:
+        """[(rel, head_key, note_id)] of edges INTO tail_key."""
+        return list(self._redges.get(tail_key, ()))
 
     def seed_recall(self, question: str, top_k: int = 40, diversify: bool = True) -> List[str]:
         """Lexical token-overlap recall, length-normalized; optionally keep

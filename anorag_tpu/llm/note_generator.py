@@ -96,6 +96,7 @@ def extract_note_keys(
     # the head is the sentence SUBJECT (first entity) — "W was released in
     # 2006 on the label L" must key W --released_on_label--> L even though
     # the year entity sits closer to the cue
+    priority = None
     for rel, cues in _PRIORITY_RELS.items():
         for cue in cues:
             p = low.find(cue.lower())
@@ -104,8 +105,11 @@ def extract_note_keys(
             tail = next((e for e in ents_in_text if positions[e] > p), None)
             head = ents_in_text[0]
             if tail is not None and tail != head:
-                return {"head_key": head, "rel": normalize_predicate(rel),
-                        "tail_key": tail}
+                priority = {"head_key": head, "rel": normalize_predicate(rel),
+                            "tail_key": tail}
+                break
+        if priority:
+            break
 
     lexicon = rel_lexicon or _DEFAULT_REL_LEXICON
     best_rel, best_pos, best_cue = None, len(low) + 1, ""
@@ -121,7 +125,7 @@ def extract_note_keys(
                 best_rel, best_pos, best_cue = default_rel, p, sp
                 break
     if best_rel is None:
-        return {}
+        return priority or {}
     head = next((e for e in reversed(ents_in_text) if positions[e] < best_pos),
                 ents_in_text[0])
     tail = next((e for e in ents_in_text if positions[e] > best_pos and e != head),
@@ -129,12 +133,22 @@ def extract_note_keys(
     if tail is None:
         tail = next((e for e in ents_in_text if e != head), None)
     if tail is None:
-        return {}
+        return priority or {}
     if (best_cue in _ACTIVE_INVERT_CUES
             and not low[best_pos + len(best_cue):].lstrip().startswith("by")):
         # active voice: "X founded Y" -> Y founded_by X
         head, tail = tail, head
-    return {"head_key": head, "rel": normalize_predicate(best_rel), "tail_key": tail}
+    regular = {"head_key": head, "rel": normalize_predicate(best_rel),
+               "tail_key": tail}
+    if priority is None:
+        return regular
+    # the sentence asserts BOTH facts ("W was released in 2006 on the
+    # label L" = released_on_label AND released_in): the priority triple
+    # keys the note; the regular one rides along as a secondary edge so
+    # set-aggregation questions can resolve the year from the graph
+    if regular["rel"] != priority["rel"]:
+        priority["secondary_keys"] = [regular]
+    return priority
 
 
 class NoteQualityFilter:

@@ -38,7 +38,7 @@ from typing import Any, Dict, Iterable, List, Optional, Sequence
 import numpy as np
 
 from anorag_tpu.answer.answer_selector import answer_question
-from anorag_tpu.answer.comparative import answer_comparative
+from anorag_tpu.answer.comparative import answer_exact_math
 from anorag_tpu.answer.efsa import efsa_answer_with_fallback, extract_bridge_info_from_candidates
 from anorag_tpu.answer.evidence_rerank import EvidenceReranker
 from anorag_tpu.answer.path_validator import PathValidator
@@ -789,18 +789,20 @@ class QueryProcessor:
             return {"answer": "insufficient information", "support_idxs": [],
                     "answerable": False, "method": "unanswerable_gate",
                     "context": context}
-        # (a0) comparative exact math ("Which was released first, A or B?")
-        # — must precede the rel-chain selector: no chain solves a parallel
-        # comparison (the 1-hop released_in chain would answer a bare year)
-        # and the answer IS a question entity, which EFSA's exclusion vetoes
+        # (a0) exact math (comparative / temporal diff / yes-no /
+        # label-set superlative / count) — must precede the rel-chain
+        # selector: no chain solves parallel comparisons or set
+        # aggregation (the 1-hop released_in chain would answer a bare
+        # year), computed numbers appear in no span, and comparative /
+        # superlative answers ARE question entities, which EFSA's
+        # exclusion vetoes
         if self.cfg.get("answering.comparative.enabled", True):
-            comp = answer_comparative(query, self.note_graph, selected)
+            comp = answer_exact_math(query, self.note_graph, selected)
             if comp:
-                sup = fill_support_idxs_noid(
-                    comp["answer"], selected,
-                    existing_idxs=comp["support_idxs"], query=query)
+                sup = comp["support_idxs"] or fill_support_idxs_noid(
+                    comp["answer"], selected, existing_idxs=[], query=query)
                 return {"answer": comp["answer"], "support_idxs": sup,
-                        "answerable": True, "method": "comparative",
+                        "answerable": True, "method": comp["method"],
                         "context": context}
         # (a) relation-chain selector
         if self.answer_selector_enabled and self.answer_selector_before_llm:

@@ -96,3 +96,114 @@ def test_artist_behind_paraphrase_chain():
     assert relation_cue_count(q) == 2
     # the paraphrase must not fire on bare 'behind'
     assert extract_rel_chain("What is behind the house?") is None
+
+
+# ---------------------------------------------------------- v4 aggregation
+from anorag_tpu.answer.comparative import (
+    answer_count,
+    answer_exact_math,
+    answer_superlative,
+    answer_temporal_diff,
+    answer_yesno,
+)
+from anorag_tpu.llm.note_generator import extract_note_keys
+
+
+def _label_graph(entries, label="Tiden Records"):
+    """Graph built through the PRODUCTION key extraction: one release
+    sentence per work, keyed released_on_label with a released_in
+    secondary edge."""
+    g = NoteGraph()
+    for i, (work, year) in enumerate(entries):
+        text = f"{work} was released in {year} on the label {label}."
+        keys = extract_note_keys(text, [work, str(year), label])
+        g.add_notes([{"note_id": f"m{i}", "content": text, **keys,
+                      "paragraph_idxs": [i]}])
+    return g
+
+
+def test_release_sentence_emits_secondary_released_in_edge():
+    keys = extract_note_keys(
+        "Holden Harbor was released in 1958 on the label Tiden Records.",
+        ["Holden Harbor", "1958", "Tiden Records"])
+    assert keys["rel"] == "released_on_label"
+    assert keys["secondary_keys"] == [
+        {"head_key": "Holden Harbor", "rel": "released_in",
+         "tail_key": "1958"}]
+    g = NoteGraph()
+    g.add_notes([{"note_id": "n1", "content": "x was released.", **keys,
+                  "paragraph_idxs": [7]}])
+    rels = {r for r, *_ in g.neighbors("Holden Harbor")}
+    assert rels == {"released_on_label", "released_in"}
+    assert g.rheads("Tiden Records") == [
+        ("released_on_label", "Holden Harbor", "n1")]
+
+
+def test_temporal_diff():
+    g = _graph(1975, 1990)
+    res = answer_temporal_diff(
+        "How many years after the release of Blue Horizon was Red Steps "
+        "released?", g, [])
+    assert res["answer"] == "15"
+    assert set(res["support_idxs"]) == {2, 5}
+    # ill-posed premise (B earlier than A) falls through
+    assert answer_temporal_diff(
+        "How many years after the release of Red Steps was Blue Horizon "
+        "released?", g, []) is None
+
+
+def test_yesno_polarity():
+    g = _graph(1975, 1990)
+    assert answer_yesno(
+        "Was Blue Horizon released before Red Steps?", g, [])["answer"] == "yes"
+    assert answer_yesno(
+        "Was Blue Horizon released after Red Steps?", g, [])["answer"] == "no"
+    assert answer_yesno(
+        "Was Blue Horizon released before Red Steps?",
+        _graph(1980, 1980), []) is None      # tie
+
+
+def test_superlative_and_count_over_label_set():
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970),
+                      ("Denon Harbor", 1966)])
+    res = answer_superlative(
+        "Which album on the label Tiden Records was released first?", g, [])
+    assert res["answer"] == "Holden Harbor"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    res = answer_superlative(
+        "Which album on the label Tiden Records was released most "
+        "recently?", g, [])
+    assert res["answer"] == "Linlin Garden"
+    res = answer_count(
+        "How many albums were released on the label Tiden Records?", g, [])
+    assert res["answer"] == "3"
+    # unknown label falls through
+    assert answer_count(
+        "How many albums were released on the label Ghost Label?", g, []) is None
+
+
+def test_superlative_tied_extremum_falls_through():
+    g = _label_graph([("A Harbor", 1958), ("B Garden", 1958),
+                      ("C Steps", 1970)])
+    assert answer_superlative(
+        "Which album on the label Tiden Records was released first?",
+        g, []) is None
+
+
+def test_exact_math_dispatcher_routes_all_families():
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970)])
+    cases = [
+        ("Which was released first, Holden Harbor or Linlin Garden?",
+         "Holden Harbor", "comparative"),
+        ("How many years after the release of Holden Harbor was "
+         "Linlin Garden released?", "12", "temporal_diff"),
+        ("Was Holden Harbor released before Linlin Garden?", "yes", "yesno"),
+        ("Which album on the label Tiden Records was released first?",
+         "Holden Harbor", "superlative"),
+        ("How many albums were released on the label Tiden Records?",
+         "2", "count"),
+    ]
+    for q, want, method in cases:
+        res = answer_exact_math(q, g, [])
+        assert res and res["answer"] == want and res["method"] == method, (q, res)
+    assert answer_exact_math("Who performed Holden Harbor?", g, []) is None

@@ -421,7 +421,11 @@ def test_label_chain_extraction_and_keys():
         "Togor Echo was released in 2006 on the label Fenza Disc.",
         ["Togor Echo", "2006", "Fenza Disc"]) == {
         "head_key": "Togor Echo", "rel": "released_on_label",
-        "tail_key": "Fenza Disc"}
+        "tail_key": "Fenza Disc",
+        # the sentence asserts the year fact too: secondary edge for the
+        # aggregation answer stages
+        "secondary_keys": [{"head_key": "Togor Echo", "rel": "released_in",
+                            "tail_key": "2006"}]}
     # active voice inverts; passive keeps subject-side head
     active = extract_note_keys("Tigor Toshavel founded Fenza Disc.",
                                ["Tigor Toshavel", "Fenza Disc"])
