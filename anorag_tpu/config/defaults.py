@@ -88,12 +88,18 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     # --------------------------------------------------------------- note keys
     "note_keys": {
         "rel_lexicon": {
-            "performed_by": ["performed by", "the performer is", "sung by", "sings"],
-            "spouse_of": ["spouse", "partner", "married to", "married", "wife", "husband"],
-            "born_in": ["born in", "was born", "birthplace"],
-            "released_in": ["released in", "released"],
+            "performed_by": ["performed by", "the performer is", "sung by",
+                             "sings", "album by", "record by",
+                             "recorded the album"],
+            "spouse_of": ["spouse", "partner", "married to", "married",
+                          "wife", "husband", " wed "],
+            "born_in": ["born in", "was born", "birthplace", "native of",
+                        "hails from"],
+            "released_in": ["released in", "released", "came out in",
+                            "put out in"],
             "member_of": ["member of", "joined"],
-            "founded_by": ["founded by", "founded", "established by"],
+            "founded_by": ["founded by", "founded", "established by",
+                           "established", "started by"],
             "located_in": ["located in", "capital of"],
             "directed_by": ["directed by", "directed"],
         },

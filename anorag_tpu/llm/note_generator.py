@@ -42,12 +42,15 @@ def normalize_predicate(rel: Optional[str]) -> str:
 
 
 _DEFAULT_REL_LEXICON = {
-    "performed_by": ["performed by", "the performer is", "sung by", "sings"],
-    "spouse_of": ["spouse", "married", "wife", "husband", "partner"],
-    "born_in": ["born in", "birthplace", "was born"],
-    "released_in": ["released in", "released"],
+    "performed_by": ["performed by", "the performer is", "sung by", "sings",
+                     "album by", "record by", "recorded the album"],
+    "spouse_of": ["spouse", "married", "wife", "husband", "partner", " wed "],
+    "born_in": ["born in", "birthplace", "was born", "native of",
+                "hails from"],
+    "released_in": ["released in", "released", "came out in", "put out in"],
     "member_of": ["member of", "joined"],
-    "founded_by": ["founded by", "founded", "established by"],
+    "founded_by": ["founded by", "founded", "established by", "established",
+                   "started by"],
     "located_in": ["located in", "capital of"],
     "directed_by": ["directed by", "directed"],
 }
@@ -57,13 +60,16 @@ _DEFAULT_SPLITTERS = [" is ", " was ", " were ", " by ", " in ", " of "]
 # carries BOTH released_in and the (rarer, more discriminative) label
 # relation — the label edge is the one multi-hop chains traverse
 _PRIORITY_RELS = {
-    "released_on_label": ["on the label", "released on", "on label"],
+    "released_on_label": ["on the label", "released on", "on label",
+                          "by the label"],
 }
 
 # active-voice cues name the relation from the OBJECT's perspective:
 # "X founded Y" = Y founded_by X (head/tail invert); the passive "by"
-# forms keep subject-side heads
-_ACTIVE_INVERT_CUES = {"founded", "established", "created", "directed"}
+# forms keep subject-side heads. "P recorded the album W" likewise keys
+# W performed_by P.
+_ACTIVE_INVERT_CUES = {"founded", "established", "created", "directed",
+                       "recorded the album"}
 
 
 def extract_note_keys(
@@ -149,6 +155,58 @@ def extract_note_keys(
     if regular["rel"] != priority["rel"]:
         priority["secondary_keys"] = [regular]
     return priority
+
+
+def extract_all_note_keys(
+    text: str,
+    entities: Sequence[str],
+    rel_lexicon: Optional[Dict[str, List[str]]] = None,
+    fallback_splitters: Optional[List[str]] = None,
+    default_rel: str = "related_to",
+) -> Dict[str, str]:
+    """extract_note_keys over EACH sentence of a (possibly merged
+    multi-sentence) note, collecting every distinct triple: the first
+    keys the note, the rest ride as secondary_keys.
+
+    Whole-text extraction on merged notes is wrong twice over: cue
+    competition ACROSS sentences keeps only one sentence's relation
+    ("P recorded the album W. W was put out in Y by the label L." loses
+    the label/year triples to the earlier performed_by cue), and a
+    priority cue takes its head from the first entity of the TEXT, which
+    in a merged note belongs to a different sentence (persons were being
+    keyed as released_on_label heads, corrupting set aggregation)."""
+    sents = [s for s in re.split(r"(?<=[.!?])\s+", text or "") if s.strip()]
+    if len(sents) <= 1:
+        return extract_note_keys(text, entities, rel_lexicon,
+                                 fallback_splitters, default_rel)
+    ents = [str(e) for e in entities if str(e).strip()]
+    triples: List[Dict[str, str]] = []
+    seen = set()
+
+    def _add(k: Dict[str, str]) -> None:
+        sig = (k.get("head_key"), k.get("rel"), k.get("tail_key"))
+        if all(sig) and sig not in seen:
+            seen.add(sig)
+            triples.append({"head_key": sig[0], "rel": sig[1],
+                            "tail_key": sig[2]})
+
+    for sent in sents:
+        low = sent.lower()
+        sent_ents = [e for e in ents if e.lower() in low]
+        # no fallback splitters per-sentence: a merged note would sprout a
+        # junk default-rel edge per sentence
+        k = extract_note_keys(sent, sent_ents, rel_lexicon, [], default_rel)
+        if k:
+            _add(k)
+            for sk in k.get("secondary_keys") or ():
+                _add(sk)
+    if not triples:
+        return extract_note_keys(text, entities, rel_lexicon,
+                                 fallback_splitters, default_rel)
+    primary = dict(triples[0])
+    if len(triples) > 1:
+        primary["secondary_keys"] = triples[1:]
+    return primary
 
 
 class NoteQualityFilter:
@@ -314,6 +372,23 @@ class AtomicNoteGenerator:
         label edge never enters the note graph."""
         # seed the subject from the title sans parenthetical ("W (album)")
         subject = re.sub(r"\s*\(.*?\)\s*$", "", title or "").strip()
+        # neuter pronouns (It/This/The album ...) refer to the paragraph's
+        # TOPIC (the title-seeded subject), not the running subject: in
+        # "P recorded the album W. It was put out ... by the label L" the
+        # running subject is the person P, but "It" is the work W —
+        # resolving to P keyed the person as the label edge's head and the
+        # work's label/year facts vanished from the graph
+        title_subject = subject
+        if not title_subject and sentences:
+            # chunkers fold the paragraph title into the text as a leading
+            # "Title (type)." sentence (doc/chunker.py _paragraph_payloads)
+            # while chunk.title holds the DOCUMENT title — recover the
+            # topic from a title-shaped first sentence
+            m = re.fullmatch(
+                r"([A-Z][\w'&-]*(?:\s+[A-Z][\w'&-]*)*)\s*(?:\([^)]*\))?\s*\.?",
+                sentences[0].strip())
+            if m:
+                title_subject = m.group(1)
         out = []
         for i, s in enumerate(sentences):
             s = s.strip()
@@ -321,10 +396,14 @@ class AtomicNoteGenerator:
                 continue
             ents = extract_entities_fallback(s)
             m = self._LEAD_PRONOUN.match(s)
-            if m and subject:
-                s = subject + s[m.end():]
-                if subject not in ents:
-                    ents = [subject] + ents
+            if m and (subject or title_subject):
+                neuter = m.group(1) in ("It", "This") or \
+                    m.group(1).startswith("The ")
+                ref = (title_subject if neuter and title_subject
+                       else subject or title_subject)
+                s = ref + s[m.end():]
+                if ref not in ents:
+                    ents = [ref] + ents
             elif ents:
                 subject = ents[0]
             out.append({
@@ -390,7 +469,7 @@ class AtomicNoteGenerator:
                 "tail_key": str(raw.get("tail_key") or ""),
             })
             if not note["head_key"] or not note["tail_key"]:
-                keys = extract_note_keys(
+                keys = extract_all_note_keys(
                     text, entities, self.rel_lexicon,
                     self.fallback_splitters, self.default_rel)
                 if keys:

@@ -15,8 +15,15 @@ _SENT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9\"'(])|(?<=[。！？])")
 # connectors are infix-only (must be followed by a capitalized word) so an
 # entity never ends on a connector or on a prefix of a lowercase word
 # ("Gustave Eiffel designed" must not yield "Gustave Eiffel de")
+# A token may contain a period ONLY as an abbreviation (initials "J.R.R.",
+# honorifics "Dr." followed by another capital) — a bare `.` in the class
+# let "Gorza Mosaic. Gorza Mosaic" bridge a sentence boundary into one
+# entity, which broke per-sentence key extraction on merged notes
+_CAP_TOKEN = (r"(?:[A-Z]\.(?:[A-Z]\.)+"              # initials J.R.R.
+              r"|[A-Z][a-z]{0,2}\.(?=\s+[A-Z])"      # Dr. / St. / Mt.
+              r"|[A-Z][\w'&-]*)")
 _CAP_SPAN_RE = re.compile(
-    r"\b(?:[A-Z][\w'&.-]*)(?:\s+(?:(?:of|the|de|von|van|da|and|&)\s+)*[A-Z][\w'&.-]*)*"
+    _CAP_TOKEN + r"(?:\s+(?:(?:of|the|de|von|van|da|and|&)\s+)*" + _CAP_TOKEN + r")*"
 )
 _QUOTED_RE = re.compile(r'"([^"]{2,80})"|“([^”]{2,80})”')
 _YEAR_RE = re.compile(r"\b(1[0-9]{3}|20[0-9]{2})\b")

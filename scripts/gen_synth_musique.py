@@ -55,6 +55,16 @@ arithmetic and aggregation, not chains or pairwise comparison:
 Labels are collision-free across worlds (a shared label would corrupt
 founder chains and make superlative/count golds wrong).
 
+v5 (late round 3): the v4 kinds closed (EM 1.00), so the pressure moves
+from the QUESTION side to the EVIDENCE side: every supporting fact is
+now written through a paraphrase bank — release sentences say "came
+out in" / "was put out in ... by the label", performer sentences say
+"a record by" / "P recorded the album W", spouses "wed" / "X's spouse
+is", births "is a native of" / "hails from", foundings "was started
+by". The questions are unchanged; what breaks is rule-note extraction
+(the relation lexicons and the active-voice inversion set), which is
+exactly what varies in real text.
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -108,33 +118,71 @@ def _city_surface(city: str, rng) -> str:
     return f"{city}, {_STATES[city]}" if rng.random() < 0.4 else city
 
 
+# v5 paraphrase banks: index 0 = the v4 surface; the rest vary the verb
+# outside the original extraction lexicons. {X}=subject {Y}=object.
+_PERFORM_T = [
+    "{W} is an album performed by {P}.",
+    "{W} is an album by {P}.",
+    "{W} is a record by {P}.",
+    "{P} recorded the album {W}.",
+]
+_RELEASE_T = [
+    "It was released in {Y} on the label {L}.",
+    "It came out in {Y} on the label {L}.",
+    "It was put out in {Y} by the label {L}.",
+]
+_SPOUSE_T = [
+    "{X} married {Y}.",
+    "{X} wed {Y}.",
+    "{X}'s spouse is {Y}.",
+]
+_BORN_T = [
+    "{X} was born in {C}.",
+    "{X} is a native of {C}.",
+    "{X} hails from {C}.",
+]
+_FOUNDED_T = [
+    "{L} was founded by {F}.",
+    "{L} was started by {F}.",
+    "{F} established {L}.",
+]
+
+
+def _pick(rng, bank):
+    return bank[int(rng.integers(0, len(bank)))]
+
+
 def _paragraphs(w, rng):
     year_surface = (f"the year {w['year']}" if rng.random() < 0.3
                     else str(w["year"]))
     # follow-up sentences sometimes open with a pronoun (production coref)
     p_sub = "She" if rng.random() < 0.3 else w["person"]
     s_sub = "He" if rng.random() < 0.3 else w["spouse"]
+    perform = _pick(rng, _PERFORM_T).format(W=w["work"], P=w["person"])
+    release = _pick(rng, _RELEASE_T).format(Y=year_surface, L=w["label"])
+    p_spouse = _pick(rng, _SPOUSE_T).format(X=w["person"], Y=w["spouse"])
+    p_born = _pick(rng, _BORN_T).format(
+        X=p_sub, C=_city_surface(w["city"], rng))
+    s_born = _pick(rng, _BORN_T).format(
+        X=s_sub, C=_city_surface(w["spouse_city"], rng))
+    founded = _pick(rng, _FOUNDED_T).format(L=w["label"], F=w["founder"])
+    fs_born = _pick(rng, _BORN_T).format(
+        X=w["founder_spouse"],
+        C=_city_surface(w["founder_spouse_city"], rng))
     return [
-        (f"{w['work']} (album)",
-         f"{w['work']} is an album performed by {w['person']}. "
-         f"It was released in {year_surface} on the label {w['label']}."),
+        (f"{w['work']} (album)", f"{perform} {release}"),
         (w["person"],
-         f"{w['person']} married {w['spouse']}. "
-         f"The spouse of {w['person']} is {w['spouse']}. "
-         f"{p_sub} was born in {_city_surface(w['city'], rng)}."),
+         f"{p_spouse} The spouse of {w['person']} is {w['spouse']}. "
+         f"{p_born}"),
         (w["spouse"],
-         f"{w['spouse']} is married to {w['person']}. "
-         f"{s_sub} was born in {_city_surface(w['spouse_city'], rng)}."),
+         f"{w['spouse']} is married to {w['person']}. {s_born}"),
         (w["label"],
-         f"{w['label']} is a record label. {w['label']} was founded by "
-         f"{w['founder']}."),
+         f"{w['label']} is a record label. {founded}"),
         (w["founder"],
          f"{w['founder']} founded {w['label']}. The spouse of "
          f"{w['founder']} is {w['founder_spouse']}."),
         (w["founder_spouse"],
-         f"{w['founder_spouse']} is married to {w['founder']}. "
-         f"{w['founder_spouse']} was born in "
-         f"{_city_surface(w['founder_spouse_city'], rng)}."),
+         f"{w['founder_spouse']} is married to {w['founder']}. {fs_born}"),
     ]
 
 
@@ -184,10 +232,10 @@ def _siblings(rng, w, seen, count=2):
     return sibs
 
 
-def _sibling_paragraph(sib, label):
-    return (f"{sib['work']} (album)",
-            f"{sib['work']} is an album performed by {sib['person']}. "
-            f"It was released in {sib['year']} on the label {label}.")
+def _sibling_paragraph(sib, label, rng):
+    perform = _pick(rng, _PERFORM_T).format(W=sib["work"], P=sib["person"])
+    release = _pick(rng, _RELEASE_T).format(Y=sib["year"], L=label)
+    return (f"{sib['work']} (album)", f"{perform} {release}")
 
 
 _NUM_WORDS = {2: "two", 3: "three", 4: "four", 5: "five"}
@@ -286,7 +334,7 @@ def make_items(n: int, distractors: int, seed: int):
                  f"{'most recently' if latest else 'first'}?")
             a = pick["work"]
             support = {0}
-            extra_support_paras = [_sibling_paragraph(s, w["label"])
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
         elif kind == 12:
             # yes/no polarity
@@ -305,7 +353,7 @@ def make_items(n: int, distractors: int, seed: int):
             a = str(total)
             extra_aliases = [_NUM_WORDS[total]]
             support = {0}
-            extra_support_paras = [_sibling_paragraph(s, w["label"])
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
         paras = []
         for pi, (title, text) in enumerate(_paragraphs(w, rng)):

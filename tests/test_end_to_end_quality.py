@@ -87,11 +87,13 @@ def test_generated_musique_all_kinds(tmp_path):
     relations, unanswerable) were closed by the round-3 answer-path work
     (EM 0.709 -> 0.994) and the v3 kinds (comparative release-order,
     'artist behind' paraphrase) by the comparative exact-math stage + the
-    agentive cue family (EM 0.772 -> 1.00). The v4 kinds (10-13:
-    temporal difference, label-set superlative, yes/no, count) need
-    aggregation over resolved fact sets — the new headroom. Measured v4
-    floor (200-item driver eval): EM 0.710 / supF1 0.907 / ansAcc 1.00,
-    kinds 10-13 at EM 0.00/0.14/0.00/0.00 with healthy retrieval."""
+    agentive cue family (EM 0.772 -> 1.00). The v4 kinds (10-13: temporal
+    difference, label-set superlative, yes/no, count) were closed by the
+    exact-math dispatcher + secondary note triples (EM 0.710 -> 1.00),
+    and the v5 evidence-side paraphrase banks by lexicon coverage,
+    per-sentence multi-triple extraction, the sentence-bounded entity
+    regex, and topic-aware neuter-pronoun coref (EM 0.30 -> 1.00,
+    supF1 0.979 on the 200-item driver eval)."""
     import sys
     from pathlib import Path as _P
 
@@ -113,9 +115,9 @@ def test_generated_musique_all_kinds(tmp_path):
                                   [g for g in items if g["id"] in v1_ids])
     assert v1_metrics["answer_em"] >= 0.9, v1_metrics
     assert v1_metrics["support_f1"] >= 0.8, v1_metrics
-    # whole-set floor: kinds 0-9 solved; v4 floor EM 0.710 on the 200-item
-    # driver eval — assert the solved kinds can't silently regress while
-    # leaving the v4 headroom visible
+    # whole-set floor: all 14 kinds solved late round 3 over the v5
+    # paraphrase-bank surfaces (200-item driver eval: EM 1.00,
+    # supF1 0.979)
     metrics = evaluate_dataset(preds, items)
-    assert metrics["answer_em"] >= 0.6, metrics
-    assert metrics["support_f1"] >= 0.8, metrics
+    assert metrics["answer_em"] >= 0.85, metrics
+    assert metrics["support_f1"] >= 0.85, metrics

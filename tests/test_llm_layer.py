@@ -288,3 +288,43 @@ def test_notes_stats_logger():
     assert rep["n_notes"] == 2 and rep["n_docs"] == 1
     assert rep["no_entity_ratio"] == 0.5
     assert rep["outcomes"]["quality_filtered"] == 3
+
+
+def test_rule_fallback_topic_coref_and_multi_triple():
+    """v5 fixes: a neuter 'It' resolves to the paragraph TOPIC (recovered
+    from a title-shaped first sentence — chunkers fold the paragraph title
+    into the text), not to the running subject ('P recorded the album W.
+    It was put out ...' must key W, not P); merged multi-sentence notes
+    carry EVERY sentence's triple via secondary_keys; and the entity regex
+    cannot bridge a sentence boundary ('W. W' is not one entity)."""
+    from anorag_tpu.config import ConfigLoader
+    from anorag_tpu.llm.note_generator import AtomicNoteGenerator
+    from anorag_tpu.utils.text import extract_entities_fallback
+
+    gen = AtomicNoteGenerator(_note_llm("not json {{{"),
+                              ConfigLoader(auto_load=False))
+    sents = ["Gorza Mosaic (album).",
+             "Baneden Bavel recorded the album Gorza Mosaic.",
+             "It was put out in 1967 by the label Bakes Audio."]
+    notes = gen.generate_for_chunk({"doc_id": "d", "chunk_index": 0,
+                                    "text": " ".join(sents),
+                                    "sentences": sents,
+                                    "paragraph_idx": 0})
+    triples = set()
+    for n in notes:
+        if n.get("head_key"):
+            triples.add((n["head_key"], n["rel"], n["tail_key"]))
+        for sk in n.get("secondary_keys") or ():
+            triples.add((sk["head_key"], sk["rel"], sk["tail_key"]))
+    assert ("Gorza Mosaic", "performed_by", "Baneden Bavel") in triples
+    assert ("Gorza Mosaic", "released_on_label", "Bakes Audio") in triples
+    assert ("Gorza Mosaic", "released_in", "1967") in triples
+    # no person-headed label/year triples (the old coref bug)
+    assert not any(h == "Baneden Bavel" and r != "performed_by"
+                   for h, r, _t in triples)
+    # sentence-bounded entity spans
+    ents = extract_entities_fallback(
+        "Baneden Bavel recorded the album Gorza Mosaic. "
+        "Gorza Mosaic was put out in 1967.")
+    assert "Gorza Mosaic" in ents
+    assert all(". " not in e for e in ents)
