@@ -96,7 +96,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
             "born_in": ["born in", "was born", "birthplace", "native of",
                         "hails from"],
             "released_in": ["released in", "released", "came out in",
-                            "put out in"],
+                            "came out on", "put out in", "put out on"],
             "member_of": ["member of", "joined"],
             "founded_by": ["founded by", "founded", "established by",
                            "established", "started by"],

@@ -47,7 +47,8 @@ _DEFAULT_REL_LEXICON = {
     "spouse_of": ["spouse", "married", "wife", "husband", "partner", " wed "],
     "born_in": ["born in", "birthplace", "was born", "native of",
                 "hails from"],
-    "released_in": ["released in", "released", "came out in", "put out in"],
+    "released_in": ["released in", "released", "came out in", "came out on",
+                    "put out in", "put out on"],
     "member_of": ["member of", "joined"],
     "founded_by": ["founded by", "founded", "established by", "established",
                    "started by"],
@@ -61,8 +62,10 @@ _DEFAULT_SPLITTERS = [" is ", " was ", " were ", " by ", " in ", " of "]
 # relation — the label edge is the one multi-hop chains traverse
 _PRIORITY_RELS = {
     "released_on_label": ["on the label", "released on", "on label",
-                          "by the label"],
+                          "by the label", "through the label"],
 }
+
+_YEAR_ONLY_RE = re.compile(r"(?:1[0-9]{3}|20[0-9]{2})")
 
 # active-voice cues name the relation from the OBJECT's perspective:
 # "X founded Y" = Y founded_by X (head/tail invert); the passive "by"
@@ -108,7 +111,11 @@ def extract_note_keys(
             p = low.find(cue.lower())
             if p < 0:
                 continue
-            tail = next((e for e in ents_in_text if positions[e] > p), None)
+            # a label tail is never a bare year: "released on 4 March 1967"
+            # must not key the date as the work's label
+            tail = next((e for e in ents_in_text
+                         if positions[e] > p
+                         and not _YEAR_ONLY_RE.fullmatch(e)), None)
             head = ents_in_text[0]
             if tail is not None and tail != head:
                 priority = {"head_key": head, "rel": normalize_predicate(rel),
@@ -157,6 +164,26 @@ def extract_note_keys(
     return priority
 
 
+# entity-shaped subject + two commas: "W, an album by P, was released ..."
+_APPOS_RE = re.compile(
+    r"^([A-Z][\w'&-]*(?:\s+[A-Z][\w'&-]*)*),\s+(an?|the)\s+([^,]+),\s+(.+)$")
+
+
+def expand_appositive(sent: str) -> List[str]:
+    """Rewrite an appositive sentence as its two underlying clauses.
+
+    "W, an album by P, was released in Y on the label L." asserts a
+    copular fact (W is an album by P) AND a main-clause fact chain; cue
+    extraction on the raw surface takes the nearest-entity head, which
+    inside the comma clause is P — keying the PERSON as the release/label
+    head. Splitting first restores the subject to both clauses."""
+    m = _APPOS_RE.match(sent.strip())
+    if not m:
+        return [sent]
+    subj, det, clause, rest = m.groups()
+    return [f"{subj} is {det} {clause}.", f"{subj} {rest}"]
+
+
 def extract_all_note_keys(
     text: str,
     entities: Sequence[str],
@@ -176,6 +203,7 @@ def extract_all_note_keys(
     in a merged note belongs to a different sentence (persons were being
     keyed as released_on_label heads, corrupting set aggregation)."""
     sents = [s for s in re.split(r"(?<=[.!?])\s+", text or "") if s.strip()]
+    sents = [v for s in sents for v in expand_appositive(s)]
     if len(sents) <= 1:
         return extract_note_keys(text, entities, rel_lexicon,
                                  fallback_splitters, default_rel)
@@ -389,12 +417,30 @@ class AtomicNoteGenerator:
                 sentences[0].strip())
             if m:
                 title_subject = m.group(1)
+        # surname -> full name, first introduction wins (the paragraph's
+        # topic is introduced first): "Aurora Lane married X. Lane was
+        # born in Boston." must key born_in under the FULL name or the
+        # graph hop through the person breaks
+        surname_to_full: Dict[str, str] = {}
+
+        def _learn_fulls(names: Sequence[str]) -> None:
+            for e in names:
+                parts = str(e).split()
+                if len(parts) >= 2 and parts[-1][:1].isupper():
+                    surname_to_full.setdefault(parts[-1], str(e))
+
+        _learn_fulls([n for n in (subject, title_subject) if n])
         out = []
         for i, s in enumerate(sentences):
             s = s.strip()
             if len(s) < self.filter.min_chars:
                 continue
             ents = extract_entities_fallback(s)
+            if ents and " " not in ents[0] and s.startswith(ents[0]):
+                full = surname_to_full.get(ents[0])
+                if full:
+                    s = full + s[len(ents[0]):]
+                    ents = [full] + [e for e in ents[1:] if e != full]
             m = self._LEAD_PRONOUN.match(s)
             if m and (subject or title_subject):
                 neuter = m.group(1) in ("It", "This") or \
@@ -406,6 +452,7 @@ class AtomicNoteGenerator:
                     ents = [ref] + ents
             elif ents:
                 subject = ents[0]
+            _learn_fulls(ents)
             out.append({
                 "text": s[: self.max_note_chars],
                 "entities": ents,

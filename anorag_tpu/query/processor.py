@@ -707,11 +707,15 @@ class QueryProcessor:
         emb = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-9)
         sims = emb @ emb.T
         kept: List[int] = []
+        owners: List[int] = []   # cluster representatives only — a kept
+        # MEMBER must not own later candidates (it has no count entry;
+        # chaining through members also lets a cluster grow unboundedly)
         cluster_count: Dict[int, int] = {}
         for j in range(len(candidates)):
-            owner = next((k for k in kept if sims[j, k] >= self.cluster_cos_threshold), None)
+            owner = next((k for k in owners if sims[j, k] >= self.cluster_cos_threshold), None)
             if owner is None:
                 kept.append(j)
+                owners.append(j)
                 cluster_count[j] = 1
             elif cluster_count[owner] < self.keep_per_cluster:
                 kept.append(j)

@@ -27,6 +27,13 @@ _CAP_SPAN_RE = re.compile(
 )
 _QUOTED_RE = re.compile(r'"([^"]{2,80})"|“([^”]{2,80})”')
 _YEAR_RE = re.compile(r"\b(1[0-9]{3}|20[0-9]{2})\b")
+# month names are calendar vocabulary, not entities: inside "released on
+# 17 June 2014" the cap-span "June" must not become an entity, or it sits
+# between the release cue and the year and steals the released_in tail
+_MONTHS = frozenset(
+    "january february march april may june july august september october "
+    "november december".split()
+)
 
 STOPWORDS = frozenset(
     """a an the and or but if then else of in on at by for with to from as is are was
@@ -105,7 +112,9 @@ def _extract_entities_cached(text: str, min_len: int, max_entities: int) -> tupl
             seen.setdefault(ent)
     for m in _CAP_SPAN_RE.finditer(text or ""):
         ent = normalize_entity(m.group(0))
-        if len(ent) >= min_len and ent.lower() not in STOPWORDS:
+        low = ent.lower()
+        if (len(ent) >= min_len and low not in STOPWORDS
+                and not all(w in _MONTHS for w in low.split())):
             seen.setdefault(ent)
     for m in _YEAR_RE.finditer(text or ""):
         seen.setdefault(m.group(0))

@@ -65,6 +65,22 @@ by". The questions are unchanged; what breaks is rule-note extraction
 (the relation lexicons and the active-voice inversion set), which is
 exactly what varies in real text.
 
+v6 (late round 3): the v5 surfaces closed (EM 1.00), so the evidence gets
+the texture of real Wikipedia prose rather than just verb paraphrases:
+  * FILLER sentences inside supporting paragraphs (cue-free color like
+    "Critics gave the album favorable reviews.") — support labels stay
+    paragraph-level, but note extraction, packing, and span picking must
+    not be diluted or distracted;
+  * SURNAME-ONLY coref: follow-up sentences open with the person's bare
+    surname ("Lane was born in Boston.") — keys must resolve to the full
+    name introduced earlier or the graph hop breaks;
+  * APPOSITIVE multi-relation sentences: "{W}, an album by {P}, was
+    released in {Y} on the label {L}." — three relations in ONE sentence,
+    with the performer cue inside a comma appositive;
+  * FULL DATE surfaces: "released on 4 March 1967" — the year must be
+    lifted out of a day-month-year string for kind-3 answers and all the
+    v4 temporal math.
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -105,6 +121,9 @@ def _world(rng, work_suffix=None, work_first=None):
         "city": str(rng.choice(_CITIES)),
         "spouse_city": str(rng.choice(_CITIES)),
         "year": int(rng.integers(1950, 2020)),
+        # v6: ~40% of releases carry a day-month date the year must be
+        # lifted from; fixed per world so question aliases can cite it
+        "date": str(rng.choice(_DATES)) if rng.random() < 0.4 else None,
         "label": f"{''.join(rng.choice(_SYL, 2)).capitalize()} {rng.choice(_LABEL_W)}",
         "founder": _name(rng),
         "founder_spouse": _name(rng),
@@ -152,32 +171,97 @@ def _pick(rng, bank):
     return bank[int(rng.integers(0, len(bank)))]
 
 
+# ---------------------------------------------------------------- v6 texture
+# appositive one-sentence multi-relation surface for the work paragraph:
+# performer rides a comma appositive, release + label sit in the main
+# clause; {R} is the release clause ("in 1983" / "on 4 March 1983")
+_WORK_APPOS_T = [
+    "{W}, an album by {P}, was released {R} on the label {L}.",
+    "{W}, a record by {P}, came out {R} on the label {L}.",
+]
+# day-month release surfaces (the year must be lifted from the date string)
+_DATES = ["4 March", "17 June", "1 September", "23 November", "9 January"]
+_RELEASE_DATE_T = [
+    "It was released on {D} {Y} on the label {L}.",
+    "It came out on {D} {Y} through the label {L}.",
+]
+# cue-free filler: no relation lexicon word, no capitalized non-entity spans
+_FILLER_WORK = [
+    "Critics gave the album favorable reviews.",
+    "It features ten tracks.",
+    "The album took several months to complete.",
+]
+_FILLER_PERSON = [
+    "{S} toured extensively during the decade.",
+    "{S} has received several awards.",
+]
+_FILLER_LABEL = [
+    "The label signed dozens of acts over the years.",
+    "Its catalog spans several genres.",
+]
+
+
+def _surname(full: str) -> str:
+    return full.split()[-1]
+
+
+def _release_sent(w, year_surface, rng):
+    if w.get("date"):
+        return _pick(rng, _RELEASE_DATE_T).format(
+            D=w["date"], Y=year_surface, L=w["label"])
+    return _pick(rng, _RELEASE_T).format(Y=year_surface, L=w["label"])
+
+
+def _coref_subject(rng, full: str, pronoun: str) -> str:
+    """v6 follow-up subject: full name / pronoun / bare surname."""
+    r = rng.random()
+    if r < 0.25:
+        return pronoun
+    if r < 0.55:
+        return _surname(full)
+    return full
+
+
 def _paragraphs(w, rng):
-    year_surface = (f"the year {w['year']}" if rng.random() < 0.3
+    # a day-dated release never uses the "the year Y" surface
+    year_surface = (f"the year {w['year']}"
+                    if rng.random() < 0.3 and not w.get("date")
                     else str(w["year"]))
-    # follow-up sentences sometimes open with a pronoun (production coref)
-    p_sub = "She" if rng.random() < 0.3 else w["person"]
-    s_sub = "He" if rng.random() < 0.3 else w["spouse"]
-    perform = _pick(rng, _PERFORM_T).format(W=w["work"], P=w["person"])
-    release = _pick(rng, _RELEASE_T).format(Y=year_surface, L=w["label"])
+    p_sub = _coref_subject(rng, w["person"], "She")
+    s_sub = _coref_subject(rng, w["spouse"], "He")
+    if rng.random() < 0.35:
+        # v6 appositive: perform + release + label in ONE sentence
+        rel = (f"on {w['date']} {year_surface}" if w.get("date")
+               else f"in {year_surface}")
+        work_text = _pick(rng, _WORK_APPOS_T).format(
+            W=w["work"], P=w["person"], R=rel, L=w["label"])
+    else:
+        perform = _pick(rng, _PERFORM_T).format(W=w["work"], P=w["person"])
+        work_text = f"{perform} {_release_sent(w, year_surface, rng)}"
+    if rng.random() < 0.5:
+        work_text += f" {_pick(rng, _FILLER_WORK)}"
     p_spouse = _pick(rng, _SPOUSE_T).format(X=w["person"], Y=w["spouse"])
     p_born = _pick(rng, _BORN_T).format(
         X=p_sub, C=_city_surface(w["city"], rng))
+    p_fill = (f" {_pick(rng, _FILLER_PERSON).format(S=_surname(w['person']))}"
+              if rng.random() < 0.4 else "")
     s_born = _pick(rng, _BORN_T).format(
         X=s_sub, C=_city_surface(w["spouse_city"], rng))
     founded = _pick(rng, _FOUNDED_T).format(L=w["label"], F=w["founder"])
+    l_fill = (f" {_pick(rng, _FILLER_LABEL)}"
+              if rng.random() < 0.4 else "")
+    fs_sub = _coref_subject(rng, w["founder_spouse"], "She")
     fs_born = _pick(rng, _BORN_T).format(
-        X=w["founder_spouse"],
-        C=_city_surface(w["founder_spouse_city"], rng))
+        X=fs_sub, C=_city_surface(w["founder_spouse_city"], rng))
     return [
-        (f"{w['work']} (album)", f"{perform} {release}"),
+        (f"{w['work']} (album)", work_text),
         (w["person"],
          f"{p_spouse} The spouse of {w['person']} is {w['spouse']}. "
-         f"{p_born}"),
+         f"{p_born}{p_fill}"),
         (w["spouse"],
          f"{w['spouse']} is married to {w['person']}. {s_born}"),
         (w["label"],
-         f"{w['label']} is a record label. {founded}"),
+         f"{w['label']} is a record label. {founded}{l_fill}"),
         (w["founder"],
          f"{w['founder']} founded {w['label']}. The spouse of "
          f"{w['founder']} is {w['founder_spouse']}."),
@@ -228,13 +312,16 @@ def _siblings(rng, w, seen, count=2):
             continue
         seen.add(title)
         years.add(year)
-        sibs.append({"work": title, "person": _name(rng), "year": year})
+        sibs.append({"work": title, "person": _name(rng), "year": year,
+                     "date": (str(rng.choice(_DATES))
+                              if rng.random() < 0.4 else None)})
     return sibs
 
 
 def _sibling_paragraph(sib, label, rng):
     perform = _pick(rng, _PERFORM_T).format(W=sib["work"], P=sib["person"])
-    release = _pick(rng, _RELEASE_T).format(Y=sib["year"], L=label)
+    release = _release_sent({"date": sib.get("date"), "label": label},
+                            str(sib["year"]), rng)
     return (f"{sib['work']} (album)", f"{perform} {release}")
 
 
@@ -270,6 +357,9 @@ def make_items(n: int, distractors: int, seed: int):
             support = {0}
         elif kind == 3:
             q, a = f"When was {w['work']} released?", str(w["year"])
+            if w.get("date"):
+                # the full date is an acceptable surface for "when"
+                extra_aliases = [f"{w['date']} {w['year']}"]
             support = {0}
         elif kind == 4:
             q, a, akey = (f"Where was the spouse of the performer of "

@@ -93,7 +93,14 @@ def test_generated_musique_all_kinds(tmp_path):
     and the v5 evidence-side paraphrase banks by lexicon coverage,
     per-sentence multi-triple extraction, the sentence-bounded entity
     regex, and topic-aware neuter-pronoun coref (EM 0.30 -> 1.00,
-    supF1 0.979 on the 200-item driver eval)."""
+    supF1 0.979 on the 200-item driver eval). The v6 realistic-text
+    surfaces (filler sentences, surname-only coref, appositive
+    multi-relation sentences, day-month dates; floor EM 0.634) were
+    closed by appositive clause expansion, surname->full-name coref,
+    month-token entity exclusion + label-tail year guard, and the
+    came-out-on/through-the-label cues (EM 1.00 / supF1 0.987) — the
+    sweep also surfaced and fixed a _cluster_suppress KeyError (kept
+    cluster members acting as owners)."""
     import sys
     from pathlib import Path as _P
 
@@ -109,15 +116,7 @@ def test_generated_musique_all_kinds(tmp_path):
     for it in items:
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
         preds.append(res)
-    # v1 kinds (cycle positions 0-4) must stay at EM 1.0
-    v1_ids = {it["id"] for i, it in enumerate(items) if i % 14 <= 4}
-    v1_metrics = evaluate_dataset([p for p in preds if p["id"] in v1_ids],
-                                  [g for g in items if g["id"] in v1_ids])
-    assert v1_metrics["answer_em"] >= 0.9, v1_metrics
-    assert v1_metrics["support_f1"] >= 0.8, v1_metrics
-    # whole-set floor: all 14 kinds solved late round 3 over the v5
-    # paraphrase-bank surfaces (200-item driver eval: EM 1.00,
-    # supF1 0.979)
+    # v6 closed (200-item driver eval: EM 1.00 / supF1 0.987)
     metrics = evaluate_dataset(preds, items)
     assert metrics["answer_em"] >= 0.85, metrics
     assert metrics["support_f1"] >= 0.85, metrics

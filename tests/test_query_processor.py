@@ -154,6 +154,26 @@ def test_cluster_suppression():
     assert not {"n1", "n1dup"} <= ids
 
 
+def test_cluster_suppression_member_not_owner():
+    """Regression (v6 eval, KeyError: 2): a kept cluster MEMBER must not
+    own later candidates. With A~B, B~C but A!~C and keep_per_cluster=2,
+    C used to pick member B as its owner and crash on the missing count
+    entry; now C starts its own cluster."""
+    import numpy as np
+
+    cfg = _cfg()
+    cfg.set("safety.cluster.enabled", True)
+    cfg.set("safety.cluster.cos_threshold", 0.9)
+    cfg.set("safety.cluster.keep_per_cluster", 2)
+    notes = _kb_notes()[:3]
+    qp = QueryProcessor(notes, cfg=cfg, llm=None)
+    th = np.deg2rad([0.0, 25.0, 50.0])
+    qp.embeddings = np.stack([np.cos(th), np.sin(th)], axis=1)
+    cands = [dict(n, final_score=0.5) for n in qp.notes]
+    kept = qp._cluster_suppress(cands)   # must not raise
+    assert [c["note_id"] for c in kept] == [n["note_id"] for n in notes]
+
+
 def test_namespace_filter():
     notes = [{"note_id": "a", "namespace": "ds1"}, {"note_id": "b", "namespace": "ds2"}]
     assert [n["note_id"] for n in filter_notes_by_namespace(notes, "ds1")] == ["a"]
