@@ -81,6 +81,23 @@ the texture of real Wikipedia prose rather than just verb paraphrases:
     lifted out of a day-month-year string for kind-3 answers and all the
     v4 temporal math.
 
+v7 (late round 3): the v6 texture closed (EM 1.00), so the evidence turns
+adversarial — three traps real corpora set constantly:
+  * NEGATION: ~35% of work paragraphs append "It was not released on
+    {FOIL}." / "Early pressings wrongly credited the label {FOIL}.",
+    where FOIL is a confusable world's REAL label (with its own founder
+    chain) — extraction that ignores "not"/"wrongly" forges a label edge
+    and the founder-chain kinds follow it to the wrong answer;
+  * ABBREVIATIONS: ~35% of label paragraphs introduce the label as
+    "{L} ({ABBR})" and state the founding fact under the bare ABBR
+    ("{ABBR} was started by {F}.") — the founded_by edge must resolve
+    the parenthetical alias back to the full label name or the chain
+    breaks at hop 2;
+  * RELATIVE DATES: one label-set sibling states its release only as an
+    offset ("released on the label L two years after W") — superlative /
+    count / temporal questions over the label set need year arithmetic
+    through the anchor work's absolute year.
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -200,6 +217,18 @@ _FILLER_LABEL = [
     "Its catalog spans several genres.",
 ]
 
+# v7 negation traps: FOIL is a confusable world's real label — extraction
+# that ignores the polarity forges a released_on_label edge into a live
+# founder chain
+_NEG_T = [
+    "It was not released on {FOIL}.",
+    "Early pressings wrongly credited the label {FOIL}.",
+]
+
+
+def _abbr(label: str) -> str:
+    return "".join(w[0] for w in label.split() if w[:1].isupper())
+
 
 def _surname(full: str) -> str:
     return full.split()[-1]
@@ -222,7 +251,7 @@ def _coref_subject(rng, full: str, pronoun: str) -> str:
     return full
 
 
-def _paragraphs(w, rng):
+def _paragraphs(w, rng, foil_label=None, abbr_ok=False):
     # a day-dated release never uses the "the year Y" surface
     year_surface = (f"the year {w['year']}"
                     if rng.random() < 0.3 and not w.get("date")
@@ -240,6 +269,8 @@ def _paragraphs(w, rng):
         work_text = f"{perform} {_release_sent(w, year_surface, rng)}"
     if rng.random() < 0.5:
         work_text += f" {_pick(rng, _FILLER_WORK)}"
+    if foil_label is not None and rng.random() < 0.35:
+        work_text += f" {_pick(rng, _NEG_T).format(FOIL=foil_label)}"
     p_spouse = _pick(rng, _SPOUSE_T).format(X=w["person"], Y=w["spouse"])
     p_born = _pick(rng, _BORN_T).format(
         X=p_sub, C=_city_surface(w["city"], rng))
@@ -247,7 +278,17 @@ def _paragraphs(w, rng):
               if rng.random() < 0.4 else "")
     s_born = _pick(rng, _BORN_T).format(
         X=s_sub, C=_city_surface(w["spouse_city"], rng))
-    founded = _pick(rng, _FOUNDED_T).format(L=w["label"], F=w["founder"])
+    # v7: the label is sometimes introduced with a parenthetical
+    # abbreviation, and BOTH founding facts are then stated under the bare
+    # abbreviation — the chain must resolve the alias to survive hop 2
+    label_name = w["label"]
+    label_intro = f"{w['label']} is a record label."
+    if abbr_ok and rng.random() < 0.35:
+        ab = _abbr(w["label"])
+        if len(ab) >= 2:
+            label_name = ab
+            label_intro = f"{w['label']} ({ab}) is a record label."
+    founded = _pick(rng, _FOUNDED_T).format(L=label_name, F=w["founder"])
     l_fill = (f" {_pick(rng, _FILLER_LABEL)}"
               if rng.random() < 0.4 else "")
     fs_sub = _coref_subject(rng, w["founder_spouse"], "She")
@@ -261,9 +302,9 @@ def _paragraphs(w, rng):
         (w["spouse"],
          f"{w['spouse']} is married to {w['person']}. {s_born}"),
         (w["label"],
-         f"{w['label']} is a record label. {founded}{l_fill}"),
+         f"{label_intro} {founded}{l_fill}"),
         (w["founder"],
-         f"{w['founder']} founded {w['label']}. The spouse of "
+         f"{w['founder']} founded {label_name}. The spouse of "
          f"{w['founder']} is {w['founder_spouse']}."),
         (w["founder_spouse"],
          f"{w['founder_spouse']} is married to {w['founder']}. {fs_born}"),
@@ -320,8 +361,18 @@ def _siblings(rng, w, seen, count=2):
 
 def _sibling_paragraph(sib, label, rng):
     perform = _pick(rng, _PERFORM_T).format(W=sib["work"], P=sib["person"])
-    release = _release_sent({"date": sib.get("date"), "label": label},
-                            str(sib["year"]), rng)
+    anchor = sib.get("rel_anchor")
+    if anchor is not None:
+        # v7 relative date: the absolute year appears NOWHERE for this
+        # work — superlative/count math must add the offset to the anchor
+        delta = sib["year"] - anchor["year"]
+        unit = "year" if abs(delta) == 1 else "years"
+        release = (f"It was released on the label {label} {abs(delta)} "
+                   f"{unit} {'after' if delta > 0 else 'before'} "
+                   f"{anchor['work']}.")
+    else:
+        release = _release_sent({"date": sib.get("date"), "label": label},
+                                str(sib["year"]), rng)
     return (f"{sib['work']} (album)", f"{perform} {release}")
 
 
@@ -416,6 +467,8 @@ def make_items(n: int, distractors: int, seed: int):
         elif kind == 11:
             # label-set superlative: argmin/argmax year over ALL works on L
             sibs = _siblings(rng, w, seen_works)
+            if rng.random() < 0.35:
+                sibs[0]["rel_anchor"] = {"work": w["work"], "year": w["year"]}
             entries = [{"work": w["work"], "year": w["year"]}] + sibs
             latest = bool(rng.random() < 0.5)
             pick = max(entries, key=lambda e: e["year"]) if latest \
@@ -438,6 +491,8 @@ def make_items(n: int, distractors: int, seed: int):
         else:
             # count: cardinality of the label's work set
             sibs = _siblings(rng, w, seen_works)
+            if rng.random() < 0.35:
+                sibs[0]["rel_anchor"] = {"work": w["work"], "year": w["year"]}
             total = 1 + len(sibs)
             q = f"How many albums were released on the label {w['label']}?"
             a = str(total)
@@ -445,8 +500,13 @@ def make_items(n: int, distractors: int, seed: int):
             support = {0}
             extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
+        # confusables first: the negation trap names the first one's label
+        suffix = w["work"].split()[-1]
+        confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
         paras = []
-        for pi, (title, text) in enumerate(_paragraphs(w, rng)):
+        for pi, (title, text) in enumerate(
+                _paragraphs(w, rng, foil_label=confus[0]["label"],
+                            abbr_ok=True)):
             paras.append({"idx": len(paras), "title": title,
                           "paragraph_text": text,
                           "is_supporting": pi in support})
@@ -460,10 +520,12 @@ def make_items(n: int, distractors: int, seed: int):
         for title, text in extra_support_paras:
             paras.append({"idx": len(paras), "title": title,
                           "paragraph_text": text, "is_supporting": True})
-        # two CONFUSABLE distractor worlds: same work-title suffix
-        suffix = w["work"].split()[-1]
-        for cw in _unique_worlds(rng, 2, seen_works, work_suffix=suffix):
-            for title, text in _paragraphs(cw, rng)[:3]:
+        # two CONFUSABLE distractor worlds: same work-title suffix; the
+        # first carries its label+founder paragraphs so the negation
+        # foil's forged chain leads somewhere REAL (a wrong answer, not a
+        # dead end)
+        for ci, cw in enumerate(confus):
+            for title, text in _paragraphs(cw, rng)[:5 if ci == 0 else 3]:
                 paras.append({"idx": len(paras), "title": title,
                               "paragraph_text": text, "is_supporting": False})
         # regular distractors from other items' worlds

@@ -100,7 +100,11 @@ def test_generated_musique_all_kinds(tmp_path):
     month-token entity exclusion + label-tail year guard, and the
     came-out-on/through-the-label cues (EM 1.00 / supF1 0.987) — the
     sweep also surfaced and fixed a _cluster_suppress KeyError (kept
-    cluster members acting as owners)."""
+    cluster members acting as owners). The v7 adversarial surfaces
+    (negation foils naming a live confusable label chain, parenthetical
+    label abbreviations carrying the founding facts, relative-offset
+    release dates) recorded floor EM 0.946 / supF1 0.963 — every EM miss
+    was an abbreviation-broken founder chain answering the label."""
     import sys
     from pathlib import Path as _P
 
