@@ -80,11 +80,17 @@ def parse_comparative(question: str) -> Optional[Dict[str, Any]]:
     return {"options": opts, "verb": m.group("verb").lower(), "pick": pick}
 
 
+_OFFSET_TAIL_RE = re.compile(r"(\d{1,3})\s+years?\s+(after|before)\s+(.+)")
+
+
 def _year_from_graph(option: str, rels: Sequence[str],
-                     graph: NoteGraph) -> Optional[Tuple[int, str]]:
+                     graph: NoteGraph, _depth: int = 0
+                     ) -> Optional[Tuple[int, str]]:
     """(year, note_id) for `option`'s attribute triple, or None. Head keys
     are matched case-insensitively; the option may carry a type suffix the
-    note key lacks ("W (album)")."""
+    note key lacks ("W (album)"). A work dated only RELATIVELY ("released
+    ... 55 years after W2", note_generator released_offset triples)
+    resolves through its anchor's absolute year, one hop deep."""
     key = graph.resolve_head(option)
     if key is None:
         return None
@@ -94,6 +100,20 @@ def _year_from_graph(option: str, rels: Sequence[str],
             m = _YEAR_RE.search(str(tail))
             if m:
                 return int(m.group(1)), note_id
+    if "released_in" in want and _depth < 2:
+        for rel, tail, note_id, _w, _p in graph.neighbors(key):
+            if rel != "released_offset":
+                continue
+            m = _OFFSET_TAIL_RE.fullmatch(str(tail).strip())
+            if not m:
+                continue
+            anchor = _year_from_graph(m.group(3), ("released_in",),
+                                      graph, _depth + 1)
+            if anchor is not None:
+                delta = int(m.group(1))
+                y = anchor[0] + delta if m.group(2) == "after" \
+                    else anchor[0] - delta
+                return y, note_id
     return None
 
 

@@ -24,6 +24,7 @@ from anorag_tpu.doc.incremental import IncrementalProcessor
 from anorag_tpu.graph.builder import GraphBuilder
 from anorag_tpu.graph.exporter import export_graphml
 from anorag_tpu.index.store import ArtifactStore
+from anorag_tpu.llm.note_generator import resolve_note_abbreviations
 from anorag_tpu.models.embedding_manager import EmbeddingManager
 from anorag_tpu.utils.file_io import read_json, write_json, write_jsonl
 from anorag_tpu.utils.logging import get_logger, log_performance
@@ -156,7 +157,8 @@ class DocumentProcessor:
         # [2] atomic notes --------------------------------------------------
         notes = self.store.cached(
             "atomic_notes", pipeline_cfg, input_hash,
-            build=lambda: self.note_generator.generate_atomic_notes(chunks),
+            build=lambda: resolve_note_abbreviations(
+                self.note_generator.generate_atomic_notes(chunks)),
             save=lambda n: write_json(self.output_dir / "atomic_notes.json", n),
             load=lambda: read_json(self.output_dir / "atomic_notes.json"),
             force=force_reprocess,

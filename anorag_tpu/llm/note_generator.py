@@ -67,6 +67,22 @@ _PRIORITY_RELS = {
 
 _YEAR_ONLY_RE = re.compile(r"(?:1[0-9]{3}|20[0-9]{2})")
 
+# a relation cue preceded (within the clause) by a polarity inverter is an
+# ANTI-fact: "It was not released on L" / "wrongly credited the label L"
+# must not forge an edge into L's (live) chain
+_NEG_GUARD_RE = re.compile(
+    r"\b(?:not|never|wrongly|falsely|incorrectly|no longer)\b[^.;,]{0,24}$")
+
+# relative release dating: "released ... 55 years after <anchor work>" —
+# the absolute year appears nowhere, so the triple carries the offset
+# expression verbatim and answer-side math resolves it through the
+# anchor's released_in edge (answer/comparative.py::_year_from_graph)
+_OFFSET_RE = re.compile(r"\b(\d{1,3})\s+years?\s+(after|before)\s+")
+
+
+def _negated(low: str, p: int) -> bool:
+    return bool(_NEG_GUARD_RE.search(low[max(0, p - 40):p]))
+
 # active-voice cues name the relation from the OBJECT's perspective:
 # "X founded Y" = Y founded_by X (head/tail invert); the passive "by"
 # forms keep subject-side heads. "P recorded the album W" likewise keys
@@ -101,6 +117,29 @@ def extract_note_keys(
         ents_in_text = ents[:2]
         positions = {ents_in_text[0]: 0, ents_in_text[1]: len(low)}
 
+    # relative release offset rides as an extra secondary triple on
+    # whatever the sentence otherwise yields
+    offset = None
+    om = _OFFSET_RE.search(low)
+    if om and any(c in low for c in ("released", "came out", "put out")):
+        anchor = next((e for e in ents_in_text
+                       if positions[e] >= om.end()), None)
+        if anchor is not None and anchor != ents_in_text[0]:
+            offset = {"head_key": ents_in_text[0], "rel": "released_offset",
+                      "tail_key": f"{om.group(1)} years {om.group(2)} "
+                                  f"{anchor}"}
+
+    def _with_offset(result):
+        if offset is None:
+            return result
+        if not result:
+            return offset
+        sks = list(result.get("secondary_keys") or [])
+        if offset not in sks:
+            sks.append(offset)
+        result["secondary_keys"] = sks
+        return result
+
     # priority relations first: their cue wins regardless of position, and
     # the head is the sentence SUBJECT (first entity) — "W was released in
     # 2006 on the label L" must key W --released_on_label--> L even though
@@ -109,7 +148,7 @@ def extract_note_keys(
     for rel, cues in _PRIORITY_RELS.items():
         for cue in cues:
             p = low.find(cue.lower())
-            if p < 0:
+            if p < 0 or _negated(low, p):
                 continue
             # a label tail is never a bare year: "released on 4 March 1967"
             # must not key the date as the work's label
@@ -129,7 +168,7 @@ def extract_note_keys(
     for rel, cues in lexicon.items():
         for cue in cues:
             p = low.find(cue.lower())
-            if 0 <= p < best_pos:
+            if 0 <= p < best_pos and not _negated(low, p):
                 best_rel, best_pos, best_cue = rel, p, cue.lower()
     if best_rel is None:
         for sp in (fallback_splitters or _DEFAULT_SPLITTERS):
@@ -138,7 +177,7 @@ def extract_note_keys(
                 best_rel, best_pos, best_cue = default_rel, p, sp
                 break
     if best_rel is None:
-        return priority or {}
+        return _with_offset(priority or {})
     head = next((e for e in reversed(ents_in_text) if positions[e] < best_pos),
                 ents_in_text[0])
     tail = next((e for e in ents_in_text if positions[e] > best_pos and e != head),
@@ -146,7 +185,7 @@ def extract_note_keys(
     if tail is None:
         tail = next((e for e in ents_in_text if e != head), None)
     if tail is None:
-        return priority or {}
+        return _with_offset(priority or {})
     if (best_cue in _ACTIVE_INVERT_CUES
             and not low[best_pos + len(best_cue):].lstrip().startswith("by")):
         # active voice: "X founded Y" -> Y founded_by X
@@ -154,14 +193,14 @@ def extract_note_keys(
     regular = {"head_key": head, "rel": normalize_predicate(best_rel),
                "tail_key": tail}
     if priority is None:
-        return regular
+        return _with_offset(regular)
     # the sentence asserts BOTH facts ("W was released in 2006 on the
     # label L" = released_on_label AND released_in): the priority triple
     # keys the note; the regular one rides along as a secondary edge so
     # set-aggregation questions can resolve the year from the graph
     if regular["rel"] != priority["rel"]:
         priority["secondary_keys"] = [regular]
-    return priority
+    return _with_offset(priority)
 
 
 # entity-shaped subject + two commas: "W, an album by P, was released ..."
@@ -235,6 +274,48 @@ def extract_all_note_keys(
     if len(triples) > 1:
         primary["secondary_keys"] = triples[1:]
     return primary
+
+
+# "Full Name (FN)" — a parenthetical whose letters are the full name's
+# initials introduces an alias
+_ABBR_INTRO_RE = re.compile(
+    r"([A-Z][\w'&-]*(?:\s+[A-Z][\w'&-]*)+)\s*\(\s*([A-Z]{2,6})\s*\)")
+
+
+def resolve_note_abbreviations(
+        notes: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    """Corpus-level alias pass: facts stated under a bare abbreviation
+    ("Denfen Music (DM) is a record label. DM was started by F.") are
+    re-keyed under the full name so multi-hop chains survive the alias
+    boundary. Mutates and returns `notes`. The full name is also appended
+    to the note's entity list (retrieval sees both surfaces); texts are
+    left untouched. Parity: the reference resolves such aliases through
+    fuzzy entity-index lookups (graph/graph_retriever + EntityInvertedIndex
+    fuzzy match); here the alias table is explicit and exact."""
+    alias: Dict[str, str] = {}
+    for n in notes:
+        for m in _ABBR_INTRO_RE.finditer(n.get("text") or ""):
+            full, ab = m.group(1), m.group(2)
+            initials = "".join(w[0] for w in full.split() if w[:1].isupper())
+            if ab == initials and ab != full:
+                alias.setdefault(ab, full)
+    if not alias:
+        return notes
+    for n in notes:
+        for key in ("head_key", "tail_key"):
+            v = n.get(key)
+            if v in alias:
+                n[key] = alias[v]
+        for sk in n.get("secondary_keys") or ():
+            for key in ("head_key", "tail_key"):
+                v = sk.get(key)
+                if v in alias:
+                    sk[key] = alias[v]
+        ents = n.get("entities")
+        if ents:
+            extra = [alias[e] for e in ents if e in alias]
+            n["entities"] = ents + [e for e in extra if e not in ents]
+    return notes
 
 
 class NoteQualityFilter:

@@ -290,6 +290,48 @@ def test_notes_stats_logger():
     assert rep["outcomes"]["quality_filtered"] == 3
 
 
+def test_negation_guard_and_abbr_resolution():
+    """v7 fixes: a negated cue must not forge an edge ('It was not
+    released on Ramar Audio'), and facts keyed under a parenthetical
+    abbreviation ('Denfen Music (DM) ... DM was started by F') re-key
+    under the full name in the corpus-level alias pass."""
+    from anorag_tpu.llm.note_generator import (extract_all_note_keys,
+                                               resolve_note_abbreviations)
+
+    # negation: the only cue is negated -> no released_on_label edge
+    k = extract_all_note_keys(
+        "Baba River was not released on Ramar Audio.",
+        ["Baba River", "Ramar Audio"])
+    assert not (k.get("rel") == "released_on_label"
+                and k.get("tail_key") == "Ramar Audio")
+    # the positive fact next to a negated foil still extracts
+    k = extract_all_note_keys(
+        "Baba River was released in 2008 on the label Pricor Audio. "
+        "Baba River was not released on Ramar Audio.",
+        ["Baba River", "2008", "Pricor Audio", "Ramar Audio"])
+    triples = {(k["head_key"], k["rel"], k["tail_key"])} | {
+        (s["head_key"], s["rel"], s["tail_key"])
+        for s in k.get("secondary_keys") or ()}
+    assert ("Baba River", "released_on_label", "Pricor Audio") in triples
+    assert ("Baba River", "released_on_label", "Ramar Audio") not in triples
+
+    notes = [
+        {"text": "Denfen Music (DM) is a record label.",
+         "entities": ["Denfen Music", "DM"]},
+        {"text": "DM was started by Lincorne Linprilin.",
+         "entities": ["DM", "Lincorne Linprilin"],
+         "head_key": "DM", "rel": "founded_by",
+         "tail_key": "Lincorne Linprilin",
+         "secondary_keys": [{"head_key": "Lincorne Linprilin",
+                             "rel": "member_of", "tail_key": "DM"}]},
+    ]
+    resolve_note_abbreviations(notes)
+    assert notes[1]["head_key"] == "Denfen Music"
+    assert notes[1]["secondary_keys"][0]["tail_key"] == "Denfen Music"
+    assert "Denfen Music" in notes[1]["entities"]  # both surfaces retrievable
+    assert "DM" in notes[1]["entities"]
+
+
 def test_rule_fallback_topic_coref_and_multi_triple():
     """v5 fixes: a neuter 'It' resolves to the paragraph TOPIC (recovered
     from a title-shaped first sentence — chunkers fold the paragraph title
