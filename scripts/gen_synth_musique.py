@@ -98,6 +98,26 @@ adversarial — three traps real corpora set constantly:
     count / temporal questions over the label set need year arithmetic
     through the anchor work's absolute year.
 
+v8 (late round 3): the v7 traps closed (EM 1.00), so the cycle widens to
+18 with four kinds that compose sets, ordinals, and a second alias class:
+  * kind 14, label intersection: "Which record label released both A and
+    B?" — the answer is the LABEL, reached by intersecting two works'
+    released-on edges (reverse of every chain so far: the label is the
+    answer, not a hop);
+  * kind 15, ordinal: "What was the second album released on the label
+    L?" — sort the label's work set by year and take index 1 (the v4
+    superlative machinery does argmin/argmax only), with the v7
+    relative-offset sibling still in the mix;
+  * kind 16, stage name: the person paragraph opens "{P}, known
+    professionally as {S}, ..." and the work credits only S — the
+    performer hop must resolve a NON-initial alias (the v7 abbreviation
+    pass keys on initials);
+  * kind 17, re-release trap: the work paragraph appends "It was
+    reissued in {Y2} by {FOIL}." where FOIL is a live confusable label —
+    "Who founded the label that originally released W?" must follow the
+    ORIGINAL label edge, not the reissue (temporal qualifier on a
+    relation, the dual of v7's polarity guard).
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -251,26 +271,39 @@ def _coref_subject(rng, full: str, pronoun: str) -> str:
     return full
 
 
-def _paragraphs(w, rng, foil_label=None, abbr_ok=False):
+# v8 re-release trap: a second, LATER release edge into a live confusable
+# label — original-release questions must not follow it
+_REISSUE_T = [
+    "It was reissued in {Y2} by {FOIL}.",
+    "A remastered edition was issued by {FOIL} in {Y2}.",
+]
+
+
+def _paragraphs(w, rng, foil_label=None, abbr_ok=False, stage_name=None):
     # a day-dated release never uses the "the year Y" surface
     year_surface = (f"the year {w['year']}"
                     if rng.random() < 0.3 and not w.get("date")
                     else str(w["year"]))
     p_sub = _coref_subject(rng, w["person"], "She")
     s_sub = _coref_subject(rng, w["spouse"], "He")
+    # v8 stage name: the work credits ONLY the stage surface; the person
+    # paragraph introduces the alias ("P, known professionally as S, ...")
+    credit = stage_name or w["person"]
     if rng.random() < 0.35:
         # v6 appositive: perform + release + label in ONE sentence
         rel = (f"on {w['date']} {year_surface}" if w.get("date")
                else f"in {year_surface}")
         work_text = _pick(rng, _WORK_APPOS_T).format(
-            W=w["work"], P=w["person"], R=rel, L=w["label"])
+            W=w["work"], P=credit, R=rel, L=w["label"])
     else:
-        perform = _pick(rng, _PERFORM_T).format(W=w["work"], P=w["person"])
+        perform = _pick(rng, _PERFORM_T).format(W=w["work"], P=credit)
         work_text = f"{perform} {_release_sent(w, year_surface, rng)}"
     if rng.random() < 0.5:
         work_text += f" {_pick(rng, _FILLER_WORK)}"
     if foil_label is not None and rng.random() < 0.35:
         work_text += f" {_pick(rng, _NEG_T).format(FOIL=foil_label)}"
+    p_intro = (f"{w['person']}, known professionally as {stage_name}, "
+               f"is a musician. " if stage_name else "")
     p_spouse = _pick(rng, _SPOUSE_T).format(X=w["person"], Y=w["spouse"])
     p_born = _pick(rng, _BORN_T).format(
         X=p_sub, C=_city_surface(w["city"], rng))
@@ -297,7 +330,7 @@ def _paragraphs(w, rng, foil_label=None, abbr_ok=False):
     return [
         (f"{w['work']} (album)", work_text),
         (w["person"],
-         f"{p_spouse} The spouse of {w['person']} is {w['spouse']}. "
+         f"{p_intro}{p_spouse} The spouse of {w['person']} is {w['spouse']}. "
          f"{p_born}{p_fill}"),
         (w["spouse"],
          f"{w['spouse']} is married to {w['person']}. {s_born}"),
@@ -387,12 +420,14 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 14
+        kind = i % 18
         answerable = True
         akey = None
         extra_aliases = None
         extra_support_world = None   # (world, para_indices) appended as support
         extra_support_paras = []     # [(title, text)] appended as support
+        stage_name = None            # v8 kind 16: work credits this alias
+        reissue = False              # v8 kind 17: append a reissue edge
         # support indexes into _paragraphs(w): 0 work, 1 person, 2 spouse,
         # 3 label, 4 founder, 5 founder_spouse
         if kind == 0:
@@ -488,7 +523,7 @@ def make_items(n: int, distractors: int, seed: int):
             a = "yes" if w["year"] < wb["year"] else "no"
             support = {0}
             extra_support_world = (wb, [0])
-        else:
+        elif kind == 13:
             # count: cardinality of the label's work set
             sibs = _siblings(rng, w, seen_works)
             if rng.random() < 0.35:
@@ -500,13 +535,57 @@ def make_items(n: int, distractors: int, seed: int):
             support = {0}
             extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
+        elif kind == 14:
+            # v8 label intersection: the LABEL is the answer, reached by
+            # intersecting two works' released-on edges
+            sibs = _siblings(rng, w, seen_works, count=1)
+            q = (f"Which record label released both {w['work']} and "
+                 f"{sibs[0]['work']}?")
+            a = w["label"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(sibs[0], w["label"],
+                                                      rng)]
+        elif kind == 15:
+            # v8 ordinal: index 1 of the label's works sorted by year
+            sibs = _siblings(rng, w, seen_works)
+            if rng.random() < 0.35:
+                sibs[0]["rel_anchor"] = {"work": w["work"], "year": w["year"]}
+            entries = [{"work": w["work"], "year": w["year"]}] + sibs
+            pick = sorted(entries, key=lambda e: e["year"])[1]
+            q = (f"What was the second album released on the label "
+                 f"{w['label']}?")
+            a = pick["work"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 16:
+            # v8 stage name: the work credits only the alias
+            stage_name = _name(rng)
+            q, a = (f"Who is the spouse of the performer of {w['work']}?",
+                    w["spouse"])
+            support = {0, 1}
+        else:
+            # v8 re-release trap: follow the ORIGINAL label edge
+            reissue = True
+            q, a = (f"Who founded the label that originally released "
+                    f"{w['work']}?", w["founder"])
+            support = {0, 3}
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
+        own = _paragraphs(w, rng,
+                          foil_label=None if reissue else confus[0]["label"],
+                          abbr_ok=True, stage_name=stage_name)
+        if reissue:
+            # the reissue edge leads into confus[0]'s LIVE founder chain
+            # (its label+founder paragraphs ride along below) — a wrong
+            # answer, not a dead end
+            y2 = w["year"] + int(rng.integers(8, 30))
+            t0, x0 = own[0]
+            own[0] = (t0, f"{x0} " + _pick(rng, _REISSUE_T).format(
+                Y2=y2, FOIL=confus[0]["label"]))
         paras = []
-        for pi, (title, text) in enumerate(
-                _paragraphs(w, rng, foil_label=confus[0]["label"],
-                            abbr_ok=True)):
+        for pi, (title, text) in enumerate(own):
             paras.append({"idx": len(paras), "title": title,
                           "paragraph_text": text,
                           "is_supporting": pi in support})
@@ -563,12 +642,12 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 14] = kinds.get(i % 14, 0) + 1
-    n_multi = sum(v for k, v in kinds.items() if k in (0, 1, 4, 5, 6, 9))
+        kinds[i % 18] = kinds.get(i % 18, 0) + 1
+    n_multi = sum(v for k, v in kinds.items() if k in (0, 1, 4, 5, 6, 9, 16))
     n_unans = kinds.get(7, 0)
-    n_agg = sum(kinds.get(k, 0) for k in (10, 11, 12, 13))
+    n_agg = sum(kinds.get(k, 0) for k in (10, 11, 12, 13, 14, 15))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} v4-aggregation, kinds 0-13 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-17 cycle) "
           f"-> {args.out}")
     return 0
 

@@ -104,7 +104,14 @@ def test_generated_musique_all_kinds(tmp_path):
     (negation foils naming a live confusable label chain, parenthetical
     label abbreviations carrying the founding facts, relative-offset
     release dates) recorded floor EM 0.946 / supF1 0.963 — every EM miss
-    was an abbreviation-broken founder chain answering the label."""
+    was an abbreviation-broken founder chain answering the label; closed
+    by the negation guard, the corpus-level abbreviation alias pass, and
+    released_offset triples resolved through the anchor's absolute year
+    (EM 1.00 / supF1 0.985). The v8 kinds (14 label intersection, 15
+    ordinal, 16 stage-name alias, 17 re-release trap) recorded floor
+    EM 0.794 / supF1 0.906 on the 200-item driver eval — the asserts
+    below tolerate exactly those four kinds failing while guarding that
+    every closed kind STAYS closed."""
     import sys
     from pathlib import Path as _P
 
@@ -115,12 +122,27 @@ def test_generated_musique_all_kinds(tmp_path):
     cfg.set("embedding.backend", "hash")
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
-    items = make_items(28, distractors=4, seed=9)   # 2 of each of 14 kinds
+    items = make_items(36, distractors=4, seed=9)   # 2 of each of 18 kinds
     preds = []
     for it in items:
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
         preds.append(res)
-    # v6 closed (200-item driver eval: EM 1.00 / supF1 0.987)
     metrics = evaluate_dataset(preds, items)
-    assert metrics["answer_em"] >= 0.85, metrics
-    assert metrics["support_f1"] >= 0.85, metrics
+    # 34 answerable; the 8 v8-kind items may all fail (round-4 headroom)
+    # without dropping EM below 26/34 — any CLOSED kind regressing does
+    assert metrics["answer_em"] >= 0.70, metrics
+    assert metrics["support_f1"] >= 0.80, metrics
+    # closed kinds individually: every miss must be a v8 kind (14-17)
+    from anorag_tpu.eval.musique import answer_em, gold_aliases
+    by_id = {it["id"]: it for it in items}
+    for p in preds:
+        it = by_id[p["id"]]
+        if not it.get("answerable", True):
+            continue
+        i = int(p["id"].split("_")[1])
+        if i % 18 in (14, 15, 16, 17):
+            continue
+        assert answer_em(p.get("predicted_answer") or "",
+                         gold_aliases(it)) == 1.0, \
+            (p["id"], i % 18, it["question"], it["answer"],
+             p.get("predicted_answer"))
