@@ -25,7 +25,10 @@ _CUE_RELS = [
      "performed_by"),
     (r"\bborn\b|\bbirthplace\b", "born_in"),
     (r"\bmember\b", "member_of"),
-    (r"\blabel (?:that|which) released\b|\breleased on\b|\bon the label\b",
+    # an adverb may sit between the relative pronoun and the verb:
+    # "the label that ORIGINALLY released W" (re-release questions)
+    (r"\blabel (?:that|which) (?:\w+\s+)?released\b|\breleased on\b"
+     r"|\bon the label\b",
      "released_on_label"),
     (r"\bfound(?:ed|er)\b|\bestablish(?:ed|er)\b", "founded_by"),
     (r"\breleased?\b", "released_in"),

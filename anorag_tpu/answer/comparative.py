@@ -326,6 +326,85 @@ def answer_superlative(question: str, graph: Optional[NoteGraph],
             "method": "superlative"}
 
 
+# "What was the second album released on the label L?" (v8 kind 15) —
+# an ORDINAL over the label's work set, not an extremum
+_ORDINAL_WORDS = {"second": 2, "third": 3, "fourth": 4, "fifth": 5,
+                  "2nd": 2, "3rd": 3, "4th": 4, "5th": 5}
+_ORDINAL_RE = re.compile(
+    r"\b(?:what|which)\s+(?:was|is|were)\s+the\s+"
+    r"(?P<ord>second|third|fourth|fifth|2nd|3rd|4th|5th)\s+"
+    r"(?P<dir>most\s+recent\s+|latest\s+)?"
+    r"(?:album|work|record|song|release)\s+"
+    r"(?:to\s+be\s+)?(?:released|published|issued|put\s+out)?\s*"
+    r"(?:on|by|through|under)\s+(?:the\s+label\s+)?(?P<set>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_ordinal(question: str, graph: Optional[NoteGraph],
+                   candidates: Sequence[Dict[str, Any]]
+                   ) -> Optional[Dict[str, Any]]:
+    m = _ORDINAL_RE.search((question or "").strip())
+    if not m:
+        return None
+    idx = _ORDINAL_WORDS[m.group("ord").lower()] - 1
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    if len(entries) <= idx:
+        return None
+    entries.sort(key=lambda t: t[1], reverse=bool(m.group("dir")))
+    pick = entries[idx]
+    # a year tie at the ordinal boundary makes the position ambiguous
+    years = [y for _, y, _ in entries]
+    if years.count(pick[1]) > 1:
+        return None
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": pick[0], "support_idxs": support, "method": "ordinal"}
+
+
+# "Which record label released both A and B?" (v8 kind 14) — the LABEL is
+# the answer, reached by intersecting the two works' released-on edges
+_BOTH_RE = re.compile(
+    r"\bwhich\s+(?:record\s+)?(?:label|company|publisher|studio)\s+"
+    r"(?:released|published|issued|distributed|put\s+out)\s+"
+    r"both\s+(?P<a>.+?)\s+and\s+(?P<b>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def _labels_of(option: str, graph: NoteGraph) -> Dict[str, List[int]]:
+    """{label tail: support paragraph idxs} for option's released-on edges."""
+    key = graph.resolve_head(option)
+    if key is None:
+        return {}
+    out: Dict[str, List[int]] = {}
+    for rel, tail, note_id, _w, _p in graph.neighbors(key):
+        if rel not in _SET_RELS:
+            continue
+        note = graph.notes.get(note_id, {})
+        paras = out.setdefault(str(tail), [])
+        paras += [p for p in (note.get("paragraph_idxs") or [])
+                  if p not in paras]
+    return out
+
+
+def answer_label_intersection(question: str, graph: Optional[NoteGraph],
+                              candidates: Sequence[Dict[str, Any]]
+                              ) -> Optional[Dict[str, Any]]:
+    m = _BOTH_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    la = _labels_of(m.group("a").strip(), graph)
+    lb = _labels_of(m.group("b").strip(), graph)
+    common = [k for k in la if k in lb]
+    if len(common) != 1:
+        return None
+    label = common[0]
+    support = list(dict.fromkeys(la[label] + lb[label]))
+    return {"answer": label, "support_idxs": support,
+            "method": "label_intersection"}
+
+
 def answer_count(question: str, graph: Optional[NoteGraph],
                  candidates: Sequence[Dict[str, Any]]
                  ) -> Optional[Dict[str, Any]]:
@@ -348,7 +427,8 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
     """Dispatcher over every exact-math family; None = not such a question
     or unresolvable (callers fall through to the regular stages)."""
     for fn in (answer_comparative, answer_temporal_diff, answer_yesno,
-               answer_superlative, answer_count):
+               answer_superlative, answer_ordinal, answer_label_intersection,
+               answer_count):
         res = fn(question, note_graph, candidates)
         if res:
             return res

@@ -281,6 +281,13 @@ def extract_all_note_keys(
 _ABBR_INTRO_RE = re.compile(
     r"([A-Z][\w'&-]*(?:\s+[A-Z][\w'&-]*)+)\s*\(\s*([A-Z]{2,6})\s*\)")
 
+# "Real Name, known professionally/also as Stage Name" — facts elsewhere
+# credit the STAGE surface; chains must resolve it to the real name
+_STAGE_INTRO_RE = re.compile(
+    r"([A-Z][\w'&-]*(?:\s+[A-Z][\w'&-]*)+),\s+(?:also\s+)?known\s+"
+    r"(?:professionally\s+|also\s+)?as\s+"
+    r"([A-Z][\w'&-]*(?:\s+[A-Z][\w'&-]*)*)")
+
 
 def resolve_note_abbreviations(
         notes: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
@@ -294,11 +301,16 @@ def resolve_note_abbreviations(
     fuzzy match); here the alias table is explicit and exact."""
     alias: Dict[str, str] = {}
     for n in notes:
-        for m in _ABBR_INTRO_RE.finditer(n.get("text") or ""):
+        text = n.get("text") or ""
+        for m in _ABBR_INTRO_RE.finditer(text):
             full, ab = m.group(1), m.group(2)
             initials = "".join(w[0] for w in full.split() if w[:1].isupper())
             if ab == initials and ab != full:
                 alias.setdefault(ab, full)
+        for m in _STAGE_INTRO_RE.finditer(text):
+            real, stage = m.group(1), m.group(2)
+            if stage != real:
+                alias.setdefault(stage, real)
     if not alias:
         return notes
     for n in notes:

@@ -59,12 +59,16 @@ def main():
     doc_rows, weight_rows = synth_plan(b, l, n, q_len, rng)
     print(f"n={n} b={b} L={doc_rows.shape[1]}", flush=True)
 
+    # fresh-compile cost over the tunnel is 60-120s per config: keep the
+    # matrix small (block_b fixed at the known-good 128)
+    block_ls = ([int(x) for x in sys.argv[4].split(",")]
+                if len(sys.argv) > 4 else [1024, 4096, 8192])
     ref = None
-    for block_l in (1024, 4096, 8192):
+    for block_l in block_ls:
         a3, w3 = plan_tiles(doc_rows, weight_rows, n, block_l=block_l)
         a3 = jax.device_put(a3)
         w3 = jax.device_put(w3)
-        for block_b in (128, 256):
+        for block_b in (128,):
             if block_b > b:
                 continue
             steps = (b // block_b) * a3.shape[0]

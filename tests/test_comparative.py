@@ -207,3 +207,93 @@ def test_exact_math_dispatcher_routes_all_families():
         res = answer_exact_math(q, g, [])
         assert res and res["answer"] == want and res["method"] == method, (q, res)
     assert answer_exact_math("Who performed Holden Harbor?", g, []) is None
+
+
+def test_ordinal_over_label_set():
+    """v8 kind 15: 'the second album released on the label L' sorts the
+    label's works by year and takes index 1 (ascending; 'second most
+    recent' descends)."""
+    from anorag_tpu.answer.comparative import answer_ordinal
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970),
+                      ("Denon Harbor", 1966)])
+    res = answer_ordinal(
+        "What was the second album released on the label Tiden Records?",
+        g, [])
+    assert res["answer"] == "Denon Harbor" and res["method"] == "ordinal"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    res = answer_ordinal(
+        "Which was the second most recent album released on the label "
+        "Tiden Records?", g, [])
+    assert res["answer"] == "Denon Harbor"
+    res = answer_ordinal(
+        "What was the third album released on the label Tiden Records?",
+        g, [])
+    assert res["answer"] == "Linlin Garden"
+    # out-of-range ordinal and non-ordinal questions fall through
+    assert answer_ordinal(
+        "What was the fifth album released on the label Tiden Records?",
+        g, []) is None
+    assert answer_ordinal(
+        "Which album on the label Tiden Records was released first?",
+        g, []) is None
+
+
+def test_label_intersection():
+    """v8 kind 14: the LABEL is the answer, reached by intersecting two
+    works' released-on edges; ambiguous/empty intersections fall through."""
+    from anorag_tpu.answer.comparative import answer_label_intersection
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970)])
+    # a third work on a DIFFERENT label: not in the intersection
+    g2 = _label_graph([("Miza Steps", 1980)], label="Corba Sound")
+    for nid, n in g2.notes.items():
+        g.add_notes([dict(n, note_id=f"x{nid}")])
+    res = answer_label_intersection(
+        "Which record label released both Holden Harbor and Linlin Garden?",
+        g, [])
+    assert res["answer"] == "Tiden Records"
+    assert res["method"] == "label_intersection"
+    assert set(res["support_idxs"]) == {0, 1}
+    # no common label -> fall through
+    assert answer_label_intersection(
+        "Which record label released both Holden Harbor and Miza Steps?",
+        g, []) is None
+
+
+def test_originally_released_chain():
+    """v8 kind 17: 'the label that ORIGINALLY released W' still parses as
+    the released_on_label hop (adverb between pronoun and verb), and the
+    reissue sentence must not forge a released_on_label edge."""
+    chain = extract_rel_chain(
+        "Who founded the label that originally released Lura River?")
+    assert chain == ["released_on_label", "founded_by"], chain
+    from anorag_tpu.llm.note_generator import extract_note_keys
+    keys = extract_note_keys(
+        "It was reissued in 1979 by Bato Sound.",
+        ["It", "1979", "Bato Sound"])
+    assert keys.get("rel") != "released_on_label"
+    keys = extract_note_keys(
+        "A remastered edition was issued by Bato Sound in 1999.",
+        ["Bato Sound", "1999"])
+    assert keys.get("rel") != "released_on_label"
+
+
+def test_stage_name_alias_resolution():
+    """v8 kind 16: 'P, known professionally as S' re-keys S-credited facts
+    under the real name (non-initial alias class, unlike v7 initials)."""
+    from anorag_tpu.llm.note_generator import resolve_note_abbreviations
+
+    notes = [
+        {"text": "Marralin Toluhol, known professionally as Corfen "
+                 "Onpriza, is a musician.",
+         "entities": ["Marralin Toluhol", "Corfen Onpriza"]},
+        {"text": "Toti River is an album by Corfen Onpriza.",
+         "entities": ["Toti River", "Corfen Onpriza"],
+         "head_key": "Toti River", "rel": "performed_by",
+         "tail_key": "Corfen Onpriza"},
+    ]
+    resolve_note_abbreviations(notes)
+    assert notes[1]["tail_key"] == "Marralin Toluhol"
+    assert "Marralin Toluhol" in notes[1]["entities"]
+    assert "Corfen Onpriza" in notes[1]["entities"]

@@ -109,9 +109,10 @@ def test_generated_musique_all_kinds(tmp_path):
     released_offset triples resolved through the anchor's absolute year
     (EM 1.00 / supF1 0.985). The v8 kinds (14 label intersection, 15
     ordinal, 16 stage-name alias, 17 re-release trap) recorded floor
-    EM 0.794 / supF1 0.906 on the 200-item driver eval — the asserts
-    below tolerate exactly those four kinds failing while guarding that
-    every closed kind STAYS closed."""
+    EM 0.794 / supF1 0.906 and were closed by the ordinal +
+    label-intersection exact-math stages, the stage-name alias pattern,
+    and the adverb-tolerant released_on_label cue (EM 1.00 /
+    supF1 0.985)."""
     import sys
     from pathlib import Path as _P
 
