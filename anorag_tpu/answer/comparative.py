@@ -139,6 +139,32 @@ def _year_from_candidates(option: str, verb: str,
     return None
 
 
+# a comparative OPTION may be a description needing a hop of its own:
+# "the album performed by P" (v9 kind 20)
+_DESC_OPT_RE = re.compile(
+    r"^the\s+(?:album|work|record|song|release)\s+"
+    r"(?:(?P<verb>performed|recorded|released|made|written)\s+by|by)\s+"
+    r"(?P<who>.+)$", re.IGNORECASE)
+
+_DESC_RELS = ("performed_by",)
+
+
+def _resolve_option_surface(option: str, graph: Optional[NoteGraph]) -> str:
+    """A descriptive option resolves to the one work it names (reverse
+    performed_by edge); a plain title passes through unchanged."""
+    m = _DESC_OPT_RE.match(option.strip())
+    if not m or graph is None:
+        return option
+    key = graph.resolve_tail(m.group("who").strip())
+    if key is None:
+        return option
+    works = {head for rel, head, _n in graph.rheads(key)
+             if rel in _DESC_RELS}
+    if len(works) == 1:
+        return next(iter(works))
+    return option
+
+
 def answer_comparative(
     question: str,
     note_graph: Optional[NoteGraph],
@@ -152,7 +178,9 @@ def answer_comparative(
         return None
     rels = _VERB_RELS.get(parsed["verb"], ())
     resolved: List[Tuple[str, int, List[int]]] = []   # (option, year, paras)
-    for opt in parsed["options"]:
+    options = [_resolve_option_surface(o, note_graph)
+               for o in parsed["options"]]
+    for opt in options:
         got = _year_from_graph(opt, rels, note_graph) if note_graph else None
         if got is not None:
             year, note_id = got
@@ -405,6 +433,132 @@ def answer_label_intersection(question: str, graph: Optional[NoteGraph],
             "method": "label_intersection"}
 
 
+# "Which album on the label L was released in the 1970s?" (v9 kind 19) —
+# decade membership over the label's work set
+_DECADE_RE = re.compile(
+    r"\b(?:what|which)\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:was|were|got|came)\s+[^?]*?"
+    r"\bin\s+the\s+(?P<dec>1[0-9]{2}|20[0-9])0s\b",
+    re.IGNORECASE)
+
+
+def answer_decade(question: str, graph: Optional[NoteGraph],
+                  candidates: Sequence[Dict[str, Any]]
+                  ) -> Optional[Dict[str, Any]]:
+    m = _DECADE_RE.search((question or "").strip())
+    if not m:
+        return None
+    lo = int(m.group("dec")) * 10
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    if len(entries) < 2:
+        return None
+    hits = [e for e in entries if lo <= e[1] < lo + 10]
+    if len(hits) != 1:
+        return None                        # zero or several: ambiguous
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": hits[0][0], "support_idxs": support,
+            "method": "decade"}
+
+
+# "Which album by P was released on the label L?" (v9 kind 18) — BOTH
+# constraints must bind (the corpus carries single-constraint foils)
+_CONJ_RE = re.compile(
+    r"\b(?:what|which)\s+(?:album|work|record|song|release)\s+by\s+"
+    r"(?P<who>.+?)\s+(?:was|were|got|came)\s+"
+    r"(?:released|put\s+out|published|issued|out)\s+"
+    r"(?:on|by|through|under)\s+(?:the\s+label\s+)?(?P<set>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_conjunctive(question: str, graph: Optional[NoteGraph],
+                       candidates: Sequence[Dict[str, Any]]
+                       ) -> Optional[Dict[str, Any]]:
+    m = _CONJ_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    pkey = graph.resolve_tail(m.group("who").strip())
+    lkey = graph.resolve_tail(m.group("set").strip())
+    if pkey is None or lkey is None:
+        return None
+    by_p = {head: nid for rel, head, nid in graph.rheads(pkey)
+            if rel in _DESC_RELS}
+    on_l = {head: nid for rel, head, nid in graph.rheads(lkey)
+            if rel in _SET_RELS}
+    both = [wk for wk in by_p if wk in on_l]
+    if len(both) != 1:
+        return None
+    wk = both[0]
+    support: List[int] = []
+    for nid in (by_p[wk], on_l[wk]):
+        note = graph.notes.get(nid, {})
+        support += [p for p in (note.get("paragraph_idxs") or [])
+                    if p not in support]
+    return {"answer": wk, "support_idxs": support, "method": "conjunctive"}
+
+
+# "Were the performer of A and the performer of B born in the same city?"
+# (v9 kind 21) — two chains resolved independently, compared for identity
+_SAME_RE = re.compile(
+    r"\b(?:were|are|was|is)\s+the\s+(?P<ra>performer|artist|singer|"
+    r"founder|author|writer)s?\s+of\s+(?P<a>.+?)\s+and\s+the\s+"
+    r"(?P<rb>performer|artist|singer|founder|author|writer)s?\s+of\s+"
+    r"(?P<b>.+?)\s+born\s+in\s+the\s+same\s+(?:city|town|place|state)\b",
+    re.IGNORECASE)
+
+_ROLE_RELS = {
+    "performer": ("performed_by",), "artist": ("performed_by",),
+    "singer": ("performed_by",), "founder": ("founded_by",),
+    "author": ("written_by",), "writer": ("written_by",),
+}
+
+
+def _chain_city(anchor: str, role: str, graph: NoteGraph
+                ) -> Optional[Tuple[str, List[int]]]:
+    """(birth city, support paras) via anchor --role--> person --born_in."""
+    key = graph.resolve_head(anchor)
+    if key is None:
+        return None
+    paras: List[int] = []
+    for rel, person, note_id, _w, _p in graph.neighbors(key):
+        if rel not in _ROLE_RELS.get(role, ()):
+            continue
+        note = graph.notes.get(note_id, {})
+        pp = list(note.get("paragraph_idxs") or [])
+        pkey = graph.resolve_head(str(person))
+        if pkey is None:
+            continue
+        for rel2, city, nid2, _w2, _p2 in graph.neighbors(pkey):
+            if rel2 != "born_in":
+                continue
+            n2 = graph.notes.get(nid2, {})
+            paras = pp + [p for p in (n2.get("paragraph_idxs") or [])
+                          if p not in pp]
+            return str(city), paras
+    return None
+
+
+def answer_same_attribute(question: str, graph: Optional[NoteGraph],
+                          candidates: Sequence[Dict[str, Any]]
+                          ) -> Optional[Dict[str, Any]]:
+    m = _SAME_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    ca = _chain_city(m.group("a").strip(), m.group("ra").lower(), graph)
+    cb = _chain_city(m.group("b").strip(), m.group("rb").lower(), graph)
+    if ca is None or cb is None:
+        return None
+    # "Boston, Massachusetts" and "Boston" are the same city surface
+    na = ca[0].split(",")[0].strip().lower()
+    nb = cb[0].split(",")[0].strip().lower()
+    support = list(dict.fromkeys(ca[1] + cb[1]))
+    return {"answer": "yes" if na == nb else "no",
+            "support_idxs": support, "method": "same_attribute"}
+
+
 def answer_count(question: str, graph: Optional[NoteGraph],
                  candidates: Sequence[Dict[str, Any]]
                  ) -> Optional[Dict[str, Any]]:
@@ -427,7 +581,8 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
     """Dispatcher over every exact-math family; None = not such a question
     or unresolvable (callers fall through to the regular stages)."""
     for fn in (answer_comparative, answer_temporal_diff, answer_yesno,
-               answer_superlative, answer_ordinal, answer_label_intersection,
+               answer_same_attribute, answer_superlative, answer_ordinal,
+               answer_decade, answer_label_intersection, answer_conjunctive,
                answer_count):
         res = fn(question, note_graph, candidates)
         if res:

@@ -110,7 +110,14 @@ def extract_note_keys(
     ents = [str(e) for e in entities if str(e).strip()]
     if len(ents) < 2:
         return {}
-    positions = {e: low.find(e.lower()) for e in ents}
+    # word-boundary search, NOT substring find: a short entity ("BA",
+    # "1983") otherwise matches inside another token ("Balu") and its
+    # phantom position corrupts head/tail assignment
+    def _pos(e: str) -> int:
+        m = re.search(r"(?<!\w)" + re.escape(e.lower()) + r"(?!\w)", low)
+        return m.start() if m else -1
+
+    positions = {e: _pos(e) for e in ents}
     ents_in_text = sorted((e for e in ents if positions[e] >= 0),
                           key=lambda e: positions[e])
     if len(ents_in_text) < 2:

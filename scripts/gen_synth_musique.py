@@ -118,6 +118,24 @@ v8 (late round 3): the v7 traps closed (EM 1.00), so the cycle widens to
     ORIGINAL label edge, not the reissue (temporal qualifier on a
     relation, the dual of v7's polarity guard).
 
+v9 (late round 3): the v8 kinds closed (EM 1.00), so the cycle widens to
+22 with four kinds that COMPOSE the solved machinery — constraint
+intersection, range membership, in-question option resolution, and
+cross-chain equality:
+  * kind 18, conjunctive constraint: "Which album by P was released on
+    the label L?" — BOTH constraints must bind: the corpus carries
+    another album by P on a different label AND another album on L by a
+    different performer, so single-constraint matching picks a foil;
+  * kind 19, decade membership: "Which album on the label L was released
+    in the 1970s?" — year-range bucketing over the label set (the other
+    works sit in different decades);
+  * kind 20, bridged comparative: "Which was released first, A or the
+    album performed by P2?" — one comparative option is a DESCRIPTION
+    that must be resolved through a hop before the year math;
+  * kind 21, cross-chain equality: "Were the performer of A and the
+    performer of B born in the same city?" — two 2-hop chains resolved
+    independently, then compared for identity (yes/no).
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -420,7 +438,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 18
+        kind = i % 22
         answerable = True
         akey = None
         extra_aliases = None
@@ -428,6 +446,7 @@ def make_items(n: int, distractors: int, seed: int):
         extra_support_paras = []     # [(title, text)] appended as support
         stage_name = None            # v8 kind 16: work credits this alias
         reissue = False              # v8 kind 17: append a reissue edge
+        extra_foil_paras = []        # v9: NON-supporting confounders
         # support indexes into _paragraphs(w): 0 work, 1 person, 2 spouse,
         # 3 label, 4 founder, 5 founder_spouse
         if kind == 0:
@@ -564,12 +583,68 @@ def make_items(n: int, distractors: int, seed: int):
             q, a = (f"Who is the spouse of the performer of {w['work']}?",
                     w["spouse"])
             support = {0, 1}
-        else:
+        elif kind == 17:
             # v8 re-release trap: follow the ORIGINAL label edge
             reissue = True
             q, a = (f"Who founded the label that originally released "
                     f"{w['work']}?", w["founder"])
             support = {0, 3}
+        elif kind == 18:
+            # v9 conjunctive constraint: another album by P on a different
+            # label AND another album on L by a different performer are
+            # both in the corpus — one constraint alone picks a foil
+            sib = _siblings(rng, w, seen_works, count=1)[0]
+            alt = _unique_worlds(rng, 1, seen_works)[0]
+            q, a = (f"Which album by {w['person']} was released on the "
+                    f"label {w['label']}?", w["work"])
+            support = {0}
+            extra_foil_paras = [
+                _sibling_paragraph(sib, w["label"], rng),
+                (f"{alt['work']} (album)",
+                 f"{alt['work']} is an album by {w['person']}. It was "
+                 f"released in {alt['year']} on the label {alt['label']}."),
+            ]
+        elif kind == 19:
+            # v9 decade membership: exactly one of the label's works falls
+            # in the asked decade
+            decade = (w["year"] // 10) * 10
+            sibs = _siblings(rng, w, seen_works)
+            for s in sibs:
+                while s["year"] // 10 == decade // 10:
+                    s["year"] = int(rng.integers(1950, 2020))
+            q, a = (f"Which album on the label {w['label']} was released "
+                    f"in the {decade}s?", w["work"])
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 20:
+            # v9 bridged comparative: one option is a DESCRIPTION resolved
+            # through the performer hop before the year comparison
+            wb = worlds[(i + 3) % n]
+            if wb["year"] == w["year"]:
+                wb = worlds[(i + 7) % n]
+            first = w if w["year"] < wb["year"] else wb
+            q = (f"Which was released first, {w['work']} or the album "
+                 f"performed by {wb['person']}?")
+            a = first["work"]
+            support = {0}
+            extra_support_world = (wb, [0])
+        else:
+            # v9 cross-chain equality: two performer birthplaces compared
+            # for identity; steer ~half the items to a same-city pair so
+            # a constant yes/no strategy can't score
+            want_same = bool(rng.random() < 0.5)
+            wb = next((o for o in worlds[i + 1:] + worlds[:i]
+                       if o is not w
+                       and (o["city"] == w["city"]) == want_same
+                       and o["work"] != w["work"]), None)
+            if wb is None:
+                wb = worlds[(i + 5) % n]
+            q = (f"Were the performer of {w['work']} and the performer of "
+                 f"{wb['work']} born in the same city?")
+            a = "yes" if wb["city"] == w["city"] else "no"
+            support = {0, 1}
+            extra_support_world = (wb, [0, 1])
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
@@ -599,6 +674,9 @@ def make_items(n: int, distractors: int, seed: int):
         for title, text in extra_support_paras:
             paras.append({"idx": len(paras), "title": title,
                           "paragraph_text": text, "is_supporting": True})
+        for title, text in extra_foil_paras:
+            paras.append({"idx": len(paras), "title": title,
+                          "paragraph_text": text, "is_supporting": False})
         # two CONFUSABLE distractor worlds: same work-title suffix; the
         # first carries its label+founder paragraphs so the negation
         # foil's forged chain leads somewhere REAL (a wrong answer, not a
@@ -642,12 +720,14 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 18] = kinds.get(i % 18, 0) + 1
-    n_multi = sum(v for k, v in kinds.items() if k in (0, 1, 4, 5, 6, 9, 16))
+        kinds[i % 22] = kinds.get(i % 22, 0) + 1
+    n_multi = sum(v for k, v in kinds.items()
+                  if k in (0, 1, 4, 5, 6, 9, 16, 17))
     n_unans = kinds.get(7, 0)
-    n_agg = sum(kinds.get(k, 0) for k in (10, 11, 12, 13, 14, 15))
+    n_agg = sum(kinds.get(k, 0)
+                for k in (10, 11, 12, 13, 14, 15, 19, 20, 21))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-17 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-21 cycle) "
           f"-> {args.out}")
     return 0
 

@@ -297,3 +297,141 @@ def test_stage_name_alias_resolution():
     assert notes[1]["tail_key"] == "Marralin Toluhol"
     assert "Marralin Toluhol" in notes[1]["entities"]
     assert "Corfen Onpriza" in notes[1]["entities"]
+
+
+def test_decade_membership():
+    """v9 kind 19: exactly one of the label's works falls in the asked
+    decade; zero or several fall through."""
+    from anorag_tpu.answer.comparative import answer_decade
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1972),
+                      ("Denon Harbor", 1966)])
+    res = answer_decade(
+        "Which album on the label Tiden Records was released in the "
+        "1970s?", g, [])
+    assert res["answer"] == "Linlin Garden" and res["method"] == "decade"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    # no work in the 1980s -> fall through
+    assert answer_decade(
+        "Which album on the label Tiden Records was released in the "
+        "1980s?", g, []) is None
+    # two works in the 1960s -> ambiguous, fall through
+    g2 = _label_graph([("A Steps", 1961), ("B Steps", 1968)])
+    assert answer_decade(
+        "Which album on the label Tiden Records was released in the "
+        "1960s?", g2, []) is None
+
+
+def test_conjunctive_constraint():
+    """v9 kind 18: both constraints (performer AND label) must bind —
+    single-constraint foils are in the graph."""
+    from anorag_tpu.answer.comparative import answer_conjunctive
+
+    g = NoteGraph()
+    g.add_notes([
+        # the answer: by P, on L
+        {"note_id": "n0", "content": "Miti Echo ...",
+         "head_key": "Miti Echo", "rel": "performed_by",
+         "tail_key": "Nefen Corongor", "paragraph_idxs": [0],
+         "secondary_keys": [{"head_key": "Miti Echo",
+                             "rel": "released_on_label",
+                             "tail_key": "Vellin Disc"}]},
+        # foil 1: on L, by someone else
+        {"note_id": "n1", "content": "Priza Summit ...",
+         "head_key": "Priza Summit", "rel": "performed_by",
+         "tail_key": "Other Artist", "paragraph_idxs": [1],
+         "secondary_keys": [{"head_key": "Priza Summit",
+                             "rel": "released_on_label",
+                             "tail_key": "Vellin Disc"}]},
+        # foil 2: by P, on another label
+        {"note_id": "n2", "content": "Marpri Signal ...",
+         "head_key": "Marpri Signal", "rel": "performed_by",
+         "tail_key": "Nefen Corongor", "paragraph_idxs": [2],
+         "secondary_keys": [{"head_key": "Marpri Signal",
+                             "rel": "released_on_label",
+                             "tail_key": "Gorto Audio"}]},
+    ])
+    res = answer_conjunctive(
+        "Which album by Nefen Corongor was released on the label "
+        "Vellin Disc?", g, [])
+    assert res["answer"] == "Miti Echo"
+    assert res["method"] == "conjunctive"
+    assert answer_conjunctive(
+        "Which album by Nefen Corongor was released on the label "
+        "Missing Records?", g, []) is None
+
+
+def test_bridged_comparative_option():
+    """v9 kind 20: 'the album performed by P' resolves through the
+    reverse performed_by edge before the year comparison; the ANSWER is
+    the resolved title."""
+    g = NoteGraph()
+    g.add_notes([
+        {"note_id": "n0", "content": "Vellin Summit ...",
+         "head_key": "Vellin Summit", "rel": "released_in",
+         "tail_key": "2004", "paragraph_idxs": [0]},
+        {"note_id": "n1", "content": "Fenne River ...",
+         "head_key": "Fenne River", "rel": "performed_by",
+         "tail_key": "Kesrato Titi", "paragraph_idxs": [1],
+         "secondary_keys": [{"head_key": "Fenne River",
+                             "rel": "released_in", "tail_key": "2006"}]},
+    ])
+    res = answer_comparative(
+        "Which was released first, Vellin Summit or the album performed "
+        "by Kesrato Titi?", g, [])
+    assert res["answer"] == "Vellin Summit"
+    # the resolved option wins when earlier
+    res = answer_comparative(
+        "Which was released most recently, Vellin Summit or the album "
+        "performed by Kesrato Titi?", g, [])
+    assert res["answer"] == "Fenne River"
+
+
+def test_same_city_cross_chain():
+    """v9 kind 21: two performer->born_in chains compared for identity;
+    the long 'City, State' surface normalizes."""
+    from anorag_tpu.answer.comparative import answer_same_attribute
+
+    def _world(nid, work, person, city):
+        return [
+            {"note_id": f"{nid}a", "content": f"{work} ...",
+             "head_key": work, "rel": "performed_by", "tail_key": person,
+             "paragraph_idxs": [int(nid)]},
+            {"note_id": f"{nid}b", "content": f"{person} ...",
+             "head_key": person, "rel": "born_in", "tail_key": city,
+             "paragraph_idxs": [int(nid) + 10]},
+        ]
+
+    g = NoteGraph()
+    g.add_notes(_world("0", "Toon Summit", "Vellu Shalin", "Portland")
+                + _world("1", "Luto Garden", "Tone Rane",
+                         "Portland, Oregon"))
+    res = answer_same_attribute(
+        "Were the performer of Toon Summit and the performer of "
+        "Luto Garden born in the same city?", g, [])
+    assert res["answer"] == "yes" and res["method"] == "same_attribute"
+    assert set(res["support_idxs"]) == {0, 10, 1, 11}
+    g2 = NoteGraph()
+    g2.add_notes(_world("0", "Toon Summit", "Vellu Shalin", "Portland")
+                 + _world("1", "Luto Garden", "Tone Rane", "Boston"))
+    res = answer_same_attribute(
+        "Were the performer of Toon Summit and the performer of "
+        "Luto Garden born in the same city?", g2, [])
+    assert res["answer"] == "no"
+
+
+def test_word_boundary_entity_positions():
+    """A 2-letter alias ('BA') must not phantom-match inside another
+    token ('Balu'): before the fix, 'Denbahol Balu established BA'
+    keyed Denbahol founded_by BA (inversion corrupted) and the spouse
+    sentence picked BA as its tail."""
+    from anorag_tpu.llm.note_generator import extract_all_note_keys
+
+    k = extract_all_note_keys(
+        "Denbahol Balu founded BA. The spouse of Denbahol Balu is "
+        "Shaden Tilu.", ["Denbahol Balu", "BA", "Shaden Tilu"])
+    triples = {(k["head_key"], k["rel"], k["tail_key"])} | {
+        (s["head_key"], s["rel"], s["tail_key"])
+        for s in k.get("secondary_keys") or ()}
+    assert ("BA", "founded_by", "Denbahol Balu") in triples
+    assert ("Denbahol Balu", "spouse_of", "Shaden Tilu") in triples

@@ -112,7 +112,12 @@ def test_generated_musique_all_kinds(tmp_path):
     EM 0.794 / supF1 0.906 and were closed by the ordinal +
     label-intersection exact-math stages, the stage-name alias pattern,
     and the adverb-tolerant released_on_label cue (EM 1.00 /
-    supF1 0.985)."""
+    supF1 0.985). The v9 kinds (18 conjunctive constraint, 19 decade
+    membership, 20 bridged comparative option, 21 cross-chain same-city)
+    recorded floor EM 0.859 / supF1 0.918 and were closed by four more
+    exact-math stages + the word-boundary entity-position fix in
+    extract_note_keys (a phantom 'BA'-inside-'Balu' match was corrupting
+    head/tail assignment) — EM 1.00 / supF1 0.971."""
     import sys
     from pathlib import Path as _P
 
@@ -123,17 +128,17 @@ def test_generated_musique_all_kinds(tmp_path):
     cfg.set("embedding.backend", "hash")
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
-    items = make_items(36, distractors=4, seed=9)   # 2 of each of 18 kinds
+    items = make_items(44, distractors=4, seed=9)   # 2 of each of 22 kinds
     preds = []
     for it in items:
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
         preds.append(res)
     metrics = evaluate_dataset(preds, items)
-    # 34 answerable; the 8 v8-kind items may all fail (round-4 headroom)
-    # without dropping EM below 26/34 — any CLOSED kind regressing does
-    assert metrics["answer_em"] >= 0.70, metrics
-    assert metrics["support_f1"] >= 0.80, metrics
-    # closed kinds individually: every miss must be a v8 kind (14-17)
+    assert metrics["answer_em"] >= 0.90, metrics
+    assert metrics["support_f1"] >= 0.85, metrics
+    # every kind is closed (v9): any individual miss is a regression.
+    # When a future vN adds unsolved kinds, list them here as tolerated.
+    tolerated_kinds: set = set()
     from anorag_tpu.eval.musique import answer_em, gold_aliases
     by_id = {it["id"]: it for it in items}
     for p in preds:
@@ -141,9 +146,9 @@ def test_generated_musique_all_kinds(tmp_path):
         if not it.get("answerable", True):
             continue
         i = int(p["id"].split("_")[1])
-        if i % 18 in (14, 15, 16, 17):
+        if i % 22 in tolerated_kinds:
             continue
         assert answer_em(p.get("predicted_answer") or "",
                          gold_aliases(it)) == 1.0, \
-            (p["id"], i % 18, it["question"], it["answer"],
+            (p["id"], i % 22, it["question"], it["answer"],
              p.get("predicted_answer"))
