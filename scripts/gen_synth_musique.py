@@ -136,6 +136,23 @@ cross-chain equality:
     performer of B born in the same city?" — two 2-hop chains resolved
     independently, then compared for identity (yes/no).
 
+v10 (late round 3): the v9 kinds closed (EM 1.00), so the cycle widens
+to 26 with four kinds that GENERALIZE the set machinery along new axes —
+whose-set, filtered aggregation, nested anchors, and question-side
+negation:
+  * kind 22, performer-set superlative: "Which album by P was released
+    first?" — the set anchor is a PERFORMER (reverse performed_by), not
+    a label; P has three albums on three different labels;
+  * kind 23, filtered count: "How many albums on the label L were
+    released in the 1990s?" — cardinality AFTER a decade filter (the
+    label carries works in and out of the decade);
+  * kind 24, nested anchor: "How many years after the release of the
+    first album on the label L was W released?" — the temporal-diff
+    option is itself a superlative that must resolve first;
+  * kind 25, negated conjunctive: "Which album by P was not released on
+    the label L?" — set difference where v9's kind 18 intersects (and a
+    foil album on L by another performer rides along).
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -410,6 +427,31 @@ def _siblings(rng, w, seen, count=2):
     return sibs
 
 
+def _performer_works(rng, w, seen, count=2):
+    """Extra works by w's performer, each on its OWN fresh label, years
+    distinct from w's and each other (superlative golds need a unique
+    extremum)."""
+    out = []
+    years = {w["year"]}
+    while len(out) < count:
+        alt = _world(rng)
+        if (alt["work"] in seen or alt["label"] in seen
+                or alt["year"] in years):
+            continue
+        seen.add(alt["work"])
+        seen.add(alt["label"])
+        years.add(alt["year"])
+        out.append({"work": alt["work"], "label": alt["label"],
+                    "year": alt["year"]})
+    return out
+
+
+def _performer_paragraph(x, person):
+    return (f"{x['work']} (album)",
+            f"{x['work']} is an album by {person}. It was released in "
+            f"{x['year']} on the label {x['label']}.")
+
+
 def _sibling_paragraph(sib, label, rng):
     perform = _pick(rng, _PERFORM_T).format(W=sib["work"], P=sib["person"])
     anchor = sib.get("rel_anchor")
@@ -438,7 +480,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 22
+        kind = i % 26
         answerable = True
         akey = None
         extra_aliases = None
@@ -629,7 +671,7 @@ def make_items(n: int, distractors: int, seed: int):
             a = first["work"]
             support = {0}
             extra_support_world = (wb, [0])
-        else:
+        elif kind == 21:
             # v9 cross-chain equality: two performer birthplaces compared
             # for identity; steer ~half the items to a same-city pair so
             # a constant yes/no strategy can't score
@@ -645,6 +687,67 @@ def make_items(n: int, distractors: int, seed: int):
             a = "yes" if wb["city"] == w["city"] else "no"
             support = {0, 1}
             extra_support_world = (wb, [0, 1])
+        elif kind == 22:
+            # v10 performer-set superlative: P has three albums (distinct
+            # years, three different labels)
+            alts = _performer_works(rng, w, seen_works, count=2)
+            entries = [{"work": w["work"], "year": w["year"]}] + alts
+            latest = bool(rng.random() < 0.5)
+            pick = max(entries, key=lambda e: e["year"]) if latest \
+                else min(entries, key=lambda e: e["year"])
+            q = (f"Which album by {w['person']} was released "
+                 f"{'most recently' if latest else 'first'}?")
+            a = pick["work"]
+            support = {0}
+            extra_support_paras = [_performer_paragraph(x, w["person"])
+                                   for x in alts]
+        elif kind == 23:
+            # v10 filtered count: cardinality AFTER a decade filter
+            decade = (w["year"] // 10) * 10
+            sibs = _siblings(rng, w, seen_works, count=3)
+            in_dec = [y for y in range(decade, decade + 10)
+                      if y != w["year"]]
+            sibs[0]["year"] = int(rng.choice(in_dec))
+            for s in sibs[1:]:
+                while s["year"] // 10 == decade // 10:
+                    s["year"] = int(rng.integers(1950, 2020))
+            q = (f"How many albums on the label {w['label']} were "
+                 f"released in the {decade}s?")
+            a = "2"
+            extra_aliases = [_NUM_WORDS[2]]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 24:
+            # v10 nested anchor: the temporal-diff option is itself a
+            # superlative over the label set; the argmin is forced to be
+            # a SIBLING so the question is a true two-stage resolution
+            sibs = _siblings(rng, w, seen_works)
+            sibs[0]["year"] = w["year"] - 1 - int(rng.integers(0, 30))
+            while (sibs[1]["year"] <= sibs[0]["year"]
+                   or sibs[1]["year"] == w["year"]):
+                sibs[1]["year"] = int(
+                    rng.integers(sibs[0]["year"] + 1, 2020))
+            diff = w["year"] - sibs[0]["year"]
+            q = (f"How many years after the release of the first album "
+                 f"on the label {w['label']} was {w['work']} released?")
+            a = str(diff)
+            extra_aliases = [f"{diff} years"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        else:
+            # v10 negated conjunctive: set difference (plus an on-label
+            # foil by another performer)
+            alts = _performer_works(rng, w, seen_works, count=1)
+            sib = _siblings(rng, w, seen_works, count=1)[0]
+            q = (f"Which album by {w['person']} was not released on the "
+                 f"label {w['label']}?")
+            a = alts[0]["work"]
+            support = {0}
+            extra_support_paras = [_performer_paragraph(alts[0],
+                                                        w["person"])]
+            extra_foil_paras = [_sibling_paragraph(sib, w["label"], rng)]
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
@@ -720,14 +823,15 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 22] = kinds.get(i % 22, 0) + 1
+        kinds[i % 26] = kinds.get(i % 26, 0) + 1
     n_multi = sum(v for k, v in kinds.items()
                   if k in (0, 1, 4, 5, 6, 9, 16, 17))
     n_unans = kinds.get(7, 0)
     n_agg = sum(kinds.get(k, 0)
-                for k in (10, 11, 12, 13, 14, 15, 19, 20, 21))
+                for k in (10, 11, 12, 13, 14, 15, 19, 20, 21,
+                          22, 23, 24, 25))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-21 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-25 cycle) "
           f"-> {args.out}")
     return 0
 

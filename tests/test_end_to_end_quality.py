@@ -128,17 +128,17 @@ def test_generated_musique_all_kinds(tmp_path):
     cfg.set("embedding.backend", "hash")
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
-    items = make_items(44, distractors=4, seed=9)   # 2 of each of 22 kinds
+    items = make_items(52, distractors=4, seed=9)   # 2 of each of 26 kinds
     preds = []
     for it in items:
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
         preds.append(res)
     metrics = evaluate_dataset(preds, items)
-    assert metrics["answer_em"] >= 0.90, metrics
+    assert metrics["answer_em"] >= 0.80, metrics
     assert metrics["support_f1"] >= 0.85, metrics
-    # every kind is closed (v9): any individual miss is a regression.
-    # When a future vN adds unsolved kinds, list them here as tolerated.
-    tolerated_kinds: set = set()
+    # any individual miss outside `tolerated_kinds` is a regression.
+    # When a vN adds unsolved kinds, list them here until closed.
+    tolerated_kinds: set = {22, 23, 24, 25}    # v10 floor EM 0.859
     from anorag_tpu.eval.musique import answer_em, gold_aliases
     by_id = {it["id"]: it for it in items}
     for p in preds:
@@ -146,7 +146,7 @@ def test_generated_musique_all_kinds(tmp_path):
         if not it.get("answerable", True):
             continue
         i = int(p["id"].split("_")[1])
-        if i % 22 in tolerated_kinds:
+        if i % 26 in tolerated_kinds:
             continue
         assert answer_em(p.get("predicted_answer") or "",
                          gold_aliases(it)) == 1.0, \
