@@ -238,6 +238,39 @@ _COUNT_RE = re.compile(
 
 # relations whose TAIL is the set anchor for label aggregation
 _SET_RELS = ("released_on_label",)
+# v10: a set anchor may also be a PERFORMER ("Which album by P was
+# released first?") — a label surface never appears as a performed_by
+# tail, so widening is unambiguous for _label_set (NOT for the
+# intersection stage, which must stay label-only)
+_SET_RELS_WIDE = _SET_RELS + ("performed_by",)
+
+
+# a temporal-diff option may itself be a superlative over a set:
+# "the first album on the label L" (v10 kind 24) — resolve it to the
+# extremum work before the year lookup
+_SUPERL_OPT_RE = re.compile(
+    r"^the\s+(?P<ord>" + _ORD_MIN + r"|" + _ORD_MAX + r")\s+"
+    r"(?:album|work|record|song|release)\s+(?:released\s+)?"
+    r"(?:on|by|through|under)\s+(?:the\s+label\s+)?(?P<set>.+)$",
+    re.IGNORECASE)
+
+
+def _resolve_superl_option(option: str, graph: Optional[NoteGraph]
+                           ) -> Optional[Tuple[int, List[int]]]:
+    m = _SUPERL_OPT_RE.match(option.strip())
+    if not m or graph is None:
+        return None
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    if len(entries) < 2:
+        return None
+    ordinal = re.sub(r"\s+", " ", m.group("ord").lower())
+    pick = min(entries, key=lambda t: t[1]) \
+        if re.fullmatch(_ORD_MIN, ordinal) else max(entries, key=lambda t: t[1])
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return pick[1], support
 
 
 def _resolve_year(option: str, verb: str, graph: Optional[NoteGraph],
@@ -245,6 +278,9 @@ def _resolve_year(option: str, verb: str, graph: Optional[NoteGraph],
                   ) -> Optional[Tuple[int, List[int]]]:
     """(year, support paragraph idxs) for option's <verb>-year attribute,
     graph triples first, candidate regex fallback."""
+    nested = _resolve_superl_option(option, graph)
+    if nested is not None:
+        return nested
     rels = _VERB_RELS.get(verb, ())
     if graph is not None:
         got = _year_from_graph(option, rels, graph)
@@ -302,8 +338,9 @@ def answer_yesno(question: str, graph: Optional[NoteGraph],
 
 def _label_set(set_surface: str, graph: Optional[NoteGraph]
                ) -> List[Tuple[str, int, List[int]]]:
-    """All (work, year, support paras) released on the label named by
-    set_surface, via reverse edges + each head's released_in triple."""
+    """All (work, year, support paras) anchored to set_surface — a label
+    (reverse released_on_label) or a performer (reverse performed_by) —
+    via reverse edges + each head's released_in triple."""
     if graph is None:
         return []
     key = graph.resolve_tail(set_surface)
@@ -311,7 +348,7 @@ def _label_set(set_surface: str, graph: Optional[NoteGraph]
         return []
     out = []
     for rel, head, note_id in graph.rheads(key):
-        if rel not in _SET_RELS:
+        if rel not in _SET_RELS_WIDE:
             continue
         got = _year_from_graph(head, ("released_in",), graph)
         note = graph.notes.get(note_id, {})
@@ -468,7 +505,7 @@ def answer_decade(question: str, graph: Optional[NoteGraph],
 # constraints must bind (the corpus carries single-constraint foils)
 _CONJ_RE = re.compile(
     r"\b(?:what|which)\s+(?:album|work|record|song|release)\s+by\s+"
-    r"(?P<who>.+?)\s+(?:was|were|got|came)\s+"
+    r"(?P<who>.+?)\s+(?:was|were|got|came)\s+(?P<neg>not\s+)?"
     r"(?:released|put\s+out|published|issued|out)\s+"
     r"(?:on|by|through|under)\s+(?:the\s+label\s+)?(?P<set>.+?)\s*\??\s*$",
     re.IGNORECASE)
@@ -488,16 +525,55 @@ def answer_conjunctive(question: str, graph: Optional[NoteGraph],
             if rel in _DESC_RELS}
     on_l = {head: nid for rel, head, nid in graph.rheads(lkey)
             if rel in _SET_RELS}
-    both = [wk for wk in by_p if wk in on_l]
-    if len(both) != 1:
-        return None
-    wk = both[0]
+    if m.group("neg"):
+        # v10 set difference: "was NOT released on L" — the excluded
+        # works' on-L notes are part of the proof
+        hits = [wk for wk in by_p if wk not in on_l]
+        if len(hits) != 1:
+            return None
+        wk = hits[0]
+        nids = [by_p[wk]] + [on_l[x] for x in by_p if x in on_l]
+    else:
+        hits = [wk for wk in by_p if wk in on_l]
+        if len(hits) != 1:
+            return None
+        wk = hits[0]
+        nids = [by_p[wk], on_l[wk]]
     support: List[int] = []
-    for nid in (by_p[wk], on_l[wk]):
+    for nid in nids:
         note = graph.notes.get(nid, {})
         support += [p for p in (note.get("paragraph_idxs") or [])
                     if p not in support]
     return {"answer": wk, "support_idxs": support, "method": "conjunctive"}
+
+
+# "How many albums on the label L were released in the 1990s?" (v10
+# kind 23) — cardinality AFTER a decade filter; every set member must
+# have a resolvable year or the count is unsafe
+_COUNT_FILTER_RE = re.compile(
+    r"\bhow\s+many\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:was|were)\s+released\s+in\s+the\s+"
+    r"(?P<dec>1[0-9]{2}|20[0-9])0s\b",
+    re.IGNORECASE)
+
+
+def answer_count_filtered(question: str, graph: Optional[NoteGraph],
+                          candidates: Sequence[Dict[str, Any]]
+                          ) -> Optional[Dict[str, Any]]:
+    m = _COUNT_FILTER_RE.search((question or "").strip())
+    if not m:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if not entries or any(y < 0 for _, y, _ in entries):
+        return None
+    lo = int(m.group("dec")) * 10
+    hits = [e for e in entries if lo <= e[1] < lo + 10]
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": str(len(hits)), "support_idxs": support,
+            "method": "count_filtered"}
 
 
 # "Were the performer of A and the performer of B born in the same city?"
@@ -583,7 +659,7 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
     for fn in (answer_comparative, answer_temporal_diff, answer_yesno,
                answer_same_attribute, answer_superlative, answer_ordinal,
                answer_decade, answer_label_intersection, answer_conjunctive,
-               answer_count):
+               answer_count_filtered, answer_count):
         res = fn(question, note_graph, candidates)
         if res:
             return res

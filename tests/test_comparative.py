@@ -435,3 +435,94 @@ def test_word_boundary_entity_positions():
         for s in k.get("secondary_keys") or ()}
     assert ("BA", "founded_by", "Denbahol Balu") in triples
     assert ("Denbahol Balu", "spouse_of", "Shaden Tilu") in triples
+
+
+def test_performer_set_superlative():
+    """v10 kind 22: the set anchor is a PERFORMER (reverse performed_by),
+    not a label."""
+    g = NoteGraph()
+    for i, (work, year, label) in enumerate(
+            [("Toti Garden", 2013, "Velkes Sound"),
+             ("Corlin Harbor", 2008, "Nekes Music"),
+             ("Kesvel Origins", 1977, "Prihol Music")]):
+        g.add_notes([{
+            "note_id": f"p{i}", "content": f"{work} ...",
+            "head_key": work, "rel": "performed_by",
+            "tail_key": "Gorkes Zamimar", "paragraph_idxs": [i],
+            "secondary_keys": [
+                {"head_key": work, "rel": "released_on_label",
+                 "tail_key": label},
+                {"head_key": work, "rel": "released_in",
+                 "tail_key": str(year)}]}])
+    res = answer_superlative(
+        "Which album by Gorkes Zamimar was released first?", g, [])
+    assert res["answer"] == "Kesvel Origins"
+    res = answer_superlative(
+        "Which album by Gorkes Zamimar was released most recently?", g, [])
+    assert res["answer"] == "Toti Garden"
+
+
+def test_filtered_count():
+    """v10 kind 23: cardinality after a decade filter; an unresolvable
+    year makes the count unsafe (fall through)."""
+    from anorag_tpu.answer.comparative import answer_count_filtered
+
+    g = _label_graph([("A Steps", 2001), ("B Steps", 2006),
+                      ("C Steps", 1964), ("D Steps", 1991)])
+    res = answer_count_filtered(
+        "How many albums on the label Tiden Records were released in "
+        "the 2000s?", g, [])
+    assert res["answer"] == "2" and res["method"] == "count_filtered"
+    assert set(res["support_idxs"]) == {0, 1, 2, 3}
+    res = answer_count_filtered(
+        "How many albums on the label Tiden Records were released in "
+        "the 1980s?", g, [])
+    assert res["answer"] == "0"
+    # plain unfiltered count still routes to answer_count
+    assert answer_count_filtered(
+        "How many albums were released on the label Tiden Records?",
+        g, []) is None
+
+
+def test_nested_anchor_temporal_diff():
+    """v10 kind 24: 'the first album on the label L' resolves through the
+    superlative before the year subtraction."""
+    g = _label_graph([("Luto Garden", 1962), ("Fenba Origins", 1944),
+                      ("Denra Horizon", 1951)])
+    res = answer_temporal_diff(
+        "How many years after the release of the first album on the "
+        "label Tiden Records was Luto Garden released?", g, [])
+    assert res["answer"] == "18"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+
+
+def test_negated_conjunctive():
+    """v10 kind 25: 'was NOT released on L' takes the set difference; the
+    on-L works by the same performer are part of the proof."""
+    from anorag_tpu.answer.comparative import answer_conjunctive
+
+    g = NoteGraph()
+    g.add_notes([
+        {"note_id": "n0", "content": "Nepri Echo ...",
+         "head_key": "Nepri Echo", "rel": "performed_by",
+         "tail_key": "Baluba Prizara", "paragraph_idxs": [0],
+         "secondary_keys": [{"head_key": "Nepri Echo",
+                             "rel": "released_on_label",
+                             "tail_key": "Velgor Audio"}]},
+        {"note_id": "n1", "content": "Shalu River ...",
+         "head_key": "Shalu River", "rel": "performed_by",
+         "tail_key": "Baluba Prizara", "paragraph_idxs": [1],
+         "secondary_keys": [{"head_key": "Shalu River",
+                             "rel": "released_on_label",
+                             "tail_key": "Timi Music"}]},
+    ])
+    res = answer_conjunctive(
+        "Which album by Baluba Prizara was not released on the label "
+        "Velgor Audio?", g, [])
+    assert res["answer"] == "Shalu River"
+    assert set(res["support_idxs"]) == {0, 1}
+    # the positive form still intersects
+    res = answer_conjunctive(
+        "Which album by Baluba Prizara was released on the label "
+        "Velgor Audio?", g, [])
+    assert res["answer"] == "Nepri Echo"

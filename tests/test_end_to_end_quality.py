@@ -117,7 +117,12 @@ def test_generated_musique_all_kinds(tmp_path):
     recorded floor EM 0.859 / supF1 0.918 and were closed by four more
     exact-math stages + the word-boundary entity-position fix in
     extract_note_keys (a phantom 'BA'-inside-'Balu' match was corrupting
-    head/tail assignment) — EM 1.00 / supF1 0.971."""
+    head/tail assignment) — EM 1.00 / supF1 0.971. The v10 kinds (22
+    performer-set superlative, 23 filtered count, 24 nested anchor, 25
+    negated conjunctive) recorded floor EM 0.859 / supF1 0.943 and were
+    closed by widening set anchors to performers, a decade-filtered
+    count, nested superlative-option resolution in temporal diff, and
+    set difference in the conjunctive stage — EM 1.00 / supF1 0.977."""
     import sys
     from pathlib import Path as _P
 
@@ -134,11 +139,11 @@ def test_generated_musique_all_kinds(tmp_path):
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
         preds.append(res)
     metrics = evaluate_dataset(preds, items)
-    assert metrics["answer_em"] >= 0.80, metrics
+    assert metrics["answer_em"] >= 0.90, metrics
     assert metrics["support_f1"] >= 0.85, metrics
     # any individual miss outside `tolerated_kinds` is a regression.
     # When a vN adds unsolved kinds, list them here until closed.
-    tolerated_kinds: set = {22, 23, 24, 25}    # v10 floor EM 0.859
+    tolerated_kinds: set = set()    # v10 closed: EM 1.00 / supF1 0.977
     from anorag_tpu.eval.musique import answer_em, gold_aliases
     by_id = {it["id"]: it for it in items}
     for p in preds:
