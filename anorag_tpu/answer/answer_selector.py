@@ -148,10 +148,46 @@ def answer_question(
     if not complete:
         return None
     best = complete[0]
+    notes = [_canonical_hop_note(note_graph, best.keys[i], best.rels[i],
+                                 best.keys[i + 1], nid)
+             for i, nid in enumerate(best.notes)]
     return {
         "answer": best.keys[-1],
-        "support_note_ids": best.notes,
+        "support_note_ids": notes,
         "path": best.keys,
         "relations": best.rels,
         "score": best.score,
     }
+
+
+def _hop_note_rank(graph: NoteGraph, head: str, tail: str, nid: str) -> int:
+    """0 = the note's text OPENS with the hop's head (its home paragraph
+    introduces it as subject), 1 = head precedes tail in the text, 2 =
+    anything else."""
+    note = graph.notes.get(nid, {})
+    txt = str(note.get("text") or note.get("content") or "").lower()
+    hp = txt.find(str(head).lower())
+    if hp == 0:
+        return 0
+    tp = txt.find(str(tail).lower())
+    if 0 <= hp < (tp if tp >= 0 else 1 << 30):
+        return 1
+    return 2
+
+
+def _canonical_hop_note(graph: NoteGraph, head: str, rel: str, tail: str,
+                        note_id: str) -> str:
+    """Among parallel notes asserting the same (head, rel, tail) triple,
+    prefer the one from the head entity's HOME paragraph (text opens with
+    the head). A 'label that released W -> founder' hop is stated both by
+    the label's own paragraph and the founder's; gold support conventions
+    (MuSiQue decompositions) cite the subject's paragraph. Keeps the
+    beam's choice on ties."""
+    best_id, best_rank = note_id, _hop_note_rank(graph, head, tail, note_id)
+    for r, t, nid, _w, _p in graph.neighbors(head):
+        if r != rel or t != tail or nid == note_id:
+            continue
+        rank = _hop_note_rank(graph, head, tail, nid)
+        if rank < best_rank:
+            best_rank, best_id = rank, nid
+    return best_id
