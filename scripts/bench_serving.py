@@ -99,9 +99,16 @@ def main():
     engine.process(queries)  # warm
     n_clients = 4
 
+    lat_ms: list = []          # per-request wall latency under contention
+    lat_lock = __import__("threading").Lock()
+
     def client(_):
         for _ in range(args.steady_batches):
+            t = time.perf_counter()
             rows = engine.process(queries)
+            ms = (time.perf_counter() - t) * 1e3
+            with lat_lock:
+                lat_ms.append(ms)
             assert len(rows) == args.batch
         return True
 
@@ -110,6 +117,11 @@ def main():
         list(ex.map(client, range(n_clients)))
     dt_e = (time.perf_counter() - t0) / (args.steady_batches * n_clients)
     engine.close()
+    lat = np.sort(np.asarray(lat_ms))
+    p50, p95, p99 = (float(np.percentile(lat, p)) for p in (50, 95, 99))
+    print(f"engine request latency under {n_clients}-client contention: "
+          f"p50 {p50:.0f} ms, p95 {p95:.0f} ms, p99 {p99:.0f} ms "
+          f"(batch={args.batch}/request, n={len(lat)})", flush=True)
 
     qp.retriever.hybrid_search(queries)  # warm (own shape bucket)
     t0 = time.perf_counter()
