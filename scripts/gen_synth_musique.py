@@ -153,6 +153,20 @@ negation:
     the label L?" — set difference where v9's kind 18 intersects (and a
     foil album on L by another performer rides along).
 
+v11 (late round 3): the v10 kinds closed (EM 1.00), so the cycle widens
+to 30 with four kinds whose machinery is still missing outright:
+  * kind 26, inverse-hop anchor: "Who is the spouse of the founder of
+    the label that released the album performed by P?" — the chain
+    STARTS at a performer, whose first hop runs AGAINST the stored edge
+    direction (work --performed_by--> P), then forward for 3 more hops;
+  * kind 27, unordered temporal distance: "How many years apart were A
+    and B released?" — absolute difference, no before/after direction;
+  * kind 28, count comparative: "Which label released more albums, L1
+    or L2?" — compare two set CARDINALITIES, answer is a label;
+  * kind 29, computed-distance superlative: "Which album on the label L
+    was released closest to W?" — argmin of |year - anchor_year| with
+    the anchor itself excluded from the set.
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -480,7 +494,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 26
+        kind = i % 30
         answerable = True
         akey = None
         extra_aliases = None
@@ -736,7 +750,7 @@ def make_items(n: int, distractors: int, seed: int):
             support = {0}
             extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
-        else:
+        elif kind == 25:
             # v10 negated conjunctive: set difference (plus an on-label
             # foil by another performer)
             alts = _performer_works(rng, w, seen_works, count=1)
@@ -748,6 +762,53 @@ def make_items(n: int, distractors: int, seed: int):
             extra_support_paras = [_performer_paragraph(alts[0],
                                                         w["person"])]
             extra_foil_paras = [_sibling_paragraph(sib, w["label"], rng)]
+        elif kind == 26:
+            # v11 inverse-hop anchor: the chain starts at the performer
+            # and hop 1 runs against the performed_by edge direction
+            q, a = (f"Who is the spouse of the founder of the label that "
+                    f"released the album performed by {w['person']}?",
+                    w["founder_spouse"])
+            support = {0, 3, 4}
+        elif kind == 27:
+            # v11 unordered temporal distance
+            wb = worlds[(i + 3) % n]
+            if wb["year"] == w["year"]:
+                wb = worlds[(i + 7) % n]
+            diff = abs(w["year"] - wb["year"])
+            q = (f"How many years apart were {w['work']} and {wb['work']} "
+                 f"released?")
+            a = str(diff)
+            extra_aliases = [f"{diff} years"]
+            support = {0}
+            extra_support_world = (wb, [0])
+        elif kind == 28:
+            # v11 count comparative: two labels, different cardinalities
+            sib = _siblings(rng, w, seen_works, count=1)[0]
+            alt = _unique_worlds(rng, 1, seen_works)[0]
+            q = (f"Which label released more albums, {w['label']} or "
+                 f"{alt['label']}?")
+            a = w["label"]
+            support = {0}
+            extra_support_paras = [
+                _sibling_paragraph(sib, w["label"], rng),
+                (f"{alt['work']} (album)",
+                 f"{alt['work']} is an album by {alt['person']}. It was "
+                 f"released in {alt['year']} on the label {alt['label']}."),
+            ]
+        else:
+            # v11 computed-distance superlative: the anchor work is
+            # excluded from its own set; sibling distances are unique
+            sibs = _siblings(rng, w, seen_works)
+            while (abs(sibs[0]["year"] - w["year"])
+                   == abs(sibs[1]["year"] - w["year"])):
+                sibs[1]["year"] = int(rng.integers(1950, 2020))
+            pick = min(sibs, key=lambda s: abs(s["year"] - w["year"]))
+            q = (f"Which album on the label {w['label']} was released "
+                 f"closest to {w['work']}?")
+            a = pick["work"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
@@ -823,15 +884,15 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 26] = kinds.get(i % 26, 0) + 1
+        kinds[i % 30] = kinds.get(i % 30, 0) + 1
     n_multi = sum(v for k, v in kinds.items()
-                  if k in (0, 1, 4, 5, 6, 9, 16, 17))
+                  if k in (0, 1, 4, 5, 6, 9, 16, 17, 26))
     n_unans = kinds.get(7, 0)
     n_agg = sum(kinds.get(k, 0)
                 for k in (10, 11, 12, 13, 14, 15, 19, 20, 21,
-                          22, 23, 24, 25))
+                          22, 23, 24, 25, 27, 28, 29))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-25 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-29 cycle) "
           f"-> {args.out}")
     return 0
 
