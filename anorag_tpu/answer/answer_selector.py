@@ -131,8 +131,11 @@ def answer_question(
     chain = extract_rel_chain(question, rel_chains, relax_last_hop)
     if not chain:
         return None
-    # anchors: entities from the question that exist as head keys, else seeds
-    anchors = [e for e in extract_entities_fallback(question) if note_graph.neighbors(e)]
+    # anchors: entities from the question that exist as head keys — or as
+    # TAIL keys (an inverse-hop anchor like "the album performed by P"
+    # names an entity with only incoming edges) — else seed recall
+    anchors = [e for e in extract_entities_fallback(question)
+               if note_graph.neighbors(e) or note_graph.rheads(e)]
     if not anchors:
         seed_ids = note_graph.seed_recall(question, top_k=anchor_top_k)
         anchors = [
@@ -183,6 +186,12 @@ def _canonical_hop_note(graph: NoteGraph, head: str, rel: str, tail: str,
     the label's own paragraph and the founder's; gold support conventions
     (MuSiQue decompositions) cite the subject's paragraph. Keeps the
     beam's choice on ties."""
+    fwd = any(r == rel and t == tail
+              for r, t, _n, _w, _p in graph.neighbors(head))
+    if not fwd:
+        # inverse hop (beam walked the reverse adjacency): the real edge
+        # is tail --rel--> head, so canonicalize from the tail side
+        head, tail = tail, head
     best_id, best_rank = note_id, _hop_note_rank(graph, head, tail, note_id)
     for r, t, nid, _w, _p in graph.neighbors(head):
         if r != rel or t != tail or nid == note_id:

@@ -635,6 +635,100 @@ def answer_same_attribute(question: str, graph: Optional[NoteGraph],
             "support_idxs": support, "method": "same_attribute"}
 
 
+# "How many years apart were A and B released?" (v11 kind 27) —
+# absolute difference, no before/after direction
+_APART_RE = re.compile(
+    r"\bhow\s+many\s+years\s+(?:apart|separate[d]?)\s+(?:were|are|was)?\s*"
+    r"(?P<a>.+?)\s+and\s+(?P<b>.+?)\s+"
+    r"(?P<verb>released|founded|established|formed|created|published|"
+    r"recorded|built|made)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_years_apart(question: str, graph: Optional[NoteGraph],
+                       candidates: Sequence[Dict[str, Any]]
+                       ) -> Optional[Dict[str, Any]]:
+    m = _APART_RE.search((question or "").strip())
+    if not m:
+        return None
+    ra = _resolve_year(m.group("a").strip(), m.group("verb").lower(),
+                       graph, candidates)
+    rb = _resolve_year(m.group("b").strip(), m.group("verb").lower(),
+                       graph, candidates)
+    if ra is None or rb is None:
+        return None
+    support = list(dict.fromkeys(ra[1] + rb[1]))
+    return {"answer": str(abs(ra[0] - rb[0])), "support_idxs": support,
+            "method": "years_apart"}
+
+
+# "Which label released more albums, L1 or L2?" (v11 kind 28) — compare
+# two set cardinalities; the answer is a label named in the question
+_COUNT_CMP_RE = re.compile(
+    r"\bwhich\s+(?:record\s+)?(?:label|company|publisher|artist|"
+    r"performer)\s+(?:released|published|issued|recorded|put\s+out)\s+"
+    r"(?P<dir>more|fewer|less)\s+(?:album|work|record|song|release)s?\s*"
+    r"[,:]?\s*(?P<a>.+?)\s+or\s+(?P<b>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_count_comparative(question: str, graph: Optional[NoteGraph],
+                             candidates: Sequence[Dict[str, Any]]
+                             ) -> Optional[Dict[str, Any]]:
+    m = _COUNT_CMP_RE.search((question or "").strip())
+    if not m:
+        return None
+    opts = [m.group("a").strip(), m.group("b").strip()]
+    sets = [_label_set(o, graph) for o in opts]
+    if not all(sets) or len(sets[0]) == len(sets[1]):
+        return None                                # unresolved or tied
+    more = m.group("dir").lower() == "more"
+    idx = 0 if (len(sets[0]) > len(sets[1])) == more else 1
+    support: List[int] = []
+    for entries in sets:
+        for _, _, paras in entries:
+            support += [p for p in paras if p not in support]
+    return {"answer": opts[idx], "support_idxs": support,
+            "method": "count_comparative"}
+
+
+# "Which album on the label L was released closest to W?" (v11 kind 29)
+# — argmin |year - anchor_year|, the anchor excluded from its own set
+_CLOSEST_RE = re.compile(
+    r"\b(?:what|which)\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:was|were|got|came)\s+[^?]*?"
+    r"\bclosest\s+(?:in\s+time\s+)?to\s+(?P<anchor>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_closest_release(question: str, graph: Optional[NoteGraph],
+                           candidates: Sequence[Dict[str, Any]]
+                           ) -> Optional[Dict[str, Any]]:
+    m = _CLOSEST_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    anchor = m.group("anchor").strip()
+    ra = _resolve_year(anchor, "released", graph, candidates)
+    if ra is None:
+        return None
+    akey = graph.resolve_head(anchor)
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0 and e[0] != akey
+               and e[0].lower() != anchor.lower()]
+    if not entries:
+        return None
+    dists = sorted(abs(y - ra[0]) for _, y, _ in entries)
+    if len(dists) > 1 and dists[0] == dists[1]:
+        return None                                # tied distance
+    pick = min(entries, key=lambda t: abs(t[1] - ra[0]))
+    support = list(ra[1])
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": pick[0], "support_idxs": support,
+            "method": "closest_release"}
+
+
 def answer_count(question: str, graph: Optional[NoteGraph],
                  candidates: Sequence[Dict[str, Any]]
                  ) -> Optional[Dict[str, Any]]:
@@ -657,8 +751,10 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
     """Dispatcher over every exact-math family; None = not such a question
     or unresolvable (callers fall through to the regular stages)."""
     for fn in (answer_comparative, answer_temporal_diff, answer_yesno,
-               answer_same_attribute, answer_superlative, answer_ordinal,
-               answer_decade, answer_label_intersection, answer_conjunctive,
+               answer_years_apart, answer_same_attribute,
+               answer_closest_release, answer_superlative, answer_ordinal,
+               answer_decade, answer_label_intersection,
+               answer_count_comparative, answer_conjunctive,
                answer_count_filtered, answer_count):
         res = fn(question, note_graph, candidates)
         if res:

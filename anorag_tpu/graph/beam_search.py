@@ -50,11 +50,13 @@ def beam_search(
             if rel_chain is not None and hop_idx >= len(rel_chain):
                 continue
             constraint = rel_chain[hop_idx] if rel_chain is not None else None
+            advanced = False
             for rel, tail, note_id, weight, _para in graph.neighbors(path.head):
                 if not _rel_allowed(rel, constraint):
                     continue
                 if tail in path.keys:
                     continue
+                advanced = True
                 ext = KeyPath(
                     keys=path.keys + [tail],
                     notes=path.notes + [note_id],
@@ -65,6 +67,27 @@ def beam_search(
                     done.append(ext)
                 else:
                     expansions.append(ext)
+            if not advanced and rel_chain is not None:
+                # INVERSE hop fallback: "the album performed by P" anchors
+                # at P, but the stored edge runs work --performed_by--> P.
+                # Only when no forward edge satisfies the constraint, walk
+                # the reverse adjacency (discounted so forward paths
+                # outrank when both exist).
+                for rel, src, note_id in graph.rheads(path.head):
+                    if not _rel_allowed(rel, constraint):
+                        continue
+                    if src in path.keys:
+                        continue
+                    ext = KeyPath(
+                        keys=path.keys + [src],
+                        notes=path.notes + [note_id],
+                        rels=path.rels + [rel],
+                        score=path.score + 0.9,
+                    )
+                    if len(ext.rels) >= len(rel_chain):
+                        done.append(ext)
+                    else:
+                        expansions.append(ext)
         if not expansions and not done:
             break
         expansions.sort(key=lambda p: -p.score)

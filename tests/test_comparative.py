@@ -526,3 +526,101 @@ def test_negated_conjunctive():
         "Which album by Baluba Prizara was released on the label "
         "Velgor Audio?", g, [])
     assert res["answer"] == "Nepri Echo"
+
+
+def test_years_apart_unordered():
+    """v11 kind 27: absolute difference, no direction."""
+    from anorag_tpu.answer.comparative import answer_years_apart
+
+    g = _graph(1975, 1990)
+    res = answer_years_apart(
+        "How many years apart were Blue Horizon and Red Steps released?",
+        g, [])
+    assert res["answer"] == "15"
+    res = answer_years_apart(
+        "How many years apart were Red Steps and Blue Horizon released?",
+        g, [])
+    assert res["answer"] == "15"        # order-insensitive
+    assert answer_years_apart(
+        "How many years after the release of Blue Horizon was Red Steps "
+        "released?", g, []) is None     # directed form routes elsewhere
+
+
+def test_count_comparative():
+    """v11 kind 28: compare two set cardinalities; ties fall through."""
+    from anorag_tpu.answer.comparative import answer_count_comparative
+
+    g = _label_graph([("A Steps", 1961), ("B Steps", 1968)])
+    g2 = _label_graph([("C Steps", 1970)], label="Bara Audio")
+    for nid, n in g2.notes.items():
+        g.add_notes([dict(n, note_id=f"x{nid}")])
+    res = answer_count_comparative(
+        "Which label released more albums, Tiden Records or Bara Audio?",
+        g, [])
+    assert res["answer"] == "Tiden Records"
+    res = answer_count_comparative(
+        "Which label released fewer albums, Tiden Records or Bara Audio?",
+        g, [])
+    assert res["answer"] == "Bara Audio"
+    # tie falls through
+    g3 = _label_graph([("D Steps", 1980)], label="Tie One")
+    g4 = _label_graph([("E Steps", 1981)], label="Tie Two")
+    for nid, n in g4.notes.items():
+        g3.add_notes([dict(n, note_id=f"y{nid}")])
+    assert answer_count_comparative(
+        "Which label released more albums, Tie One or Tie Two?",
+        g3, []) is None
+
+
+def test_closest_release():
+    """v11 kind 29: argmin |year - anchor| with the anchor excluded."""
+    from anorag_tpu.answer.comparative import answer_closest_release
+
+    g = _label_graph([("Kesto Harbor", 1968), ("Mihol Horizon", 1953),
+                      ("Neden Harbor", 1954)])
+    res = answer_closest_release(
+        "Which album on the label Tiden Records was released closest to "
+        "Kesto Harbor?", g, [])
+    assert res["answer"] == "Neden Harbor"      # 14 < 15; anchor excluded
+    assert res["method"] == "closest_release"
+    # tied distances fall through
+    g2 = _label_graph([("A Steps", 1970), ("B Steps", 1965),
+                       ("C Steps", 1975)])
+    assert answer_closest_release(
+        "Which album on the label Tiden Records was released closest to "
+        "A Steps?", g2, []) is None
+
+
+def test_inverse_hop_anchor_chain():
+    """v11 kind 26: the chain anchors at a performer whose first hop runs
+    AGAINST the stored performed_by edge; support canonicalizes to the
+    right home paragraphs."""
+    from anorag_tpu.answer.answer_selector import answer_question
+
+    g = NoteGraph()
+    g.add_notes([
+        {"note_id": "w0", "content": "Lugor Steps is an album by Holonvel "
+                                     "Tivelon. It was put out in 1963 by "
+                                     "the label Bapri Sound.",
+         "head_key": "Lugor Steps", "rel": "performed_by",
+         "tail_key": "Holonvel Tivelon", "paragraph_idxs": [0],
+         "secondary_keys": [{"head_key": "Lugor Steps",
+                             "rel": "released_on_label",
+                             "tail_key": "Bapri Sound"}]},
+        {"note_id": "l0", "content": "Bapri Sound is a record label. "
+                                     "Bapri Sound was started by Tone "
+                                     "Tilin.",
+         "head_key": "Bapri Sound", "rel": "founded_by",
+         "tail_key": "Tone Tilin", "paragraph_idxs": [3]},
+        {"note_id": "f0", "content": "Tone Tilin founded Bapri Sound. The "
+                                     "spouse of Tone Tilin is Fencorcor "
+                                     "Rakes.",
+         "head_key": "Tone Tilin", "rel": "spouse_of",
+         "tail_key": "Fencorcor Rakes", "paragraph_idxs": [4]},
+    ])
+    res = answer_question(
+        "Who is the spouse of the founder of the label that released the "
+        "album performed by Holonvel Tivelon?", g)
+    assert res and res["answer"] == "Fencorcor Rakes"
+    assert res["relations"] == ["performed_by", "released_on_label",
+                                "founded_by", "spouse_of"]

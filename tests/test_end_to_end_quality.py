@@ -126,7 +126,10 @@ def test_generated_musique_all_kinds(tmp_path):
     (0.995 after canonical hop-note support). The v11 kinds (26
     inverse-hop anchor, 27 unordered temporal distance, 28 count
     comparative, 29 computed-distance superlative) recorded floor
-    EM 0.876 / supF1 0.945."""
+    EM 0.876 / supF1 0.945 and were closed by the inverse-hop beam
+    fallback (+ tail-key anchors, direction-aware support
+    canonicalization) and three more exact-math stages — the 200-item
+    driver eval's first perfect sheet: EM / supEM / supF1 all 1.00."""
     import sys
     from pathlib import Path as _P
 
@@ -143,11 +146,11 @@ def test_generated_musique_all_kinds(tmp_path):
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
         preds.append(res)
     metrics = evaluate_dataset(preds, items)
-    assert metrics["answer_em"] >= 0.80, metrics
-    assert metrics["support_f1"] >= 0.85, metrics
+    assert metrics["answer_em"] >= 0.90, metrics
+    assert metrics["support_f1"] >= 0.90, metrics
     # any individual miss outside `tolerated_kinds` is a regression.
     # When a vN adds unsolved kinds, list them here until closed.
-    tolerated_kinds: set = {26, 27, 28, 29}    # v11 floor EM 0.876
+    tolerated_kinds: set = set()    # v11 closed: EM/supEM/supF1 all 1.00
     from anorag_tpu.eval.musique import answer_em, gold_aliases
     by_id = {it["id"]: it for it in items}
     for p in preds:
