@@ -167,6 +167,26 @@ to 30 with four kinds whose machinery is still missing outright:
     was released closest to W?" — argmin of |year - anchor_year| with
     the anchor itself excluded from the set.
 
+v12 (late round 3): the v11 kinds closed (EM/supEM 1.00), so the cycle
+widens to 34 with four kinds whose machinery is again missing outright:
+  * kind 30, time-scoped relation: the person paragraph carries a
+    MARRIAGE HISTORY ("P married X1 in 1981. P and X1 divorced in 1993.
+    P married X2 in 1996.") and the question asks "Who was the spouse of
+    P at the time W was released?" — the right fact depends on a
+    temporal join against W's release year;
+  * kind 31, non-year numeric attribute: "Which album has more tracks,
+    A or B?" — track counts are written as NUMBER WORDS ("It features
+    ten tracks."), so the comparison needs word-number parsing of an
+    attribute no triple carries;
+  * kind 32, answer-type coercion: "In which state was the performer of
+    W born?" — the birth fact names a CITY; the city-to-state
+    containment lives in a separate geography paragraph, an extra hop
+    the question never names;
+  * kind 33, entity-present unanswerable: "Who produced W?" where W's
+    paragraphs EXIST but state no producer — the answerable gate must
+    decline even though retrieval finds the entity (unlike kind 7's
+    ghost works).
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -483,7 +503,11 @@ def _sibling_paragraph(sib, label, rng):
     return (f"{sib['work']} (album)", f"{perform} {release}")
 
 
-_NUM_WORDS = {2: "two", 3: "three", 4: "four", 5: "five"}
+_NUM_WORDS = {2: "two", 3: "three", 4: "four", 5: "five", 6: "six",
+              7: "seven", 8: "eight", 9: "nine", 10: "ten", 11: "eleven",
+              12: "twelve", 13: "thirteen", 14: "fourteen", 15: "fifteen",
+              16: "sixteen", 17: "seventeen", 18: "eighteen",
+              19: "nineteen"}
 
 
 def make_items(n: int, distractors: int, seed: int):
@@ -494,7 +518,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 30
+        kind = i % 34
         answerable = True
         akey = None
         extra_aliases = None
@@ -503,6 +527,8 @@ def make_items(n: int, distractors: int, seed: int):
         stage_name = None            # v8 kind 16: work credits this alias
         reissue = False              # v8 kind 17: append a reissue edge
         extra_foil_paras = []        # v9: NON-supporting confounders
+        marriage_history = None      # v12 kind 30: replaces person para
+        track_counts = None          # v12 kind 31: (own, other) counts
         # support indexes into _paragraphs(w): 0 work, 1 person, 2 spouse,
         # 3 label, 4 founder, 5 founder_spouse
         if kind == 0:
@@ -795,7 +821,7 @@ def make_items(n: int, distractors: int, seed: int):
                  f"{alt['work']} is an album by {alt['person']}. It was "
                  f"released in {alt['year']} on the label {alt['label']}."),
             ]
-        else:
+        elif kind == 29:
             # v11 computed-distance superlative: the anchor work is
             # excluded from its own set; sibling distances are unique
             sibs = _siblings(rng, w, seen_works)
@@ -809,6 +835,59 @@ def make_items(n: int, distractors: int, seed: int):
             support = {0}
             extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
+        elif kind == 30:
+            # v12 time-scoped relation: marriage history; the right
+            # spouse depends on W's release year
+            x1, x2 = w["spouse"], _name(rng)
+            if rng.random() < 0.5:        # W released during marriage 1
+                m1 = w["year"] - 3 - int(rng.integers(0, 10))
+                d2 = w["year"] + 2 + int(rng.integers(1, 5))
+                m2 = d2 + 1 + int(rng.integers(0, 4))
+                a = x1
+            else:                          # W released during marriage 2
+                m2 = w["year"] - 2 - int(rng.integers(0, 5))
+                d2 = m2 - 1 - int(rng.integers(0, 3))
+                m1 = d2 - 5 - int(rng.integers(0, 8))
+                a = x2
+            marriage_history = (
+                f"{w['person']} married {x1} in {m1}. {w['person']} and "
+                f"{x1} divorced in {d2}. {w['person']} married {x2} in "
+                f"{m2}. {w['person']} was born in {w['city']}.")
+            q = (f"Who was the spouse of {w['person']} at the time "
+                 f"{w['work']} was released?")
+            support = {0, 1}
+        elif kind == 31:
+            # v12 non-year numeric attribute: track counts as NUMBER
+            # WORDS; no triple carries them
+            wb = worlds[(i + 3) % n]
+            ta, tb = 2 + int(rng.integers(0, 18)), 2 + int(rng.integers(0, 18))
+            while tb == ta:
+                tb = 2 + int(rng.integers(0, 18))
+            track_counts = (ta, tb)
+            winner = w if ta > tb else wb
+            q = (f"Which album has more tracks, {w['work']} or "
+                 f"{wb['work']}?")
+            a = winner["work"]
+            support = {0}
+            wb_t, wb_x = _paragraphs(wb, rng)[0]
+            wb_x = wb_x.replace(" It features ten tracks.", "")
+            extra_support_paras = [
+                (wb_t, f"{wb_x} It contains {_NUM_WORDS[tb]} tracks.")]
+        elif kind == 32:
+            # v12 answer-type coercion: the birth fact names a CITY; the
+            # state lives in a separate geography paragraph
+            q = (f"In which state was the performer of {w['work']} born?")
+            a = _STATES[w["city"]]
+            support = {0, 1}
+            extra_support_paras = [
+                (w["city"], f"{w['city']} is a city in the state of "
+                            f"{_STATES[w['city']]}.")]
+        else:
+            # v12 entity-present unanswerable: W's paragraphs exist but
+            # state no producer
+            q, a = f"Who produced {w['work']}?", ""
+            support = set()
+            answerable = False
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
@@ -823,6 +902,13 @@ def make_items(n: int, distractors: int, seed: int):
             t0, x0 = own[0]
             own[0] = (t0, f"{x0} " + _pick(rng, _REISSUE_T).format(
                 Y2=y2, FOIL=confus[0]["label"]))
+        if marriage_history is not None:
+            own[1] = (own[1][0], marriage_history)
+        if track_counts is not None:
+            t0, x0 = own[0]
+            x0 = x0.replace(" It features ten tracks.", "")
+            own[0] = (t0, f"{x0} It features "
+                          f"{_NUM_WORDS[track_counts[0]]} tracks.")
         paras = []
         for pi, (title, text) in enumerate(own):
             paras.append({"idx": len(paras), "title": title,
@@ -884,15 +970,15 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 30] = kinds.get(i % 30, 0) + 1
+        kinds[i % 34] = kinds.get(i % 34, 0) + 1
     n_multi = sum(v for k, v in kinds.items()
-                  if k in (0, 1, 4, 5, 6, 9, 16, 17, 26))
-    n_unans = kinds.get(7, 0)
+                  if k in (0, 1, 4, 5, 6, 9, 16, 17, 26, 30, 32))
+    n_unans = kinds.get(7, 0) + kinds.get(33, 0)
     n_agg = sum(kinds.get(k, 0)
                 for k in (10, 11, 12, 13, 14, 15, 19, 20, 21,
-                          22, 23, 24, 25, 27, 28, 29))
+                          22, 23, 24, 25, 27, 28, 29, 31))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-29 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-33 cycle) "
           f"-> {args.out}")
     return 0
 
