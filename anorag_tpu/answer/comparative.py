@@ -729,6 +729,113 @@ def answer_closest_release(question: str, graph: Optional[NoteGraph],
             "method": "closest_release"}
 
 
+# "Who was the spouse of P at the time W was released?" (v12 kind 30) —
+# temporal join: marriage/divorce events parsed from the evidence text,
+# the interval containing W's release year wins
+_AT_TIME_RE = re.compile(
+    r"\bwho\s+(?:was|is)\s+the\s+(?:spouse|wife|husband|partner)\s+of\s+"
+    r"(?P<p>.+?)\s+(?:at\s+the\s+time(?:\s+that)?|when)\s+(?P<w>.+?)\s+"
+    r"(?:was\s+released|came\s+out|was\s+put\s+out)\s*\??\s*$",
+    re.IGNORECASE)
+
+_ENT_SPAN = r"([A-Z][\w'&-]*(?:\s+[A-Z][\w'&-]*)*)"
+
+
+def answer_spouse_at_time(question: str, graph: Optional[NoteGraph],
+                          candidates: Sequence[Dict[str, Any]]
+                          ) -> Optional[Dict[str, Any]]:
+    m = _AT_TIME_RE.search((question or "").strip())
+    if not m:
+        return None
+    person = m.group("p").strip()
+    rw = _resolve_year(m.group("w").strip(), "released", graph, candidates)
+    if rw is None:
+        return None
+    year = rw[0]
+    p_esc = re.escape(person)
+    married_re = re.compile(p_esc + r"\s+(?:married|wed)\s+" + _ENT_SPAN
+                            + r"\s+in\s+(\d{4})")
+    divorce_re = re.compile(p_esc + r"\s+and\s+" + _ENT_SPAN
+                            + r"\s+(?:divorced|separated)\s+in\s+(\d{4})")
+    # events join ACROSS notes: a per-sentence note may carry the
+    # marriage while its divorce sits in a sibling note
+    marriages: List[Tuple[str, int, List[int]]] = []
+    divorces: Dict[str, int] = {}
+    for c in candidates or ():
+        text = f"{c.get('title', '')} {c.get('content', '')}"
+        if person.lower() not in text.lower():
+            continue
+        paras = list(c.get("paragraph_idxs") or [])
+        for sp, y in divorce_re.findall(text):
+            divorces[sp] = int(y)
+        for sp, y in married_re.findall(text):
+            marriages.append((sp, int(y), paras))
+    hits = [(sp, my, paras) for sp, my, paras in marriages
+            if my <= year and (sp not in divorces or year < divorces[sp])]
+    spouses = {sp for sp, _, _ in hits}
+    if len(spouses) != 1:
+        return None
+    sp, _, paras = hits[0]
+    support = list(dict.fromkeys(paras + rw[1]))
+    return {"answer": sp, "support_idxs": support,
+            "method": "spouse_at_time"}
+
+
+# "Which album has more tracks, A or B?" (v12 kind 31) — a numeric
+# attribute no triple carries, often written as a NUMBER WORD
+_ATTR_CMP_RE = re.compile(
+    r"\b(?:what|which)\s+(?:album|work|record|song|release)\s+has\s+"
+    r"(?P<dir>more|fewer|less)\s+(?P<attr>tracks|songs|discs|minutes)\s*"
+    r"[,:]?\s*(?P<a>.+?)\s+or\s+(?P<b>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+_WORD_NUMS = {w: n for n, w in {
+    1: "one", 2: "two", 3: "three", 4: "four", 5: "five", 6: "six",
+    7: "seven", 8: "eight", 9: "nine", 10: "ten", 11: "eleven",
+    12: "twelve", 13: "thirteen", 14: "fourteen", 15: "fifteen",
+    16: "sixteen", 17: "seventeen", 18: "eighteen", 19: "nineteen",
+    20: "twenty"}.items()}
+
+
+def _attr_count(option: str, attr: str,
+                candidates: Sequence[Dict[str, Any]]
+                ) -> Optional[Tuple[int, List[int]]]:
+    """The '<n> <attr>' count stated in a sentence of a candidate naming
+    `option` (digits or number words)."""
+    opt = option.lower()
+    stem = attr.rstrip("s").lower()
+    num_re = re.compile(
+        r"\b(\d{1,3}|" + "|".join(_WORD_NUMS) + r")\s+" + stem + r"s?\b",
+        re.IGNORECASE)
+    for c in candidates or ():
+        text = f"{c.get('title', '')} {c.get('content', '')}"
+        if opt not in text.lower():
+            continue
+        m = num_re.search(text)
+        if m:
+            tok = m.group(1).lower()
+            n = int(tok) if tok.isdigit() else _WORD_NUMS[tok]
+            return n, list(c.get("paragraph_idxs") or [])
+    return None
+
+
+def answer_attr_comparative(question: str, graph: Optional[NoteGraph],
+                            candidates: Sequence[Dict[str, Any]]
+                            ) -> Optional[Dict[str, Any]]:
+    m = _ATTR_CMP_RE.search((question or "").strip())
+    if not m:
+        return None
+    opts = [m.group("a").strip(), m.group("b").strip()]
+    got = [_attr_count(o, m.group("attr"), candidates) for o in opts]
+    if None in got or got[0][0] == got[1][0]:
+        return None
+    more = m.group("dir").lower() == "more"
+    idx = 0 if (got[0][0] > got[1][0]) == more else 1
+    support = list(dict.fromkeys(got[0][1] + got[1][1]))
+    return {"answer": opts[idx], "support_idxs": support,
+            "method": "attr_comparative"}
+
+
 def answer_count(question: str, graph: Optional[NoteGraph],
                  candidates: Sequence[Dict[str, Any]]
                  ) -> Optional[Dict[str, Any]]:
@@ -745,12 +852,47 @@ def answer_count(question: str, graph: Optional[NoteGraph],
             "method": "count"}
 
 
+# "(In) which/what state ..." answered with a CITY needs one more hop
+# (v12 kind 32): the containment fact lives in a geography paragraph the
+# question never names
+_STATE_Q_RE = re.compile(r"\b(?:which|what)\s+state\b", re.IGNORECASE)
+
+
+def coerce_state_answer(question: str, answer: str,
+                        graph: Optional[NoteGraph],
+                        candidates: Sequence[Dict[str, Any]]
+                        ) -> Tuple[str, List[int]]:
+    """(answer, extra support paras). 'City, State' surfaces split; bare
+    cities follow the located_in edge, else a '<city> is a city in (the
+    state of) <state>' sentence in the evidence."""
+    if not answer or not _STATE_Q_RE.search(question or ""):
+        return answer, []
+    parts = [p.strip() for p in answer.split(",")]
+    if len(parts) == 2 and parts[1]:
+        return parts[1], []
+    key = graph.resolve_head(answer) if graph is not None else None
+    if key is not None:
+        for rel, tail, nid, _w, _p in graph.neighbors(key):
+            if rel == "located_in":
+                note = graph.notes.get(nid, {})
+                return str(tail), list(note.get("paragraph_idxs") or [])
+    pat = re.compile(re.escape(answer)
+                     + r"\s+is\s+a\s+(?:city|town)\s+in\s+"
+                     + r"(?:the\s+state\s+of\s+)?" + _ENT_SPAN)
+    for c in candidates or ():
+        m = pat.search(f"{c.get('title', '')} {c.get('content', '')}")
+        if m:
+            return m.group(1), list(c.get("paragraph_idxs") or [])
+    return answer, []
+
+
 def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                       candidates: Sequence[Dict[str, Any]]
                       ) -> Optional[Dict[str, Any]]:
     """Dispatcher over every exact-math family; None = not such a question
     or unresolvable (callers fall through to the regular stages)."""
-    for fn in (answer_comparative, answer_temporal_diff, answer_yesno,
+    for fn in (answer_spouse_at_time, answer_attr_comparative,
+               answer_comparative, answer_temporal_diff, answer_yesno,
                answer_years_apart, answer_same_attribute,
                answer_closest_release, answer_superlative, answer_ordinal,
                answer_decade, answer_label_intersection,

@@ -52,7 +52,8 @@ _DEFAULT_REL_LEXICON = {
     "member_of": ["member of", "joined"],
     "founded_by": ["founded by", "founded", "established by", "established",
                    "started by"],
-    "located_in": ["located in", "capital of"],
+    "located_in": ["located in", "capital of", "is a city in",
+                   "is a town in"],
     "directed_by": ["directed by", "directed"],
 }
 _DEFAULT_SPLITTERS = [" is ", " was ", " were ", " by ", " in ", " of "]

@@ -38,7 +38,8 @@ from typing import Any, Dict, Iterable, List, Optional, Sequence
 import numpy as np
 
 from anorag_tpu.answer.answer_selector import answer_question
-from anorag_tpu.answer.comparative import answer_exact_math
+from anorag_tpu.answer.comparative import (answer_exact_math,
+                                           coerce_state_answer)
 from anorag_tpu.answer.efsa import efsa_answer_with_fallback, extract_bridge_info_from_candidates
 from anorag_tpu.answer.evidence_rerank import EvidenceReranker
 from anorag_tpu.answer.path_validator import PathValidator
@@ -784,6 +785,28 @@ class QueryProcessor:
                     return True
         return False
 
+    # verb stems (first 6 chars) that some relation lexicon or paraphrase
+    # bank covers — their facts may be stated through cue paraphrases the
+    # stem test would miss, so the relation gate never fires on them
+    _KNOWN_REL_STEMS = {
+        "perfor", "record", "releas", "sang", "sung", "founde", "establ",
+        "starte", "create", "formed", "direct", "marrie", "wed", "born",
+        "joined", "issued", "reissu", "credit", "locate", "publis",
+        "made", "built", "wrote", "writte", "member",
+    }
+
+    def _question_relation_covered(self, query: str, selected) -> bool:
+        m = re.match(r"\s*who\s+([a-z]+ed)\b", (query or "").lower())
+        if not m:
+            return True
+        stem = m.group(1)[:6]
+        if any(stem.startswith(k[:6]) or k.startswith(stem)
+               for k in self._KNOWN_REL_STEMS):
+            return True
+        blob = " ".join(f"{n.get('title', '')} {n.get('content', '')}"
+                        for n in selected).lower()
+        return stem[:5] in blob
+
     def _answer(self, query, selected, candidates, bridge_entities) -> Dict[str, Any]:
         context, support = self.packer.pack_context(selected, query)
         # unanswerable gate: when no question entity surfaces anywhere in
@@ -792,6 +815,17 @@ class QueryProcessor:
                 and not self._question_subject_covered(query, selected)):
             return {"answer": "insufficient information", "support_idxs": [],
                     "answerable": False, "method": "unanswerable_gate",
+                    "context": context}
+        # relation-coverage gate: "Who <verb>ed X?" whose verb is OUTSIDE
+        # every relation lexicon AND whose stem appears nowhere in the
+        # evidence — the subject may be covered (the entity exists) while
+        # the asked relation is simply never stated; answering would
+        # hallucinate a co-occurring person (e.g. "Who produced W?" over a
+        # corpus that only credits performers and labels)
+        if (self.cfg.get("answering.unanswerable_gate", True) and selected
+                and not self._question_relation_covered(query, selected)):
+            return {"answer": "insufficient information", "support_idxs": [],
+                    "answerable": False, "method": "relation_gate",
                     "context": context}
         # (a0) exact math (comparative / temporal diff / yes-no /
         # label-set superlative / count) — must precede the rel-chain
@@ -828,10 +862,13 @@ class QueryProcessor:
                 # the repair heuristics alone would drop them
                 seed = [p for n in chain_notes
                         for p in (n.get("paragraph_idxs") or [])]
+                ans, geo_sup = coerce_state_answer(
+                    query, sel["answer"], self.note_graph, selected)
                 sup = fill_support_idxs_noid(
-                    sel["answer"], chain_notes or selected,
-                    existing_idxs=list(dict.fromkeys(seed)), query=query)
-                return {"answer": sel["answer"], "support_idxs": sup,
+                    ans, chain_notes or selected,
+                    existing_idxs=list(dict.fromkeys(seed + geo_sup)),
+                    query=query)
+                return {"answer": ans, "support_idxs": sup,
                         "answerable": True, "method": "answer_selector",
                         "context": context}
         # (b) EFSA
@@ -863,9 +900,12 @@ class QueryProcessor:
         efsa_threshold = self.cfg.get("answering.efsa_hint.threshold", 0.70)
         if self.llm is None:
             if efsa_ans is not None:
+                efsa_ans, geo_sup = coerce_state_answer(
+                    query, efsa_ans, self.note_graph, selected)
                 sup = fill_support_idxs_noid(
                     efsa_ans or "", selected,
-                    existing_idxs=[s for s in efsa_sup if isinstance(s, int)],
+                    existing_idxs=[s for s in efsa_sup
+                                   if isinstance(s, int)] + geo_sup,
                     query=query)
                 verified = self.verifier.finalize_answer(query, efsa_ans, context)
                 return {"answer": verified["answer"], "support_idxs": sup,

@@ -624,3 +624,101 @@ def test_inverse_hop_anchor_chain():
     assert res and res["answer"] == "Fencorcor Rakes"
     assert res["relations"] == ["performed_by", "released_on_label",
                                 "founded_by", "spouse_of"]
+
+
+def test_spouse_at_time():
+    """v12 kind 30: temporal join of marriage/divorce events against the
+    work's release year; events may span separate notes."""
+    from anorag_tpu.answer.comparative import answer_spouse_at_time
+
+    g = _graph(1989, 1990)   # Blue Horizon released 1989
+    cands = [
+        {"title": "P", "paragraph_idxs": [1],
+         "content": "Corcor Luprilin married Kestira Cordenkes in 1978. "
+                    "Corcor Luprilin and Kestira Cordenkes divorced in "
+                    "1983. Corcor Luprilin married Privel Zagor in 1985."},
+    ]
+    res = answer_spouse_at_time(
+        "Who was the spouse of Corcor Luprilin at the time Blue Horizon "
+        "was released?", g, cands)
+    assert res["answer"] == "Privel Zagor"
+    assert res["method"] == "spouse_at_time"
+    assert set(res["support_idxs"]) == {1, 2}
+    # release year inside the FIRST marriage
+    g2 = _graph(1980, 1990)
+    res = answer_spouse_at_time(
+        "Who was the spouse of Corcor Luprilin at the time Blue Horizon "
+        "was released?", g2, cands)
+    assert res["answer"] == "Kestira Cordenkes"
+    # events split across notes still join
+    split = [
+        {"title": "P", "paragraph_idxs": [1],
+         "content": "Corcor Luprilin married Kestira Cordenkes in 1978."},
+        {"title": "P", "paragraph_idxs": [1],
+         "content": "Corcor Luprilin and Kestira Cordenkes divorced in "
+                    "1983."},
+        {"title": "P", "paragraph_idxs": [1],
+         "content": "Corcor Luprilin married Privel Zagor in 1985."},
+    ]
+    res = answer_spouse_at_time(
+        "Who was the spouse of Corcor Luprilin at the time Blue Horizon "
+        "was released?", g, split)
+    assert res["answer"] == "Privel Zagor"
+
+
+def test_attr_comparative_tracks():
+    """v12 kind 31: number-word track counts compared across works."""
+    from anorag_tpu.answer.comparative import answer_attr_comparative
+
+    cands = [
+        {"title": "Zane River (album)", "paragraph_idxs": [4],
+         "content": "Zane River is an album. It features ten tracks."},
+        {"title": "Zaza Garden (album)", "paragraph_idxs": [7],
+         "content": "Zaza Garden is an album. It contains three tracks."},
+    ]
+    res = answer_attr_comparative(
+        "Which album has more tracks, Zane River or Zaza Garden?",
+        None, cands)
+    assert res["answer"] == "Zane River"
+    assert set(res["support_idxs"]) == {4, 7}
+    res = answer_attr_comparative(
+        "Which album has fewer tracks, Zane River or Zaza Garden?",
+        None, cands)
+    assert res["answer"] == "Zaza Garden"
+    # tie falls through
+    tie = [dict(cands[0]), {"title": "Zaza Garden (album)",
+                            "paragraph_idxs": [7],
+                            "content": "Zaza Garden has ten tracks."}]
+    assert answer_attr_comparative(
+        "Which album has more tracks, Zane River or Zaza Garden?",
+        None, tie) is None
+
+
+def test_state_coercion():
+    """v12 kind 32: a 'which state' answer that resolved to a city takes
+    one more hop — comma surface, located_in edge, or evidence sentence."""
+    from anorag_tpu.answer.comparative import coerce_state_answer
+
+    # comma surface
+    ans, sup = coerce_state_answer(
+        "In which state was the performer born?", "Austin, Texas", None, [])
+    assert ans == "Texas" and sup == []
+    # located_in edge
+    g = NoteGraph()
+    g.add_notes([{"note_id": "geo", "content": "Austin is a city in the "
+                                               "state of Texas.",
+                  "head_key": "Austin", "rel": "located_in",
+                  "tail_key": "Texas", "paragraph_idxs": [9]}])
+    ans, sup = coerce_state_answer(
+        "In which state was the performer born?", "Austin", g, [])
+    assert ans == "Texas" and sup == [9]
+    # evidence-sentence fallback
+    cands = [{"title": "Austin", "paragraph_idxs": [5],
+              "content": "Austin is a city in the state of Texas."}]
+    ans, sup = coerce_state_answer(
+        "In which state was the performer born?", "Austin", None, cands)
+    assert ans == "Texas" and sup == [5]
+    # non-state questions pass through untouched
+    ans, sup = coerce_state_answer(
+        "Where was the performer born?", "Austin", g, [])
+    assert ans == "Austin"

@@ -129,7 +129,13 @@ def test_generated_musique_all_kinds(tmp_path):
     EM 0.876 / supF1 0.945 and were closed by the inverse-hop beam
     fallback (+ tail-key anchors, direction-aware support
     canonicalization) and three more exact-math stages — the 200-item
-    driver eval's first perfect sheet: EM / supEM / supF1 all 1.00."""
+    driver eval's first perfect sheet: EM / supEM / supF1 all 1.00.
+    The v12 kinds (30 time-scoped spouse, 31 track-count comparison, 32
+    state coercion, 33 entity-present unanswerable) recorded floor
+    EM 0.931 / ansAcc 0.975 and were closed by the spouse-at-time
+    temporal join, the word-number attribute comparator, the
+    which-state coercion hop, and the relation-coverage gate — EM 1.00 /
+    ansAcc 1.00 / supF1 0.995."""
     import sys
     from pathlib import Path as _P
 
@@ -146,11 +152,11 @@ def test_generated_musique_all_kinds(tmp_path):
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
         preds.append(res)
     metrics = evaluate_dataset(preds, items)
-    assert metrics["answer_em"] >= 0.85, metrics
+    assert metrics["answer_em"] >= 0.90, metrics
     assert metrics["support_f1"] >= 0.90, metrics
     # any individual miss outside `tolerated_kinds` is a regression.
     # When a vN adds unsolved kinds, list them here until closed.
-    tolerated_kinds: set = {30, 31, 32, 33}    # v12 floor EM 0.931
+    tolerated_kinds: set = set()    # v12 closed: EM 1.00 / ansAcc 1.00
     from anorag_tpu.eval.musique import answer_em, gold_aliases
     by_id = {it["id"]: it for it in items}
     for p in preds:

@@ -152,3 +152,34 @@ def test_exact_math_none_graph_and_candidates():
     res = answer_exact_math(
         "Which was released first, Alpha Steps or Beta River?", None, cands)
     assert res is not None and res["answer"] == "Beta River"
+
+
+def test_relation_gate_unknown_verb_declines():
+    """v12 kind 33: 'Who produced W?' over a corpus whose paragraphs
+    exist but never state a producer must come back unanswerable, while
+    lexicon verbs with paraphrase-only evidence still answer."""
+    from anorag_tpu.config import ConfigLoader
+    from anorag_tpu.query.processor import QueryProcessor
+
+    cfg = ConfigLoader(auto_load=False)
+    cfg.set("embedding.backend", "hash")
+    cfg.set("embedding.dim", 128)
+    cfg.set("vector_store.index_type", "Flat")
+    notes = [
+        {"note_id": "n0", "doc_id": "d", "title": "Velgor Echo (album)",
+         "content": "Velgor Echo is a record by Mariko Tan. It came out "
+                    "in 1988 on the label Prilu Sound.",
+         "text": "Velgor Echo is a record by Mariko Tan. It came out in "
+                 "1988 on the label Prilu Sound.",
+         "entities": ["Velgor Echo", "Mariko Tan", "Prilu Sound"],
+         "paragraph_idxs": [0],
+         "head_key": "Velgor Echo", "rel": "performed_by",
+         "tail_key": "Mariko Tan"},
+    ]
+    qp = QueryProcessor(notes, cfg=cfg, llm=None)
+    out = qp.process("Who produced Velgor Echo?")
+    assert out["predicted_answerable"] is False, out
+    # the paraphrase-only performer fact still answers (known stem)
+    out = qp.process("Who performed Velgor Echo?")
+    assert out["predicted_answerable"] is True
+    assert out["answer"] == "Mariko Tan"
