@@ -187,6 +187,23 @@ widens to 34 with four kinds whose machinery is again missing outright:
     decline even though retrieval finds the entity (unlike kind 7's
     ghost works).
 
+v13 (late round 3): the v12 kinds closed (EM/ansAcc 1.00), so the cycle
+widens to 38 with four kinds that COMPOSE the newest machinery:
+  * kind 34, descriptive person in a temporal join: "Who was the spouse
+    of the performer of W2 at the time W was released?" — the person in
+    the marriage-history join must itself resolve through a hop;
+  * kind 35, same-STATE equality: "Were the performer of A and the
+    performer of B born in the same state?" — the city pool now has
+    SHARED-STATE pairs (Boston/Cambridge, Austin/Houston, ...), so
+    comparing city surfaces is wrong; both cities must coerce through
+    their geography paragraphs;
+  * kind 36, successor resolution: "Which album on the label L was
+    released immediately after W?" — the minimum year strictly greater
+    than the anchor's, not an extremum or a distance;
+  * kind 37, conjunctive count: "How many albums by P were released on
+    the label L?" — cardinality of an intersection (P also has works on
+    other labels, L also has works by other performers).
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -206,7 +223,18 @@ _STATES = {"Boston": "Massachusetts", "Chicago": "Illinois",
            "Denver": "Colorado", "Austin": "Texas", "Seattle": "Washington",
            "Portland": "Oregon", "Atlanta": "Georgia",
            "Nashville": "Tennessee", "Tucson": "Arizona",
-           "Madison": "Wisconsin"}
+           "Madison": "Wisconsin",
+           # v13 shared-state partners: same-STATE questions must not be
+           # answerable by comparing city surfaces
+           "Cambridge": "Massachusetts", "Houston": "Texas",
+           "Springfield": "Illinois", "Salem": "Oregon",
+           "Knoxville": "Tennessee"}
+# city -> its same-state partner (both directions)
+_STATE_PARTNER = {"Boston": "Cambridge", "Cambridge": "Boston",
+                  "Austin": "Houston", "Houston": "Austin",
+                  "Chicago": "Springfield", "Springfield": "Chicago",
+                  "Portland": "Salem", "Salem": "Portland",
+                  "Nashville": "Knoxville", "Knoxville": "Nashville"}
 _LABEL_W = ["Records", "Sound", "Audio", "Disc", "Music"]
 
 
@@ -518,7 +546,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 34
+        kind = i % 38
         answerable = True
         akey = None
         extra_aliases = None
@@ -882,12 +910,98 @@ def make_items(n: int, distractors: int, seed: int):
             extra_support_paras = [
                 (w["city"], f"{w['city']} is a city in the state of "
                             f"{_STATES[w['city']]}.")]
-        else:
+        elif kind == 33:
             # v12 entity-present unanswerable: W's paragraphs exist but
             # state no producer
             q, a = f"Who produced {w['work']}?", ""
             support = set()
             answerable = False
+        elif kind == 34:
+            # v13 descriptive person in the temporal join: the spouse
+            # history belongs to "the performer of W", year anchors to
+            # ANOTHER world's work
+            wb = worlds[(i + 3) % n]
+            x1, x2 = w["spouse"], _name(rng)
+            if rng.random() < 0.5:
+                m1 = wb["year"] - 3 - int(rng.integers(0, 10))
+                d2 = wb["year"] + 2 + int(rng.integers(1, 5))
+                m2 = d2 + 1 + int(rng.integers(0, 4))
+                a = x1
+            else:
+                m2 = wb["year"] - 2 - int(rng.integers(0, 5))
+                d2 = m2 - 1 - int(rng.integers(0, 3))
+                m1 = d2 - 5 - int(rng.integers(0, 8))
+                a = x2
+            marriage_history = (
+                f"{w['person']} married {x1} in {m1}. {w['person']} and "
+                f"{x1} divorced in {d2}. {w['person']} married {x2} in "
+                f"{m2}. {w['person']} was born in {w['city']}.")
+            q = (f"Who was the spouse of the performer of {w['work']} at "
+                 f"the time {wb['work']} was released?")
+            support = {0, 1}
+            extra_support_world = (wb, [0])
+        elif kind == 35:
+            # v13 same-STATE equality: the two birth cities may share a
+            # state while differing as surfaces
+            alt = _unique_worlds(rng, 1, seen_works)[0]
+            if w["city"] not in _STATE_PARTNER:
+                w["city"] = str(rng.choice(list(_STATE_PARTNER)))
+            want_same = bool(rng.random() < 0.5)
+            if want_same:
+                alt["city"] = _STATE_PARTNER[w["city"]]
+            else:
+                others = [c for c in _STATES
+                          if _STATES[c] != _STATES[w["city"]]]
+                alt["city"] = str(rng.choice(others))
+            a = "yes" if want_same else "no"
+            q = (f"Were the performer of {w['work']} and the performer "
+                 f"of {alt['work']} born in the same state?")
+            support = {0, 1}
+            alt_paras = _paragraphs(alt, rng)
+            extra_support_paras = [
+                alt_paras[0], alt_paras[1],
+                (w["city"], f"{w['city']} is a city in the state of "
+                            f"{_STATES[w['city']]}."),
+                (alt["city"], f"{alt['city']} is a city in the state of "
+                              f"{_STATES[alt['city']]}."),
+            ]
+        elif kind == 36:
+            # v13 successor: min year strictly greater than the anchor's
+            sibs = _siblings(rng, w, seen_works)
+            sibs[0]["year"] = w["year"] + 1 + int(rng.integers(0, 8))
+            while sibs[1]["year"] <= sibs[0]["year"]:
+                sibs[1]["year"] = sibs[0]["year"] + 1 + int(
+                    rng.integers(0, 10))
+            q = (f"Which album on the label {w['label']} was released "
+                 f"immediately after {w['work']}?")
+            a = sibs[0]["work"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        else:
+            # v13 conjunctive count: |works by P on L| with foils on both
+            # constraint sides
+            extra_on_l = {"work": None, "year": None}
+            while True:
+                t = ("".join(rng.choice(_SYL, 2)).capitalize() + " "
+                     + str(rng.choice(_WORK_W)))
+                y = int(rng.integers(1950, 2020))
+                if t not in seen_works and y != w["year"]:
+                    seen_works.add(t)
+                    extra_on_l = {"work": t, "year": y, "label": w["label"]}
+                    break
+            off_l = _performer_works(rng, w, seen_works, count=1)[0]
+            sib = _siblings(rng, w, seen_works, count=1)[0]
+            q = (f"How many albums by {w['person']} were released on the "
+                 f"label {w['label']}?")
+            a = "2"
+            extra_aliases = [_NUM_WORDS[2]]
+            support = {0}
+            extra_support_paras = [
+                _performer_paragraph(extra_on_l, w["person"])]
+            extra_foil_paras = [
+                _performer_paragraph(off_l, w["person"]),
+                _sibling_paragraph(sib, w["label"], rng)]
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
@@ -970,15 +1084,15 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 34] = kinds.get(i % 34, 0) + 1
+        kinds[i % 38] = kinds.get(i % 38, 0) + 1
     n_multi = sum(v for k, v in kinds.items()
-                  if k in (0, 1, 4, 5, 6, 9, 16, 17, 26, 30, 32))
+                  if k in (0, 1, 4, 5, 6, 9, 16, 17, 26, 30, 32, 34, 35))
     n_unans = kinds.get(7, 0) + kinds.get(33, 0)
     n_agg = sum(kinds.get(k, 0)
                 for k in (10, 11, 12, 13, 14, 15, 19, 20, 21,
-                          22, 23, 24, 25, 27, 28, 29, 31))
+                          22, 23, 24, 25, 27, 28, 29, 31, 36, 37))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-33 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-37 cycle) "
           f"-> {args.out}")
     return 0
 

@@ -11,7 +11,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
 from gen_synth_musique import make_items  # noqa: E402
 
-N_KINDS = 34
+N_KINDS = 38
 
 
 def _mk(seed, n=N_KINDS * 2):
@@ -48,15 +48,15 @@ def test_gold_consistency_per_kind():
             continue
         sup_blob = " ".join(p["paragraph_text"] for p in it["paragraphs"]
                             if p["is_supporting"])
-        if kind in (10, 13, 23, 24, 27):            # computed numbers
+        if kind in (10, 13, 23, 24, 27, 37):            # computed numbers
             assert it["answer"].isdigit(), (i, kind, it["answer"])
-        elif kind in (12, 21):                       # polarity
+        elif kind in (12, 21, 35):                       # polarity
             assert it["answer"] in ("yes", "no")
         elif kind in (8, 20):                        # comparative: a title
             assert it["answer"] in it["question"] or any(
                 it["answer"] in p["paragraph_text"]
                 for p in it["paragraphs"] if p["is_supporting"])
-        elif kind == 30:                             # time-scoped spouse
+        elif kind in (30, 34):                             # time-scoped spouse
             assert it["answer"] in sup_blob, (i, it["answer"])
         else:
             # every other answer surfaces in the support (module titles
