@@ -577,12 +577,15 @@ def answer_count_filtered(question: str, graph: Optional[NoteGraph],
 
 
 # "Were the performer of A and the performer of B born in the same city?"
-# (v9 kind 21) — two chains resolved independently, compared for identity
+# (v9 kind 21) — two chains resolved independently, compared for identity.
+# v13 kind 35 asks same STATE: city surfaces may differ while the states
+# match, so the attribute word is captured and cities coerce through
+# their geography facts before comparison.
 _SAME_RE = re.compile(
     r"\b(?:were|are|was|is)\s+the\s+(?P<ra>performer|artist|singer|"
     r"founder|author|writer)s?\s+of\s+(?P<a>.+?)\s+and\s+the\s+"
     r"(?P<rb>performer|artist|singer|founder|author|writer)s?\s+of\s+"
-    r"(?P<b>.+?)\s+born\s+in\s+the\s+same\s+(?:city|town|place|state)\b",
+    r"(?P<b>.+?)\s+born\s+in\s+the\s+same\s+(?P<attr>city|town|place|state)\b",
     re.IGNORECASE)
 
 _ROLE_RELS = {
@@ -617,6 +620,27 @@ def _chain_city(anchor: str, role: str, graph: NoteGraph
     return None
 
 
+def _city_state(city: str, graph: Optional[NoteGraph],
+                candidates: Sequence[Dict[str, Any]]
+                ) -> Optional[Tuple[str, List[int]]]:
+    """(state, support paras) for a city: its located_in edge first, then
+    a '<city> is a city in (the state of) <state>' evidence sentence."""
+    key = graph.resolve_head(city) if graph is not None else None
+    if key is not None:
+        for rel, tail, nid, _w, _p in graph.neighbors(key):
+            if rel == "located_in":
+                note = graph.notes.get(nid, {})
+                return str(tail), list(note.get("paragraph_idxs") or [])
+    pat = re.compile(re.escape(city)
+                     + r"\s+is\s+a\s+(?:city|town)\s+in\s+"
+                     + r"(?:the\s+state\s+of\s+)?" + _ENT_SPAN)
+    for c in candidates or ():
+        m = pat.search(f"{c.get('title', '')} {c.get('content', '')}")
+        if m:
+            return m.group(1), list(c.get("paragraph_idxs") or [])
+    return None
+
+
 def answer_same_attribute(question: str, graph: Optional[NoteGraph],
                           candidates: Sequence[Dict[str, Any]]
                           ) -> Optional[Dict[str, Any]]:
@@ -627,11 +651,28 @@ def answer_same_attribute(question: str, graph: Optional[NoteGraph],
     cb = _chain_city(m.group("b").strip(), m.group("rb").lower(), graph)
     if ca is None or cb is None:
         return None
-    # "Boston, Massachusetts" and "Boston" are the same city surface
-    na = ca[0].split(",")[0].strip().lower()
-    nb = cb[0].split(",")[0].strip().lower()
     support = list(dict.fromkeys(ca[1] + cb[1]))
-    return {"answer": "yes" if na == nb else "no",
+    if m.group("attr").lower() == "state":
+        # v13: "Boston" and "Cambridge" are the same STATE — each city
+        # must coerce through its geography fact before comparing
+        vals = []
+        for city, _ in (ca, cb):
+            base = city.split(",")[0].strip()
+            got = _city_state(base, graph, candidates)
+            if got is not None:
+                st, extra = got
+            else:
+                parts = [p.strip() for p in city.split(",")]
+                if len(parts) != 2 or not parts[1]:
+                    return None
+                st, extra = parts[1], []
+            vals.append(st.strip().lower())
+            support += [p for p in extra if p not in support]
+    else:
+        # "Boston, Massachusetts" and "Boston" are the same city surface
+        vals = [ca[0].split(",")[0].strip().lower(),
+                cb[0].split(",")[0].strip().lower()]
+    return {"answer": "yes" if vals[0] == vals[1] else "no",
             "support_idxs": support, "method": "same_attribute"}
 
 
@@ -729,6 +770,86 @@ def answer_closest_release(question: str, graph: Optional[NoteGraph],
             "method": "closest_release"}
 
 
+# "Which album on the label L was released immediately after W?" (v13
+# kind 36) — the MINIMUM year strictly greater than the anchor's (not an
+# extremum, not a distance); proving "immediately" needs every set
+# member's year, so all entries ride in the support
+_SUCC_RE = re.compile(
+    r"\b(?:what|which)\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:was|were|got|came)\s+[^?]*?"
+    r"\b(?:immediately|right|directly)\s+(?P<dir>after|before)\s+"
+    r"(?P<anchor>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_successor(question: str, graph: Optional[NoteGraph],
+                     candidates: Sequence[Dict[str, Any]]
+                     ) -> Optional[Dict[str, Any]]:
+    m = _SUCC_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    anchor = m.group("anchor").strip()
+    ra = _resolve_year(anchor, "released", graph, candidates)
+    if ra is None:
+        return None
+    akey = graph.resolve_head(anchor)
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0 and e[0] != akey
+               and e[0].lower() != anchor.lower()]
+    after = m.group("dir").lower() == "after"
+    pool = [e for e in entries if (e[1] > ra[0]) == after and e[1] != ra[0]]
+    if not pool:
+        return None
+    pick = min(pool, key=lambda t: t[1]) if after \
+        else max(pool, key=lambda t: t[1])
+    if sum(1 for _, y, _ in pool if y == pick[1]) > 1:
+        return None                                # tied successor
+    support = list(ra[1])
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": pick[0], "support_idxs": support,
+            "method": "successor"}
+
+
+# "How many albums by P were released on the label L?" (v13 kind 37) —
+# cardinality of an INTERSECTION: P has works off L, L has works not by
+# P, so both constraint edges must bind per counted work
+_CONJ_COUNT_RE = re.compile(
+    r"\bhow\s+many\s+(?:album|work|record|song|release)s?\s+by\s+"
+    r"(?P<who>.+?)\s+(?:was|were)\s+"
+    r"(?:released|put\s+out|published|issued)\s+"
+    r"(?:on|by|through|under)\s+(?:the\s+label\s+)?(?P<set>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_count_conjunctive(question: str, graph: Optional[NoteGraph],
+                             candidates: Sequence[Dict[str, Any]]
+                             ) -> Optional[Dict[str, Any]]:
+    m = _CONJ_COUNT_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    pkey = graph.resolve_tail(m.group("who").strip())
+    lkey = graph.resolve_tail(m.group("set").strip())
+    if pkey is None or lkey is None:
+        return None
+    by_p = {head: nid for rel, head, nid in graph.rheads(pkey)
+            if rel in _DESC_RELS}
+    on_l = {head: nid for rel, head, nid in graph.rheads(lkey)
+            if rel in _SET_RELS}
+    hits = [wk for wk in by_p if wk in on_l]
+    if not hits:
+        return None
+    support: List[int] = []
+    for wk in hits:
+        for nid in (by_p[wk], on_l[wk]):
+            note = graph.notes.get(nid, {})
+            support += [p for p in (note.get("paragraph_idxs") or [])
+                        if p not in support]
+    return {"answer": str(len(hits)), "support_idxs": support,
+            "method": "count_conjunctive"}
+
+
 # "Who was the spouse of P at the time W was released?" (v12 kind 30) —
 # temporal join: marriage/divorce events parsed from the evidence text,
 # the interval containing W's release year wins
@@ -740,6 +861,29 @@ _AT_TIME_RE = re.compile(
 
 _ENT_SPAN = r"([A-Z][\w'&-]*(?:\s+[A-Z][\w'&-]*)*)"
 
+# v13 kind 34: the person in the temporal join may itself be a
+# description needing a hop ("the performer of W")
+_PERSON_DESC_RE = re.compile(
+    r"^the\s+(?P<role>performer|artist|singer|founder|author|writer)\s+"
+    r"of\s+(?P<w>.+)$", re.IGNORECASE)
+
+
+def _resolve_person_surface(person: str, graph: Optional[NoteGraph]
+                            ) -> Tuple[str, List[int]]:
+    """('the performer of W') -> (person name, resolving-note paras) via
+    the anchor's role edge; a literal name passes through unchanged."""
+    m = _PERSON_DESC_RE.match(person.strip())
+    if not m or graph is None:
+        return person, []
+    key = graph.resolve_head(m.group("w").strip())
+    if key is None:
+        return person, []
+    for rel, tail, nid, _w, _p in graph.neighbors(key):
+        if rel in _ROLE_RELS.get(m.group("role").lower(), ()):
+            note = graph.notes.get(nid, {})
+            return str(tail), list(note.get("paragraph_idxs") or [])
+    return person, []
+
 
 def answer_spouse_at_time(question: str, graph: Optional[NoteGraph],
                           candidates: Sequence[Dict[str, Any]]
@@ -747,7 +891,7 @@ def answer_spouse_at_time(question: str, graph: Optional[NoteGraph],
     m = _AT_TIME_RE.search((question or "").strip())
     if not m:
         return None
-    person = m.group("p").strip()
+    person, ppars = _resolve_person_surface(m.group("p").strip(), graph)
     rw = _resolve_year(m.group("w").strip(), "released", graph, candidates)
     if rw is None:
         return None
@@ -758,10 +902,26 @@ def answer_spouse_at_time(question: str, graph: Optional[NoteGraph],
     divorce_re = re.compile(p_esc + r"\s+and\s+" + _ENT_SPAN
                             + r"\s+(?:divorced|separated)\s+in\s+(\d{4})")
     # events join ACROSS notes: a per-sentence note may carry the
-    # marriage while its divorce sits in a sibling note
+    # marriage while its divorce sits in a sibling note. When the person
+    # was REACHED by a hop (v13 kind 34) the question never names them,
+    # so retrieval may miss the marriage history — widen the scan with
+    # the person's own graph-adjacent notes
+    pool: List[Dict[str, Any]] = list(candidates or ())
+    pkey = graph.resolve_head(person) if graph is not None else None
+    if pkey is not None:
+        nids = {nid for _r, _t, nid, _w, _p in graph.neighbors(pkey)}
+        nids |= {nid for _r, _h, nid in graph.rheads(pkey)}
+        seen_ids = {id(c) for c in pool}
+        for nid in nids:
+            n = graph.notes.get(nid)
+            if n is None or id(n) in seen_ids:
+                continue
+            pool.append({"title": n.get("title", ""),
+                         "content": n.get("text") or n.get("content", ""),
+                         "paragraph_idxs": n.get("paragraph_idxs")})
     marriages: List[Tuple[str, int, List[int]]] = []
     divorces: Dict[str, int] = {}
-    for c in candidates or ():
+    for c in pool:
         text = f"{c.get('title', '')} {c.get('content', '')}"
         if person.lower() not in text.lower():
             continue
@@ -776,7 +936,7 @@ def answer_spouse_at_time(question: str, graph: Optional[NoteGraph],
     if len(spouses) != 1:
         return None
     sp, _, paras = hits[0]
-    support = list(dict.fromkeys(paras + rw[1]))
+    support = list(dict.fromkeys(ppars + paras + rw[1]))
     return {"answer": sp, "support_idxs": support,
             "method": "spouse_at_time"}
 
@@ -870,19 +1030,9 @@ def coerce_state_answer(question: str, answer: str,
     parts = [p.strip() for p in answer.split(",")]
     if len(parts) == 2 and parts[1]:
         return parts[1], []
-    key = graph.resolve_head(answer) if graph is not None else None
-    if key is not None:
-        for rel, tail, nid, _w, _p in graph.neighbors(key):
-            if rel == "located_in":
-                note = graph.notes.get(nid, {})
-                return str(tail), list(note.get("paragraph_idxs") or [])
-    pat = re.compile(re.escape(answer)
-                     + r"\s+is\s+a\s+(?:city|town)\s+in\s+"
-                     + r"(?:the\s+state\s+of\s+)?" + _ENT_SPAN)
-    for c in candidates or ():
-        m = pat.search(f"{c.get('title', '')} {c.get('content', '')}")
-        if m:
-            return m.group(1), list(c.get("paragraph_idxs") or [])
+    got = _city_state(answer, graph, candidates)
+    if got is not None:
+        return got
     return answer, []
 
 
@@ -894,10 +1044,12 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
     for fn in (answer_spouse_at_time, answer_attr_comparative,
                answer_comparative, answer_temporal_diff, answer_yesno,
                answer_years_apart, answer_same_attribute,
-               answer_closest_release, answer_superlative, answer_ordinal,
+               answer_closest_release, answer_successor,
+               answer_superlative, answer_ordinal,
                answer_decade, answer_label_intersection,
                answer_count_comparative, answer_conjunctive,
-               answer_count_filtered, answer_count):
+               answer_count_conjunctive, answer_count_filtered,
+               answer_count):
         res = fn(question, note_graph, candidates)
         if res:
             return res
