@@ -792,10 +792,13 @@ def make_items(n: int, distractors: int, seed: int):
             # a SIBLING so the question is a true two-stage resolution
             sibs = _siblings(rng, w, seen_works)
             sibs[0]["year"] = w["year"] - 1 - int(rng.integers(0, 30))
+            # ceiling 2022, not 2020: when w.year == 2019 and sibs[0]
+            # lands on 2018, [2019, 2020) \ {w.year} is EMPTY and this
+            # rejection loop spun forever (seed/data dependent)
             while (sibs[1]["year"] <= sibs[0]["year"]
                    or sibs[1]["year"] == w["year"]):
                 sibs[1]["year"] = int(
-                    rng.integers(sibs[0]["year"] + 1, 2020))
+                    rng.integers(sibs[0]["year"] + 1, 2022))
             diff = w["year"] - sibs[0]["year"]
             q = (f"How many years after the release of the first album "
                  f"on the label {w['label']} was {w['work']} released?")

@@ -105,3 +105,11 @@ def test_kind21_yes_no_balance():
     answers = [it["answer"] for i, it in enumerate(items)
                if i % N_KINDS == 21]
     assert len(set(answers)) == 2, answers
+
+
+def test_kind27_rejection_loop_terminates():
+    """Regression: with w.year 2019 and the first sibling at 2018, kind
+    27's resample interval was [2019, 2020) \\ {w.year} = empty and
+    make_items spun forever (hit at n=100, distractors=4, seed=101)."""
+    items = make_items(100, distractors=4, seed=101)
+    assert len(items) == 100
