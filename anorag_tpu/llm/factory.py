@@ -40,8 +40,12 @@ class LLMFactory:
         name = llm_cfg.get("provider", "openai")
         provider_cfg = dict(llm_cfg.get(name, {}) or {})
         provider_cfg.setdefault("model", llm_cfg.get("model"))
+        allowed = ("base_url", "model", "timeout", "api_key")
+        if name == "jax":  # in-process provider: decoding knobs, no api_key
+            allowed = ("base_url", "model", "timeout", "temperature",
+                       "prompt_bucket", "max_batch")
         provider_cfg = {k: v for k, v in provider_cfg.items() if v is not None
-                        and k in ("base_url", "model", "timeout", "api_key")}
+                        and k in allowed}
         return cls.create_provider(name, provider_cfg)
 
     @classmethod
@@ -55,6 +59,13 @@ class LLMFactory:
         return [c for *_, c in scored]
 
 
+def _make_jax_client(**cfg):
+    from anorag_tpu.llm.jax_client import JaxLLMClient
+
+    return JaxLLMClient(**cfg)
+
+
 LLMFactory.register("ollama", OllamaClient)
 LLMFactory.register("lmstudio", LMStudioClient)
 LLMFactory.register("openai", OpenAIClient)
+LLMFactory.register("jax", _make_jax_client)

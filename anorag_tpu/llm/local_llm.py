@@ -70,3 +70,16 @@ class LocalLLM:
 
         return self.generate(chunk_prompt, system_prompt=ATOMIC_NOTE_SYSTEM,
                              task_type="atomic_note", **params)
+
+    def generate_notes_batch(self, chunk_prompts: Sequence[str],
+                             **params) -> List[str]:
+        """Batched note generation (one transport round instead of one per
+        chunk; the in-process jax provider turns it into compiled batched
+        device calls)."""
+        np_cfg = self.cfg.get("notes_llm.llm_params", {}) or {}
+        params = {**np_cfg, **params}
+        from anorag_tpu.llm.prompts import ATOMIC_NOTE_SYSTEM
+
+        return self.batch_generate(list(chunk_prompts),
+                                   system_prompt=ATOMIC_NOTE_SYSTEM,
+                                   task_type="atomic_note", **params)

@@ -410,13 +410,99 @@ class AtomicNoteGenerator:
 
     # --------------------------------------------------------------- entry
     def generate_atomic_notes(self, chunks: Sequence[Dict[str, Any]]) -> List[Dict[str, Any]]:
-        notes: List[Dict[str, Any]] = []
-        for chunk in chunks:
-            notes.extend(self.generate_for_chunk(chunk))
+        batch_ok = (self.cfg.get("notes_llm.batch.enabled", True)
+                    and self.llm is not None
+                    and (hasattr(self.llm, "generate_notes_batch")
+                         or hasattr(self.llm, "batch_generate")))
+        if batch_ok:
+            notes = self._generate_batched(list(chunks))
+        else:
+            notes = []
+            for chunk in chunks:
+                notes.extend(self.generate_for_chunk(chunk))
         logger.info("generated %d notes from %d chunks (%s)",
                     len(notes), len(chunks), dict(self.stats))
         self.maybe_evaluate_coverage(chunks, notes)
         return notes
+
+    def _generate_batched(self, chunks: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        """Batched variant of the per-chunk loop: ONE batch_generate call
+        per round (all prompts, then all parse-retry prompts) instead of a
+        request per chunk. Behavior matches generate_for_chunk exactly —
+        sentinel empty, parse retry on a shortened chunk, rule fallback —
+        only the transport is amortized (the in-process jax provider turns
+        each round into a few compiled device calls; HTTP providers fall
+        back to an internal loop)."""
+        _EMPTY: List[Any] = []
+        prompts: List[str] = []
+        idx_map: List[int] = []
+        for i, ch in enumerate(chunks):
+            text = ch.get("text") or ""
+            if not text.strip():
+                continue
+            sentences = ch.get("sentences") or split_sentences(text)
+            prompts.append(build_atomic_note_prompt(
+                text, sentences, ch.get("entity_cards") or []))
+            idx_map.append(i)
+        raws = self._call_batch(prompts)
+        parsed_map: Dict[int, Optional[List[Any]]] = {}
+        retry_prompts: List[str] = []
+        retry_idx: List[int] = []
+        for i, raw in zip(idx_map, raws):
+            if StreamingEarlyStop.is_empty_result(raw, self.sentinel):
+                self.stats["sentinel_empty"] += 1
+                parsed_map[i] = _EMPTY
+                continue
+            parsed = extract_json(raw)
+            if isinstance(parsed, list):
+                parsed_map[i] = parsed
+                continue
+            self.stats["parse_fail"] += 1
+            if self.retry_on_parse_error:
+                short = (chunks[i].get("text") or "")[: self.shorten_chars]
+                retry_prompts.append(build_atomic_note_prompt(
+                    short, split_sentences(short),
+                    chunks[i].get("entity_cards") or []))
+                retry_idx.append(i)
+            else:
+                parsed_map[i] = None
+        if retry_prompts:
+            for i, raw in zip(retry_idx, self._call_batch(retry_prompts)):
+                parsed = extract_json(raw)
+                if isinstance(parsed, list):
+                    self.stats["parse_retry_ok"] += 1
+                    parsed_map[i] = parsed
+                else:
+                    parsed_map[i] = None
+        notes: List[Dict[str, Any]] = []
+        for i, ch in enumerate(chunks):
+            parsed = parsed_map.get(i, _EMPTY)
+            if parsed is None:
+                if not self.enable_rule_fallback:
+                    continue
+                self.stats["rule_fallback"] += 1
+                text = ch.get("text") or ""
+                parsed = self._rule_fallback(
+                    text, ch.get("sentences") or split_sentences(text),
+                    title=ch.get("title") or "")
+            if parsed:
+                notes.extend(self._post_process(parsed, ch))
+        return notes
+
+    def _call_batch(self, prompts: List[str]) -> List[str]:
+        if not prompts:
+            return []
+        try:
+            if hasattr(self.llm, "generate_notes_batch"):
+                return self.llm.generate_notes_batch(prompts)
+            from anorag_tpu.llm.prompts import ATOMIC_NOTE_SYSTEM
+
+            return self.llm.batch_generate(prompts,
+                                           system_prompt=ATOMIC_NOTE_SYSTEM)
+        except Exception as e:
+            logger.warning("note LLM batch call failed: %s", e)
+            self.stats["llm_error"] += len(prompts)
+            return [""] * len(prompts)
 
     def maybe_evaluate_coverage(self, chunks, notes) -> None:
         """Source-coverage debug report when evaluation.coverage.enabled

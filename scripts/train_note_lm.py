@@ -1,0 +1,254 @@
+"""Train the in-framework note-generation decoder LM by distillation.
+
+The reference relies on an external LLM server to turn chunks into
+atomic-note JSON (/root/reference/llm/atomic_note_generator.py); its
+rule fallback only fires when that server fails. Here the dependency is
+inverted: the rule-based generator (the measured-quality path of this
+framework) acts as TEACHER, and a byte-level decoder LM
+(models/decoder_lm.py) is distilled from (chunk prompt -> note JSON)
+pairs over synthetic worlds. The student then serves through the `jax`
+LLM provider so the real LLM pipeline — prompt, autoregressive
+generation, JSON parsing, retry, post-processing — runs end-to-end in
+the image with no server.
+
+Usage:
+  python scripts/train_note_lm.py --out checkpoints/note_lm \
+      --items 300 --steps 1500 --batch 8
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def build_pairs(n_items: int, seeds, max_prompt: int, max_total: int,
+                merged_only: bool = True):
+    """(rendered prompt, completion JSON) pairs from synthetic worlds."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from gen_synth_musique import make_items
+
+    from anorag_tpu.config import config
+    from anorag_tpu.doc.chunker import DocumentChunker
+    from anorag_tpu.llm.jax_client import render_prompt
+    from anorag_tpu.llm.note_generator import (AtomicNoteGenerator,
+                                               extract_all_note_keys)
+    from anorag_tpu.llm.prompts import (ATOMIC_NOTE_SYSTEM,
+                                        build_atomic_note_prompt)
+
+    chunker = DocumentChunker()
+    teacher = AtomicNoteGenerator(llm=None, cfg=config)
+    pairs = []
+    seen = set()
+    n_long = 0
+    # distractors stays at the generator default (12): several question
+    # kinds rejection-sample foils from the distractor pool and spin
+    # forever below ~8 worlds
+    for seed in seeds:
+        for it in make_items(n_items, 12, seed):
+            for para in it["paragraphs"]:
+                doc = {"id": f"{it['id']}_{para['idx']}",
+                       "paragraphs": [para]}
+                for ch in chunker.chunk_document(doc):
+                    notes = teacher._rule_fallback(
+                        ch["text"], ch["sentences"], title=ch.get("title") or "")
+                    if not notes:
+                        continue
+                    if merged_only and len(notes) > 1:
+                        # the downstream per-paragraph quota (notes_llm.
+                        # limit, quota 1) keeps only the top-salience note
+                        # — the merged info-complete one; distilling just
+                        # it halves target bytes with no pipeline effect
+                        notes = notes[:1]
+                    for n in notes:
+                        keys = extract_all_note_keys(
+                            n["text"], n["entities"], teacher.rel_lexicon,
+                            teacher.fallback_splitters, teacher.default_rel)
+                        if keys:
+                            n.update(keys)
+                    prompt = render_prompt(
+                        build_atomic_note_prompt(ch["text"], ch["sentences"]),
+                        ATOMIC_NOTE_SYSTEM)
+                    # budget-greedy target: the merged info-complete note
+                    # leads (it alone survives the downstream per-paragraph
+                    # quota, notes_llm.limit quota 1); sentence notes ride
+                    # along while the byte budget holds
+                    budget = max_total - len(prompt) - 2
+                    kept_notes = []
+                    used = 2                       # '[' + ']'
+                    for n in notes:
+                        s = len(json.dumps(n, separators=(",", ":"))) + 1
+                        if used + s > budget:
+                            break
+                        kept_notes.append(n)
+                        used += s
+                    if not kept_notes:
+                        n_long += 1
+                        continue
+                    target = json.dumps(kept_notes, separators=(",", ":"))
+                    if len(prompt) > max_prompt or \
+                            len(prompt) + len(target) + 2 > max_total:
+                        n_long += 1
+                        continue
+                    key = hash(prompt)
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    pairs.append((prompt, target))
+    return pairs, n_long
+
+
+def encode_pairs(pairs, seq_len: int):
+    from anorag_tpu.models.decoder_lm import PAD_ID, ByteTokenizer
+
+    tok = ByteTokenizer()
+    ids = np.full((len(pairs), seq_len), PAD_ID, np.int32)
+    w = np.zeros((len(pairs), seq_len), np.float32)
+    kept = []
+    for p, c in pairs:
+        pi = tok.encode(p, add_bos=True)
+        ci = tok.encode(c, add_eos=True)
+        if len(pi) + len(ci) > seq_len:
+            continue
+        i = len(kept)
+        if i >= len(pairs):
+            break
+        seq = pi + ci
+        ids[i, :len(seq)] = seq
+        w[i, len(pi):len(seq)] = 1.0
+        kept.append((p, c))
+    return ids[:len(kept)], w[:len(kept)], kept
+
+
+def evaluate(lm, held, max_new: int):
+    """Parse rate + teacher fidelity of greedy generations."""
+    from anorag_tpu.utils.json_parser import extract_json
+
+    n_parse = n_exact = 0
+    note_hits = note_total = 0
+    for i in range(0, len(held), 8):
+        batch = held[i:i + 8]
+        outs = lm.generate([p for p, _ in batch], max_new=max_new)
+        for (p, tgt), got in zip(batch, outs):
+            parsed = extract_json(got)
+            if isinstance(parsed, list) and parsed:
+                n_parse += 1
+                want = json.loads(tgt)
+                want_texts = {n.get("text") for n in want}
+                got_texts = {n.get("text") for n in parsed
+                             if isinstance(n, dict)}
+                note_total += len(want_texts)
+                note_hits += len(want_texts & got_texts)
+                if got.strip() == tgt.strip():
+                    n_exact += 1
+            else:
+                note_total += len(json.loads(tgt))
+    n = max(len(held), 1)
+    return {"parse_rate": n_parse / n, "exact_rate": n_exact / n,
+            "note_text_recall": note_hits / max(note_total, 1),
+            "n_eval": len(held)}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="checkpoints/note_lm")
+    ap.add_argument("--items", type=int, default=200)
+    ap.add_argument("--seeds", type=int, nargs="+", default=[101, 102, 103])
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--seq", type=int, default=1024)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--ffn", type=int, default=1024)
+    ap.add_argument("--max-len", type=int, default=2048)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--warmup", type=int, default=100)
+    ap.add_argument("--held-out", type=int, default=64)
+    ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--stats-only", action="store_true")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+
+    import jax
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    t0 = time.time()
+    pairs, n_long = build_pairs(args.items, args.seeds,
+                                max_prompt=int(args.seq * 0.7),
+                                max_total=args.seq)
+    lens = sorted(len(p) + len(c) for p, c in pairs)
+    print(f"pairs: {len(pairs)} (dropped {n_long} over budget) "
+          f"len p50={lens[len(lens)//2]} p95={lens[int(len(lens)*.95)]} "
+          f"max={lens[-1]} build {time.time()-t0:.1f}s")
+    if args.stats_only:
+        return 0
+
+    import jax.numpy as jnp
+    import optax
+
+    from anorag_tpu.models import decoder_lm as dlm
+
+    rng = np.random.default_rng(args.seed)
+    order = rng.permutation(len(pairs))
+    pairs = [pairs[i] for i in order]
+    held = pairs[:args.held_out]
+    train = pairs[args.held_out:]
+    ids, w, kept = encode_pairs(train, args.seq)
+    print(f"train {len(kept)} / held-out {len(held)}")
+
+    cfg = dlm.DecoderConfig(hidden_size=args.hidden, num_layers=args.layers,
+                            num_heads=args.heads,
+                            intermediate_size=args.ffn, max_len=args.max_len)
+    params = dlm.init_params(jax.random.PRNGKey(args.seed), cfg)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, args.warmup, max(args.steps, args.warmup + 1), args.lr * 0.05)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
+    opt_state = opt.init(params)
+    step_fn = jax.jit(dlm.make_train_step(cfg, opt))
+
+    n = ids.shape[0]
+    t0 = time.time()
+    loss_hist = []
+    for step in range(args.steps):
+        idx = rng.integers(0, n, size=args.batch)
+        batch = {"ids": jnp.asarray(ids[idx]),
+                 "loss_mask": jnp.asarray(w[idx])}
+        params, opt_state, loss = step_fn(params, opt_state, batch)
+        if step % 50 == 0 or step == args.steps - 1:
+            lv = float(loss)
+            loss_hist.append({"step": step, "loss": round(lv, 4)})
+            dt = time.time() - t0
+            print(f"step {step} loss {lv:.4f} ({dt:.0f}s, "
+                  f"{(step+1)/max(dt,1e-9):.2f} it/s)", flush=True)
+
+    dlm.save_lm(args.out, params, cfg)
+    lm = dlm.DecoderLM(params, cfg, prompt_bucket=256)
+    metrics = evaluate(lm, held, max_new=args.seq)
+    n_params = sum(int(np.prod(np.asarray(x).shape))
+                   for x in jax.tree.leaves(params))
+    report = {
+        "out": args.out, "n_params": n_params, "config": cfg.as_dict(),
+        "n_train": len(kept), "n_held_out": len(held),
+        "steps": args.steps, "batch": args.batch, "seq": args.seq,
+        "train_seconds": round(time.time() - t0, 1),
+        "final_loss": loss_hist[-1]["loss"] if loss_hist else None,
+        "loss_history": loss_hist, "held_out": metrics,
+    }
+    Path(args.out).mkdir(parents=True, exist_ok=True)
+    (Path(args.out) / "report.json").write_text(json.dumps(report, indent=1))
+    print(json.dumps({"held_out": metrics, "n_params": n_params,
+                      "final_loss": report["final_loss"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

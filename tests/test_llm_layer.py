@@ -370,3 +370,64 @@ def test_rule_fallback_topic_coref_and_multi_triple():
         "Gorza Mosaic was put out in 1967.")
     assert "Gorza Mosaic" in ents
     assert all(". " not in e for e in ents)
+
+
+# ----------------------------------------------------- batched note path
+def _mixed_transport(replies):
+    """Transport returning reply i for call i (ollama wire shape)."""
+    calls = {"n": 0}
+
+    def transport(url, payload, timeout):
+        i = min(calls["n"], len(replies) - 1)
+        calls["n"] += 1
+        return {"response": replies[i]}
+
+    return transport
+
+
+def test_batched_notes_match_sequential():
+    """The batched path must produce byte-identical notes to the
+    per-chunk loop for the same replies."""
+    reply = json.dumps([{
+        "text": "Aurora Lane performed the song Blue Horizon.",
+        "entities": ["Aurora Lane", "Blue Horizon"],
+        "source_sent_ids": [0], "salience": 0.9,
+    }])
+    chunks = [_chunk(), dict(_chunk(), chunk_index=1, paragraph_idx=5)]
+    seq_cfg = ConfigLoader(auto_load=False)
+    seq_cfg.set("notes_llm.batch.enabled", False)
+    seq = AtomicNoteGenerator(_note_llm(reply), seq_cfg)
+    seq_notes = seq.generate_atomic_notes(chunks)
+    bat = AtomicNoteGenerator(_note_llm(reply), ConfigLoader(auto_load=False))
+    bat_notes = bat.generate_atomic_notes(chunks)
+    assert seq_notes == bat_notes and len(bat_notes) == 2
+
+
+def test_batched_notes_mixed_outcomes():
+    """One sentinel chunk, one parse-fail chunk (retry also fails ->
+    rule fallback), in a single batch round."""
+    loader = ConfigLoader(auto_load=False)
+    loader.set("llm.provider", "ollama")
+    llm = LocalLLM(cfg=loader,
+                   transport=_mixed_transport(["~", "{{{ not json", "still bad"]))
+    gen = AtomicNoteGenerator(llm, ConfigLoader(auto_load=False))
+    chunks = [_chunk(), dict(_chunk(), chunk_index=1)]
+    notes = gen.generate_atomic_notes(chunks)
+    assert gen.stats["sentinel_empty"] == 1
+    assert gen.stats["parse_fail"] == 1
+    assert gen.stats["rule_fallback"] == 1
+    assert notes and all(n["chunk_index"] == 1 for n in notes)
+
+
+def test_batched_notes_retry_recovers():
+    """Parse failure recovered by the batched shortened-chunk retry."""
+    good = json.dumps([{"text": "Aurora Lane performed Blue Horizon today.",
+                        "entities": ["Aurora Lane"], "source_sent_ids": [0],
+                        "salience": 0.8}])
+    loader = ConfigLoader(auto_load=False)
+    loader.set("llm.provider", "ollama")
+    llm = LocalLLM(cfg=loader, transport=_mixed_transport(["broken {", good]))
+    gen = AtomicNoteGenerator(llm, ConfigLoader(auto_load=False))
+    notes = gen.generate_atomic_notes([_chunk()])
+    assert gen.stats["parse_retry_ok"] == 1
+    assert len(notes) == 1 and gen.stats.get("rule_fallback", 0) == 0
