@@ -204,6 +204,26 @@ widens to 38 with four kinds that COMPOSE the newest machinery:
     the label L?" — cardinality of an intersection (P also has works on
     other labels, L also has works by other performers).
 
+v14 (round 3, session 4): the v13 kinds closed (EM 1.00), so the cycle
+widens to 42 with four kinds that compose the solved set/arithmetic
+machinery along axes none of the existing stages cover:
+  * kind 38, hop-after-superlative: "Who performed the first album
+    released on the label L?" — the superlative resolves to a WORK,
+    then the performer hop must run on the RESOLVED work (every solved
+    superlative ends at the work title);
+  * kind 39, numeric difference: "How many more tracks does A have than
+    B?" — word-number parsing of both track counts plus a SUBTRACTION;
+    the answer is a computed number in no paragraph (kind 31 only
+    compares);
+  * kind 40, range arithmetic: "How many years apart were the first and
+    the last albums released on the label L?" — TWO superlatives over
+    the label set, then their difference (kind 27's years-apart takes
+    two named works; here both ends must be resolved from the set);
+  * kind 41, universal quantification: "Were all of the albums on the
+    label L released in the 1990s?" — forall over the label set with a
+    yes/no answer (kind 19 finds the one member IN the decade; the
+    'no' case hides a single counterexample).
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -546,7 +566,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 38
+        kind = i % 42
         answerable = True
         akey = None
         extra_aliases = None
@@ -981,7 +1001,7 @@ def make_items(n: int, distractors: int, seed: int):
             support = {0}
             extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
-        else:
+        elif kind == 37:
             # v13 conjunctive count: |works by P on L| with foils on both
             # constraint sides
             extra_on_l = {"work": None, "year": None}
@@ -1005,6 +1025,74 @@ def make_items(n: int, distractors: int, seed: int):
             extra_foil_paras = [
                 _performer_paragraph(off_l, w["person"]),
                 _sibling_paragraph(sib, w["label"], rng)]
+        elif kind == 38:
+            # v14 hop-after-superlative: the argmin work is a SIBLING, so
+            # the answer is that sibling's performer — a hop taken on the
+            # superlative's output, not on a named entity
+            sibs = _siblings(rng, w, seen_works)
+            sibs[0]["year"] = w["year"] - 1 - int(rng.integers(0, 10))
+            while (sibs[1]["year"] <= sibs[0]["year"]
+                   or sibs[1]["year"] == w["year"]):
+                sibs[1]["year"] = sibs[0]["year"] + 1 + int(
+                    rng.integers(0, 10))
+            q = (f"Who performed the first album released on the label "
+                 f"{w['label']}?")
+            a = sibs[0]["person"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 39:
+            # v14 numeric difference: subtraction over word-number track
+            # counts; the answer appears in no paragraph
+            wb = worlds[(i + 3) % n]
+            ta = 3 + int(rng.integers(0, 17))            # 3..19
+            tb = 2 + int(rng.integers(0, ta - 2))        # 2..ta-1
+            track_counts = (ta, tb)
+            q = (f"How many more tracks does {w['work']} have than "
+                 f"{wb['work']}?")
+            a = str(ta - tb)
+            if (ta - tb) in _NUM_WORDS:
+                extra_aliases = [_NUM_WORDS[ta - tb]]
+            support = {0}
+            wb_t, wb_x = _paragraphs(wb, rng)[0]
+            wb_x = wb_x.replace(" It features ten tracks.", "")
+            extra_support_paras = [
+                (wb_t, f"{wb_x} It contains {_NUM_WORDS[tb]} tracks.")]
+        elif kind == 40:
+            # v14 range arithmetic: max-year minus min-year over the label
+            # set — both ends resolved from the set, then subtracted
+            sibs = _siblings(rng, w, seen_works)
+            years = sorted([w["year"]] + [s["year"] for s in sibs])
+            q = (f"How many years apart were the first and the last "
+                 f"albums released on the label {w['label']}?")
+            a = str(years[-1] - years[0])
+            if (years[-1] - years[0]) in _NUM_WORDS:
+                extra_aliases = [_NUM_WORDS[years[-1] - years[0]]]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        else:
+            # v14 universal quantification: forall(member.year in decade);
+            # the 'no' case hides a single counterexample in the set
+            sibs = _siblings(rng, w, seen_works)
+            decade = 10 * (w["year"] // 10)
+            used = {w["year"]}
+            for s in sibs:
+                y = decade + int(rng.integers(0, 10))
+                while y in used:
+                    y = decade + int(rng.integers(0, 10))
+                used.add(y)
+                s["year"] = y
+            want_yes = bool(rng.random() < 0.5)
+            if not want_yes:
+                sibs[int(rng.integers(0, 2))]["year"] = (
+                    decade - 1 - int(rng.integers(0, 15)))
+            q = (f"Were all of the albums on the label {w['label']} "
+                 f"released in the {decade}s?")
+            a = "yes" if want_yes else "no"
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
@@ -1087,15 +1175,16 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 38] = kinds.get(i % 38, 0) + 1
+        kinds[i % 42] = kinds.get(i % 42, 0) + 1
     n_multi = sum(v for k, v in kinds.items()
                   if k in (0, 1, 4, 5, 6, 9, 16, 17, 26, 30, 32, 34, 35))
     n_unans = kinds.get(7, 0) + kinds.get(33, 0)
     n_agg = sum(kinds.get(k, 0)
                 for k in (10, 11, 12, 13, 14, 15, 19, 20, 21,
-                          22, 23, 24, 25, 27, 28, 29, 31, 36, 37))
+                          22, 23, 24, 25, 27, 28, 29, 31, 36, 37,
+                          38, 39, 40, 41))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-37 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-41 cycle) "
           f"-> {args.out}")
     return 0
 
