@@ -391,6 +391,58 @@ def answer_superlative(question: str, graph: Optional[NoteGraph],
             "method": "superlative"}
 
 
+# "Who performed the first album released on the label L?" (v14 kind 38)
+# — the superlative resolves to a WORK, then the performer hop runs on
+# the RESOLVED work (every other superlative ends at the work title)
+_SUPERL_HOP_RE = re.compile(
+    r"\bwho\s+(?P<verb>performed|recorded|made|released|wrote)\s+the\s+"
+    r"(?P<ord>" + _ORD_MIN + r"|" + _ORD_MAX + r")\s+"
+    r"(?:album|work|record|song|release)\s+"
+    r"(?:released\s+|recorded\s+|put\s+out\s+)?"
+    r"(?:on|by|through|under)\s+(?:the\s+label\s+)?(?P<set>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+_HOP_RELS = {"performed": ("performed_by",), "recorded": ("performed_by",),
+             "made": ("performed_by",), "wrote": ("performed_by",),
+             "released": ("released_on_label",)}
+
+
+def answer_superlative_hop(question: str, graph: Optional[NoteGraph],
+                           candidates: Sequence[Dict[str, Any]]
+                           ) -> Optional[Dict[str, Any]]:
+    m = _SUPERL_HOP_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    if len(entries) < 2:
+        return None
+    ordinal = re.sub(r"\s+", " ", m.group("ord").lower())
+    best = min(entries, key=lambda t: t[1]) \
+        if re.fullmatch(_ORD_MIN, ordinal) else max(entries, key=lambda t: t[1])
+    if [y for _, y, _ in entries].count(best[1]) > 1:
+        return None                              # tied extremum: ambiguous
+    key = graph.resolve_head(best[0])
+    if key is None:
+        return None
+    want = _HOP_RELS.get(m.group("verb").lower(), ("performed_by",))
+    person = hop_paras = None
+    for rel, tail, note_id, _w, _p in graph.neighbors(key):
+        if rel in want:
+            person = str(tail)
+            note = graph.notes.get(note_id, {})
+            hop_paras = list(note.get("paragraph_idxs") or [])
+            break
+    if not person:
+        return None
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    support += [p for p in (hop_paras or []) if p not in support]
+    return {"answer": person, "support_idxs": support,
+            "method": "superlative_hop"}
+
+
 # "What was the second album released on the label L?" (v8 kind 15) —
 # an ORDINAL over the label's work set, not an extremum
 _ORDINAL_WORDS = {"second": 2, "third": 3, "fourth": 4, "fifth": 5,
@@ -996,6 +1048,98 @@ def answer_attr_comparative(question: str, graph: Optional[NoteGraph],
             "method": "attr_comparative"}
 
 
+# "How many more tracks does A have than B?" (v14 kind 39) — a computed
+# DIFFERENCE of word-number attribute counts (kind 31 only compares)
+_ATTR_DIFF_RE = re.compile(
+    r"\bhow\s+many\s+(?P<dir>more|fewer|less)\s+"
+    r"(?P<attr>tracks|songs|discs|minutes)\s+does\s+(?P<a>.+?)\s+"
+    r"(?:have|contain|feature)\s+than\s+(?P<b>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_attr_difference(question: str, graph: Optional[NoteGraph],
+                           candidates: Sequence[Dict[str, Any]]
+                           ) -> Optional[Dict[str, Any]]:
+    m = _ATTR_DIFF_RE.search((question or "").strip())
+    if not m:
+        return None
+    got = [_attr_count(o.strip(), m.group("attr"), candidates)
+           for o in (m.group("a"), m.group("b"))]
+    if None in got:
+        return None
+    diff = got[0][0] - got[1][0]
+    if m.group("dir").lower() != "more":
+        diff = -diff
+    if diff <= 0:
+        return None          # premise contradicts the facts: fall through
+    support = list(dict.fromkeys(got[0][1] + got[1][1]))
+    return {"answer": str(diff), "support_idxs": support,
+            "method": "attr_difference"}
+
+
+# "How many years apart were the first and the last albums released on
+# the label L?" (v14 kind 40) — BOTH ends resolved from the set, then
+# subtracted (answer_years_apart takes two NAMED works)
+_ORD_ANY = _ORD_MIN + r"|" + _ORD_MAX + r"|most\s+recent"
+_RANGE_RE = re.compile(
+    r"\bhow\s+many\s+years\s+(?:apart|separate[d]?)\s+(?:were|are|was)?\s*"
+    r"the\s+(?:" + _ORD_ANY + r")\s+and\s+the\s+(?:" + _ORD_ANY + r")\s+"
+    r"(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+|put\s+out\s+|recorded\s+)?"
+    r"(?:on|by|through|under)\s+(?:the\s+label\s+)?(?P<set>.+?)\s*"
+    r"(?:released\s*)?\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_year_range(question: str, graph: Optional[NoteGraph],
+                      candidates: Sequence[Dict[str, Any]]
+                      ) -> Optional[Dict[str, Any]]:
+    m = _RANGE_RE.search((question or "").strip())
+    if not m:
+        return None
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    if len(entries) < 2:
+        return None
+    years = sorted(y for _, y, _ in entries)
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": str(years[-1] - years[0]), "support_idxs": support,
+            "method": "year_range"}
+
+
+# "Were all of the albums on the label L released in the 1990s?" (v14
+# kind 41) — universal quantification over the set; the 'no' case hides
+# a single counterexample (answer_decade finds the one member IN the
+# decade and requires a which-question)
+_ALL_DECADE_RE = re.compile(
+    r"\bwere\s+all\s+(?:of\s+)?the\s+(?:album|work|record|song|release)s\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+released\s+in\s+the\s+(?P<dec>1[0-9]{2}|20[0-9])0s"
+    r"\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_forall_decade(question: str, graph: Optional[NoteGraph],
+                         candidates: Sequence[Dict[str, Any]]
+                         ) -> Optional[Dict[str, Any]]:
+    m = _ALL_DECADE_RE.search((question or "").strip())
+    if not m:
+        return None
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    if len(entries) < 2:
+        return None
+    lo = int(m.group("dec")) * 10
+    ok = all(lo <= y < lo + 10 for _, y, _ in entries)
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": "yes" if ok else "no", "support_idxs": support,
+            "method": "forall_decade"}
+
+
 def answer_count(question: str, graph: Optional[NoteGraph],
                  candidates: Sequence[Dict[str, Any]]
                  ) -> Optional[Dict[str, Any]]:
@@ -1041,11 +1185,14 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                       ) -> Optional[Dict[str, Any]]:
     """Dispatcher over every exact-math family; None = not such a question
     or unresolvable (callers fall through to the regular stages)."""
-    for fn in (answer_spouse_at_time, answer_attr_comparative,
-               answer_comparative, answer_temporal_diff, answer_yesno,
-               answer_years_apart, answer_same_attribute,
+    for fn in (answer_spouse_at_time, answer_attr_difference,
+               answer_attr_comparative,
+               answer_comparative, answer_temporal_diff,
+               answer_forall_decade, answer_yesno,
+               answer_year_range, answer_years_apart,
+               answer_same_attribute,
                answer_closest_release, answer_successor,
-               answer_superlative, answer_ordinal,
+               answer_superlative_hop, answer_superlative, answer_ordinal,
                answer_decade, answer_label_intersection,
                answer_count_comparative, answer_conjunctive,
                answer_count_conjunctive, answer_count_filtered,

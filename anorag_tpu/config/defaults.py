@@ -100,7 +100,8 @@ DEFAULT_CONFIG: Dict[str, Any] = {
             "member_of": ["member of", "joined"],
             "founded_by": ["founded by", "founded", "established by",
                            "established", "started by"],
-            "located_in": ["located in", "capital of"],
+            "located_in": ["located in", "capital of", "is a city in",
+                           "is a town in"],
             "directed_by": ["directed by", "directed"],
         },
         "type_hints": {

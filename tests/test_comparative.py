@@ -722,3 +722,116 @@ def test_state_coercion():
     ans, sup = coerce_state_answer(
         "Where was the performer born?", "Austin", g, [])
     assert ans == "Austin"
+
+
+# ----------------------------------------------------------------- v14
+def test_superlative_hop_resolves_performer_of_extremum():
+    """v14 kind 38: the superlative picks the work, then the answer is
+    that work's PERFORMER — a hop on the superlative's output."""
+    from anorag_tpu.answer.comparative import answer_superlative_hop
+
+    g = NoteGraph()
+    for i, (work, year, person) in enumerate(
+            [("Holden Harbor", 1958, "Mira Vel"),
+             ("Linlin Garden", 1970, "Kesto Ra"),
+             ("Denon Harbor", 1966, "Bdone Sha")]):
+        rel = f"{work} was released in {year} on the label Tiden Records."
+        keys = extract_note_keys(rel, [work, str(year), "Tiden Records"])
+        g.add_notes([{"note_id": f"r{i}", "content": rel, **keys,
+                      "paragraph_idxs": [i]}])
+        per = f"{work} is an album performed by {person}."
+        pkeys = extract_note_keys(per, [work, person])
+        g.add_notes([{"note_id": f"p{i}", "content": per, **pkeys,
+                      "paragraph_idxs": [i]}])
+    res = answer_superlative_hop(
+        "Who performed the first album released on the label "
+        "Tiden Records?", g, [])
+    assert res["answer"] == "Mira Vel"
+    assert 0 in res["support_idxs"]
+    res = answer_superlative_hop(
+        "Who performed the last album released on the label "
+        "Tiden Records?", g, [])
+    assert res["answer"] == "Kesto Ra"
+    # the plain superlative (which-question) must not route here
+    assert answer_superlative_hop(
+        "Which album on the label Tiden Records was released first?",
+        g, []) is None
+
+
+def test_attr_difference_word_numbers():
+    """v14 kind 39: subtraction over word-number track counts; the
+    answer is a number stated in no paragraph."""
+    from anorag_tpu.answer.comparative import answer_attr_difference
+
+    cands = [
+        {"title": "Kesfen Harbor (album)", "paragraph_idxs": [1],
+         "content": "Kesfen Harbor is an album. It features sixteen "
+                    "tracks."},
+        {"title": "Tiza Harbor (album)", "paragraph_idxs": [4],
+         "content": "Tiza Harbor is an album. It contains two tracks."},
+    ]
+    res = answer_attr_difference(
+        "How many more tracks does Kesfen Harbor have than Tiza Harbor?",
+        None, cands)
+    assert res["answer"] == "14"
+    assert set(res["support_idxs"]) == {1, 4}
+    # ill-posed premise (A has fewer) falls through
+    assert answer_attr_difference(
+        "How many more tracks does Tiza Harbor have than Kesfen Harbor?",
+        None, cands) is None
+    # 'fewer' inverts the subtraction
+    res = answer_attr_difference(
+        "How many fewer tracks does Tiza Harbor have than Kesfen Harbor?",
+        None, cands)
+    assert res["answer"] == "14"
+
+
+def test_year_range_over_label_set():
+    """v14 kind 40: first-to-last distance needs BOTH extrema resolved
+    from the set, then subtracted."""
+    from anorag_tpu.answer.comparative import answer_year_range
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970),
+                      ("Denon Harbor", 1966)])
+    res = answer_year_range(
+        "How many years apart were the first and the last albums "
+        "released on the label Tiden Records?", g, [])
+    assert res["answer"] == "12"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    # unknown label falls through
+    assert answer_year_range(
+        "How many years apart were the first and the last albums "
+        "released on the label Ghost Records?", g, []) is None
+
+
+def test_forall_decade_quantification():
+    """v14 kind 41: forall over the label set; a single out-of-decade
+    counterexample flips the polarity."""
+    from anorag_tpu.answer.comparative import answer_forall_decade
+
+    g_yes = _label_graph([("Holden Harbor", 1992), ("Linlin Garden", 1995),
+                          ("Denon Harbor", 1999)])
+    res = answer_forall_decade(
+        "Were all of the albums on the label Tiden Records released in "
+        "the 1990s?", g_yes, [])
+    assert res["answer"] == "yes"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    g_no = _label_graph([("Holden Harbor", 1992), ("Linlin Garden", 1985),
+                         ("Denon Harbor", 1999)])
+    res = answer_forall_decade(
+        "Were all of the albums on the label Tiden Records released in "
+        "the 1990s?", g_no, [])
+    assert res["answer"] == "no"
+
+
+def test_geography_cue_yields_located_in_key():
+    """Regression (v14 close): the CONFIG lexicon lacked the geography
+    cues the module default carried, so production KBs keyed geography
+    sentences related_to and the same-state coercion had no edge."""
+    from anorag_tpu.config.defaults import DEFAULT_CONFIG
+
+    lex = DEFAULT_CONFIG["note_keys"]["rel_lexicon"]
+    keys = extract_note_keys("Salem is a city in the state of Oregon.",
+                             ["Salem", "Oregon"], rel_lexicon=lex)
+    assert keys == {"head_key": "Salem", "rel": "located_in",
+                    "tail_key": "Oregon"}
