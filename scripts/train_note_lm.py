@@ -28,8 +28,98 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
+def build_answer_pairs(items, rng, max_prompt: int, max_total: int):
+    """(rendered final-answer prompt, prediction JSON) pairs.
+
+    Serving calls the LLM with build_final_answer_prompt over the
+    SELECTED notes plus a noisy EFSA hint (query/processor.py answer
+    stage); the distilled operating point is hint verification — copy
+    the (usually right) hint, quote verbatim supporting note bodies,
+    emit the gold support idxs — with gold-answer targets throughout so
+    a wrong hint is trained to be overridden, and 'insufficient' for
+    unanswerable items."""
+    import numpy as np
+
+    from anorag_tpu.answer.final_answer import build_numbered_context
+    from anorag_tpu.llm.jax_client import render_prompt
+    from anorag_tpu.llm.note_generator import AtomicNoteGenerator
+    from anorag_tpu.llm.prompts import (FINAL_ANSWER_SYSTEM,
+                                        build_final_answer_prompt)
+    from anorag_tpu.config import config
+
+    teacher = AtomicNoteGenerator(llm=None, cfg=config)
+    out = []
+    n_long = 0
+    for it in items:
+        paras = it["paragraphs"]
+        sup = [p for p in paras if p.get("is_supporting")]
+        non = [p for p in paras if not p.get("is_supporting")]
+        n_distract = int(rng.integers(1, 4))
+        picks = sup + [non[j] for j in
+                       rng.permutation(len(non))[:n_distract]]
+        notes = []
+        for p in picks:
+            from anorag_tpu.llm.note_generator import split_sentences
+            txt = p["paragraph_text"]
+            ns = teacher._rule_fallback(
+                txt, split_sentences(txt), title=p.get("title") or "") or []
+            body = ns[0]["text"] if ns else p["paragraph_text"]
+            notes.append({"title": p.get("title") or "",
+                          "content": body,
+                          "paragraph_idxs": [p["idx"]],
+                          "_sup": bool(p.get("is_supporting"))})
+        notes = [notes[j] for j in rng.permutation(len(notes))]
+        context, _ = build_numbered_context(notes)
+        ans = it.get("answer") or ""
+        answerable = bool(it.get("answerable", True))
+        r = rng.random()
+        if not answerable:
+            hint = None if r < 0.5 else _wrong_hint(it, rng)
+        elif r < 0.75:
+            hint = ans
+        elif r < 0.9:
+            hint = _wrong_hint(it, rng)
+        else:
+            hint = None
+        prompt = render_prompt(
+            build_final_answer_prompt(it["question"], context,
+                                      efsa_hint=hint),
+            FINAL_ANSWER_SYSTEM)
+        if answerable:
+            spans = [n["content"] for n in notes if n["_sup"]
+                     and ans.lower() in n["content"].lower()][:2]
+            if not spans:
+                spans = [n["content"] for n in notes if n["_sup"]][:2]
+            tgt = {"answer": ans, "evidence_spans": spans,
+                   "support_idxs": sorted({n["paragraph_idxs"][0]
+                                           for n in notes if n["_sup"]}),
+                   "insufficient": False}
+        else:
+            tgt = {"answer": "insufficient information",
+                   "evidence_spans": [], "support_idxs": [],
+                   "insufficient": True}
+        target = json.dumps(tgt, separators=(",", ":"))
+        if len(prompt) > max_prompt or \
+                len(prompt) + len(target) + 2 > max_total:
+            n_long += 1
+            continue
+        out.append((prompt, target))
+    return out, n_long
+
+
+def _wrong_hint(item, rng):
+    """A plausible-but-wrong hint: an entity-ish span from a
+    non-supporting paragraph title."""
+    non = [p.get("title") or "" for p in item["paragraphs"]
+           if not p.get("is_supporting")]
+    if not non:
+        return None
+    t = str(non[int(rng.integers(0, len(non)))])
+    return t.replace(" (album)", "") or None
+
+
 def build_pairs(n_items: int, seeds, max_prompt: int, max_total: int,
-                merged_only: bool = True):
+                merged_only: bool = True, tasks=("notes", "answer")):
     """(rendered prompt, completion JSON) pairs from synthetic worlds."""
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from gen_synth_musique import make_items
@@ -50,8 +140,21 @@ def build_pairs(n_items: int, seeds, max_prompt: int, max_total: int,
     # distractors stays at the generator default (12): several question
     # kinds rejection-sample foils from the distractor pool and spin
     # forever below ~8 worlds
+    rng = np.random.default_rng(seeds[0] if seeds else 0)
     for seed in seeds:
-        for it in make_items(n_items, 12, seed):
+        items = make_items(n_items, 12, seed)
+        if "answer" in tasks:
+            apairs, a_long = build_answer_pairs(items, rng, max_prompt,
+                                                max_total)
+            n_long += a_long
+            for p, t in apairs:
+                key = hash(p)
+                if key not in seen:
+                    seen.add(key)
+                    pairs.append((p, t))
+        if "notes" not in tasks:
+            continue
+        for it in items:
             for para in it["paragraphs"]:
                 doc = {"id": f"{it['id']}_{para['idx']}",
                        "paragraphs": [para]}
@@ -127,19 +230,35 @@ def encode_pairs(pairs, seq_len: int):
 
 
 def evaluate(lm, held, max_new: int):
-    """Parse rate + teacher fidelity of greedy generations."""
-    from anorag_tpu.utils.json_parser import extract_json
+    """Parse rate + teacher fidelity of greedy generations.
+
+    Note-task targets are JSON LISTS (note objects, scored by text
+    recall); answer-task targets are JSON DICTS (prediction objects,
+    scored by answer match)."""
+    from anorag_tpu.utils.json_parser import extract_json, extract_prediction
 
     n_parse = n_exact = 0
     note_hits = note_total = 0
+    ans_hits = ans_total = 0
     for i in range(0, len(held), 8):
         batch = held[i:i + 8]
         outs = lm.generate([p for p, _ in batch], max_new=max_new)
         for (p, tgt), got in zip(batch, outs):
+            want = json.loads(tgt)
+            if isinstance(want, dict):                      # answer task
+                ans_total += 1
+                pred = extract_prediction(got)
+                if isinstance(pred, dict) and pred.get("answer"):
+                    n_parse += 1
+                    if str(pred.get("answer")).strip().lower() == \
+                            str(want.get("answer")).strip().lower():
+                        ans_hits += 1
+                    if got.strip() == tgt.strip():
+                        n_exact += 1
+                continue
             parsed = extract_json(got)
             if isinstance(parsed, list) and parsed:
                 n_parse += 1
-                want = json.loads(tgt)
                 want_texts = {n.get("text") for n in want}
                 got_texts = {n.get("text") for n in parsed
                              if isinstance(n, dict)}
@@ -148,11 +267,12 @@ def evaluate(lm, held, max_new: int):
                 if got.strip() == tgt.strip():
                     n_exact += 1
             else:
-                note_total += len(json.loads(tgt))
+                note_total += len(want)
     n = max(len(held), 1)
     return {"parse_rate": n_parse / n, "exact_rate": n_exact / n,
             "note_text_recall": note_hits / max(note_total, 1),
-            "n_eval": len(held)}
+            "answer_match": ans_hits / max(ans_total, 1),
+            "n_eval_answer": ans_total, "n_eval": len(held)}
 
 
 def main() -> int:
@@ -171,7 +291,11 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=3e-3)
     ap.add_argument("--warmup", type=int, default=100)
     ap.add_argument("--held-out", type=int, default=64)
+    ap.add_argument("--eval-max-new", type=int, default=0,
+                    help="byte budget for held-out generations (0 = --seq)")
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--tasks", nargs="+", default=["notes", "answer"],
+                    choices=["notes", "answer"])
     ap.add_argument("--stats-only", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -184,7 +308,8 @@ def main() -> int:
     t0 = time.time()
     pairs, n_long = build_pairs(args.items, args.seeds,
                                 max_prompt=int(args.seq * 0.7),
-                                max_total=args.seq)
+                                max_total=args.seq,
+                                tasks=tuple(args.tasks))
     lens = sorted(len(p) + len(c) for p, c in pairs)
     print(f"pairs: {len(pairs)} (dropped {n_long} over budget) "
           f"len p50={lens[len(lens)//2]} p95={lens[int(len(lens)*.95)]} "
@@ -232,7 +357,7 @@ def main() -> int:
 
     dlm.save_lm(args.out, params, cfg)
     lm = dlm.DecoderLM(params, cfg, prompt_bucket=256)
-    metrics = evaluate(lm, held, max_new=args.seq)
+    metrics = evaluate(lm, held, max_new=args.eval_max_new or args.seq)
     n_params = sum(int(np.prod(np.asarray(x).shape))
                    for x in jax.tree.leaves(params))
     report = {
