@@ -224,6 +224,21 @@ machinery along axes none of the existing stages cover:
     yes/no answer (kind 19 finds the one member IN the decade; the
     'no' case hides a single counterexample).
 
+v15 (round 3, session 4): the v14 kinds closed (EM 1.00), so the cycle
+widens to 46 with four kinds whose machinery is again missing:
+  * kind 42, member-by-year + hop: "Who performed the album released on
+    the label L in 1994?" — select the set member by YEAR EQUALITY (not
+    an extremum), then hop performed_by on the selected work;
+  * kind 43, attribute superlative: "Which album on the label L has the
+    most tracks?" — argmax over a word-number attribute carried by
+    EVERY member paragraph (the attr stages so far are pairwise);
+  * kind 44, existential quantification: "Did any album on the label L
+    come out in the 1980s?" — exists() over the set with a yes/no
+    answer (the forall stage's dual; 'no' means NO member qualifies);
+  * kind 45, same-label equality: "Were A and B released on the same
+    label?" — the same-attribute comparison runs on WORKS via their
+    released_on_label edges (the city/state stage keys persons).
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -566,7 +581,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 42
+        kind = i % 46
         answerable = True
         akey = None
         extra_aliases = None
@@ -1071,7 +1086,7 @@ def make_items(n: int, distractors: int, seed: int):
             support = {0}
             extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
-        else:
+        elif kind == 41:
             # v14 universal quantification: forall(member.year in decade);
             # the 'no' case hides a single counterexample in the set
             sibs = _siblings(rng, w, seen_works)
@@ -1093,6 +1108,73 @@ def make_items(n: int, distractors: int, seed: int):
             support = {0}
             extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
+        elif kind == 42:
+            # v15 member-by-year + hop: select by YEAR EQUALITY, then hop
+            # performed_by on the selected work
+            sibs = _siblings(rng, w, seen_works)
+            pick = sibs[int(rng.integers(0, 2))]
+            q = (f"Who performed the album released on the label "
+                 f"{w['label']} in {pick['year']}?")
+            a = pick["person"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 43:
+            # v15 attribute superlative: argmax over word-number track
+            # counts carried by EVERY member paragraph
+            sibs = _siblings(rng, w, seen_works)
+            counts = [int(c) for c in rng.permutation(
+                np.arange(2, 20))[:3]]
+            track_counts = (counts[0], 0)
+            sib_paras = []
+            for s, c in zip(sibs, counts[1:]):
+                t, x = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (t, f"{x} It features {_NUM_WORDS[c]} tracks."))
+            winner = [w["work"], sibs[0]["work"],
+                      sibs[1]["work"]][int(np.argmax(counts))]
+            q = (f"Which album on the label {w['label']} has the most "
+                 f"tracks?")
+            a = winner
+            support = {0}
+            extra_support_paras = sib_paras
+        elif kind == 44:
+            # v15 existential quantification: exists(member.year in
+            # probe decade); 'no' = NO member qualifies
+            sibs = _siblings(rng, w, seen_works)
+            years = [w["year"], sibs[0]["year"], sibs[1]["year"]]
+            decades = {10 * (y // 10) for y in years}
+            probe = int(rng.choice(
+                [d for d in range(1950, 2020, 10) if d not in decades]))
+            want_yes = bool(rng.random() < 0.5)
+            if want_yes:
+                y = probe + int(rng.integers(0, 10))
+                while y in years:
+                    y = probe + int(rng.integers(0, 10))
+                sibs[int(rng.integers(0, 2))]["year"] = y
+            q = (f"Did any album on the label {w['label']} come out in "
+                 f"the {probe}s?")
+            a = "yes" if want_yes else "no"
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        else:
+            # v15 same-label equality: the same-attribute comparison runs
+            # on WORKS via their released_on_label edges
+            want_same = bool(rng.random() < 0.5)
+            if want_same:
+                sib = _siblings(rng, w, seen_works, count=1)[0]
+                other_work = sib["work"]
+                extra_support_paras = [
+                    _sibling_paragraph(sib, w["label"], rng)]
+            else:
+                alt = _unique_worlds(rng, 1, seen_works)[0]
+                other_work = alt["work"]
+                extra_support_paras = [_paragraphs(alt, rng)[0]]
+            q = (f"Were {w['work']} and {other_work} released on the "
+                 f"same label?")
+            a = "yes" if want_same else "no"
+            support = {0}
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
@@ -1175,16 +1257,16 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 42] = kinds.get(i % 42, 0) + 1
+        kinds[i % 46] = kinds.get(i % 46, 0) + 1
     n_multi = sum(v for k, v in kinds.items()
                   if k in (0, 1, 4, 5, 6, 9, 16, 17, 26, 30, 32, 34, 35))
     n_unans = kinds.get(7, 0) + kinds.get(33, 0)
     n_agg = sum(kinds.get(k, 0)
                 for k in (10, 11, 12, 13, 14, 15, 19, 20, 21,
                           22, 23, 24, 25, 27, 28, 29, 31, 36, 37,
-                          38, 39, 40, 41))
+                          38, 39, 40, 41, 42, 43, 44, 45))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-41 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-45 cycle) "
           f"-> {args.out}")
     return 0
 
