@@ -407,6 +407,20 @@ _HOP_RELS = {"performed": ("performed_by",), "recorded": ("performed_by",),
              "released": ("released_on_label",)}
 
 
+def _hop_tail(graph: NoteGraph, head_surface: str, rels
+              ) -> Optional[Tuple[str, List[int]]]:
+    """(tail, its note's paras) for the first edge of `rels` out of the
+    head — the generic one-hop taken on a RESOLVED set member."""
+    key = graph.resolve_head(head_surface)
+    if key is None:
+        return None
+    for rel, tail, note_id, _w, _p in graph.neighbors(key):
+        if rel in rels:
+            note = graph.notes.get(note_id, {})
+            return str(tail), list(note.get("paragraph_idxs") or [])
+    return None
+
+
 def answer_superlative_hop(question: str, graph: Optional[NoteGraph],
                            candidates: Sequence[Dict[str, Any]]
                            ) -> Optional[Dict[str, Any]]:
@@ -422,25 +436,53 @@ def answer_superlative_hop(question: str, graph: Optional[NoteGraph],
         if re.fullmatch(_ORD_MIN, ordinal) else max(entries, key=lambda t: t[1])
     if [y for _, y, _ in entries].count(best[1]) > 1:
         return None                              # tied extremum: ambiguous
-    key = graph.resolve_head(best[0])
-    if key is None:
-        return None
     want = _HOP_RELS.get(m.group("verb").lower(), ("performed_by",))
-    person = hop_paras = None
-    for rel, tail, note_id, _w, _p in graph.neighbors(key):
-        if rel in want:
-            person = str(tail)
-            note = graph.notes.get(note_id, {})
-            hop_paras = list(note.get("paragraph_idxs") or [])
-            break
-    if not person:
+    hop = _hop_tail(graph, best[0], want)
+    if hop is None:
         return None
     support: List[int] = []
     for _, _, paras in entries:
         support += [p for p in paras if p not in support]
-    support += [p for p in (hop_paras or []) if p not in support]
-    return {"answer": person, "support_idxs": support,
+    support += [p for p in hop[1] if p not in support]
+    return {"answer": hop[0], "support_idxs": support,
             "method": "superlative_hop"}
+
+
+# "Who performed the album released on the label L in 1994?" (v15 kind
+# 42) — the member is selected by YEAR EQUALITY, then the hop runs on it
+_MEMBER_YEAR_RE = re.compile(
+    r"\bwho\s+(?P<verb>performed|recorded|made|wrote)\s+the\s+"
+    r"(?:album|work|record|song|release)\s+"
+    r"(?:released\s+|put\s+out\s+|recorded\s+)?"
+    r"(?:on|by|through|under)\s+(?:the\s+label\s+)?(?P<set>.+?)\s+"
+    r"in\s+(?P<year>1[0-9]{3}|20[0-9]{2})\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_member_year_hop(question: str, graph: Optional[NoteGraph],
+                           candidates: Sequence[Dict[str, Any]]
+                           ) -> Optional[Dict[str, Any]]:
+    m = _MEMBER_YEAR_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    year = int(m.group("year"))
+    hits = [e for e in entries if e[1] == year]
+    if len(entries) < 2 or len(hits) != 1:
+        return None                        # zero or several: ambiguous
+    want = _HOP_RELS.get(m.group("verb").lower(), ("performed_by",))
+    hop = _hop_tail(graph, hits[0][0], want)
+    if hop is None:
+        return None
+    # uniqueness of the year match is established by enumerating the
+    # whole set — every member paragraph is support
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    support += [p for p in hop[1] if p not in support]
+    return {"answer": hop[0], "support_idxs": support,
+            "method": "member_year_hop"}
 
 
 # "What was the second album released on the label L?" (v8 kind 15) —
@@ -1109,6 +1151,104 @@ def answer_year_range(question: str, graph: Optional[NoteGraph],
             "method": "year_range"}
 
 
+# "Which album on the label L has the most tracks?" (v15 kind 43) —
+# argmax over a word-number attribute carried by every member's
+# paragraph (the attr stages above are pairwise)
+_ATTR_SUPERL_RE = re.compile(
+    r"\b(?:what|which)\s+(?:album|work|record|song|release)\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+has\s+the\s+(?P<dir>most|fewest|least)\s+"
+    r"(?P<attr>tracks|songs|discs|minutes)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_attr_superlative(question: str, graph: Optional[NoteGraph],
+                            candidates: Sequence[Dict[str, Any]]
+                            ) -> Optional[Dict[str, Any]]:
+    m = _ATTR_SUPERL_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2:
+        return None
+    # counts may live in notes retrieval never surfaced: scan the whole
+    # note store behind the candidates
+    pool = list(candidates or ()) + list(graph.notes.values())
+    got = []
+    support: List[int] = []
+    for work, _y, paras in entries:
+        support += [p for p in paras if p not in support]
+        c = _attr_count(work, m.group("attr"), pool)
+        if c is None:
+            return None              # incomplete set: argmax unsound
+        got.append((work, c[0], c[1]))
+        support += [p for p in c[1] if p not in support]
+    pickfn = max if m.group("dir").lower() == "most" else min
+    best = pickfn(got, key=lambda t: t[1])
+    if [n for _, n, _ in got].count(best[1]) > 1:
+        return None                              # tied extremum
+    return {"answer": best[0], "support_idxs": support,
+            "method": "attr_superlative"}
+
+
+# "Did any album on the label L come out in the 1980s?" (v15 kind 44) —
+# existential quantification, the forall stage's dual
+_ANY_DECADE_RE = re.compile(
+    r"\b(?:did|do|does|was|were|has|have)\s+any\s+"
+    r"(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+"
+    r"(?:come\s+out|appear|be\s+released|get\s+released|released)\s+"
+    r"in\s+the\s+(?P<dec>1[0-9]{2}|20[0-9])0s\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_exists_decade(question: str, graph: Optional[NoteGraph],
+                         candidates: Sequence[Dict[str, Any]]
+                         ) -> Optional[Dict[str, Any]]:
+    m = _ANY_DECADE_RE.search((question or "").strip())
+    if not m:
+        return None
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    if len(entries) < 2:
+        return None
+    lo = int(m.group("dec")) * 10
+    ok = any(lo <= y < lo + 10 for _, y, _ in entries)
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": "yes" if ok else "no", "support_idxs": support,
+            "method": "exists_decade"}
+
+
+# "Were A and B released on the same label?" (v15 kind 45) — attribute
+# equality on WORKS via their released_on_label edges (the same-
+# attribute stage above keys PERSONS through role chains)
+_SAME_LABEL_RE = re.compile(
+    r"\b(?:were|are|was|is)\s+(?P<a>.+?)\s+and\s+(?P<b>.+?)\s+"
+    r"(?:released|put\s+out|issued|published)\s+"
+    r"(?:on|by|through|under)\s+the\s+same\s+"
+    r"(?:record\s+)?(?:label|company)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_same_label(question: str, graph: Optional[NoteGraph],
+                      candidates: Sequence[Dict[str, Any]]
+                      ) -> Optional[Dict[str, Any]]:
+    m = _SAME_LABEL_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    got = [_hop_tail(graph, m.group(g).strip(), ("released_on_label",))
+           for g in ("a", "b")]
+    if None in got:
+        return None
+    same = got[0][0].strip().lower() == got[1][0].strip().lower()
+    support = list(dict.fromkeys(got[0][1] + got[1][1]))
+    return {"answer": "yes" if same else "no", "support_idxs": support,
+            "method": "same_label"}
+
+
 # "Were all of the albums on the label L released in the 1990s?" (v14
 # kind 41) — universal quantification over the set; the 'no' case hides
 # a single counterexample (answer_decade finds the one member IN the
@@ -1186,12 +1326,14 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
     """Dispatcher over every exact-math family; None = not such a question
     or unresolvable (callers fall through to the regular stages)."""
     for fn in (answer_spouse_at_time, answer_attr_difference,
-               answer_attr_comparative,
+               answer_attr_superlative, answer_attr_comparative,
                answer_comparative, answer_temporal_diff,
-               answer_forall_decade, answer_yesno,
+               answer_forall_decade, answer_exists_decade,
+               answer_same_label, answer_yesno,
                answer_year_range, answer_years_apart,
                answer_same_attribute,
                answer_closest_release, answer_successor,
+               answer_member_year_hop,
                answer_superlative_hop, answer_superlative, answer_ordinal,
                answer_decade, answer_label_intersection,
                answer_count_comparative, answer_conjunctive,

@@ -809,39 +809,51 @@ class QueryProcessor:
 
     def _answer(self, query, selected, candidates, bridge_entities) -> Dict[str, Any]:
         context, support = self.packer.pack_context(selected, query)
-        # unanswerable gate: when no question entity surfaces anywhere in
-        # the evidence, answering would only hallucinate a distractor
-        if (self.cfg.get("answering.unanswerable_gate", True) and selected
-                and not self._question_subject_covered(query, selected)):
-            return {"answer": "insufficient information", "support_idxs": [],
-                    "answerable": False, "method": "unanswerable_gate",
-                    "context": context}
-        # relation-coverage gate: "Who <verb>ed X?" whose verb is OUTSIDE
-        # every relation lexicon AND whose stem appears nowhere in the
-        # evidence — the subject may be covered (the entity exists) while
-        # the asked relation is simply never stated; answering would
-        # hallucinate a co-occurring person (e.g. "Who produced W?" over a
-        # corpus that only credits performers and labels)
-        if (self.cfg.get("answering.unanswerable_gate", True) and selected
-                and not self._question_relation_covered(query, selected)):
-            return {"answer": "insufficient information", "support_idxs": [],
-                    "answerable": False, "method": "relation_gate",
-                    "context": context}
         # (a0) exact math (comparative / temporal diff / yes-no /
         # label-set superlative / count) — must precede the rel-chain
-        # selector: no chain solves parallel comparisons or set
-        # aggregation (the 1-hop released_in chain would answer a bare
-        # year), computed numbers appear in no span, and comparative /
-        # superlative answers ARE question entities, which EFSA's
-        # exclusion vetoes
+        # selector AND the unanswerable gates: no chain solves parallel
+        # comparisons or set aggregation (the 1-hop released_in chain
+        # would answer a bare year), computed numbers appear in no span,
+        # comparative / superlative answers ARE question entities (EFSA's
+        # exclusion vetoes them), and a deterministic graph resolution is
+        # by definition answerable — the gates test coverage of the
+        # SELECTED notes, but exact math resolves from the full note
+        # graph (v15 kind 45: 'Were A and B released on the same label?'
+        # glues into one question pseudo-entity whose coverage needs BOTH
+        # works selected, while the label edges are plainly in the graph)
         if self.cfg.get("answering.comparative.enabled", True):
             comp = answer_exact_math(query, self.note_graph, selected)
-            if comp:
-                sup = comp["support_idxs"] or fill_support_idxs_noid(
-                    comp["answer"], selected, existing_idxs=[], query=query)
-                return {"answer": comp["answer"], "support_idxs": sup,
-                        "answerable": True, "method": comp["method"],
+        else:
+            comp = None
+        if not comp:
+            # unanswerable gate: when no question entity surfaces anywhere
+            # in the evidence, answering would only hallucinate a
+            # distractor
+            if (self.cfg.get("answering.unanswerable_gate", True) and selected
+                    and not self._question_subject_covered(query, selected)):
+                return {"answer": "insufficient information",
+                        "support_idxs": [],
+                        "answerable": False, "method": "unanswerable_gate",
                         "context": context}
+            # relation-coverage gate: "Who <verb>ed X?" whose verb is
+            # OUTSIDE every relation lexicon AND whose stem appears nowhere
+            # in the evidence — the subject may be covered (the entity
+            # exists) while the asked relation is simply never stated;
+            # answering would hallucinate a co-occurring person (e.g. "Who
+            # produced W?" over a corpus that only credits performers and
+            # labels)
+            if (self.cfg.get("answering.unanswerable_gate", True) and selected
+                    and not self._question_relation_covered(query, selected)):
+                return {"answer": "insufficient information",
+                        "support_idxs": [],
+                        "answerable": False, "method": "relation_gate",
+                        "context": context}
+        if comp:
+            sup = comp["support_idxs"] or fill_support_idxs_noid(
+                comp["answer"], selected, existing_idxs=[], query=query)
+            return {"answer": comp["answer"], "support_idxs": sup,
+                    "answerable": True, "method": comp["method"],
+                    "context": context}
         # (a) relation-chain selector
         if self.answer_selector_enabled and self.answer_selector_before_llm:
             sel = answer_question(

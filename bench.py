@@ -351,9 +351,33 @@ def main() -> int:
 
     import jax
 
+    if "--probe-only" in sys.argv:
+        import jax.numpy as jnp
+        x = jnp.ones((128, 128), jnp.float32)
+        v = float((x @ x)[0, 0])          # value read: forces real drain
+        print(json.dumps({"probe": "ok", "v": v,
+                          "backend": jax.default_backend()}))
+        return 0
+
     if "--scale-1m-only" in sys.argv:
         print(json.dumps(_scale_1m()))
         return 0
+
+    # The tunneled device can die outright (observed: trivial ops hang
+    # >120s, remote_compile HTTP 500). A hung jit blocks forever with no
+    # Python-level timeout, so probe in a SUBPROCESS first and fail with
+    # an honest one-line JSON instead of hanging the driver's bench run.
+    try:
+        subprocess.run([sys.executable, __file__, "--probe-only"],
+                       capture_output=True, text=True, timeout=420,
+                       check=True)
+    except Exception as e:
+        print(json.dumps({
+            "metric": "hybrid_query_qps_per_chip", "value": None,
+            "unit": "queries/s", "vs_baseline": None,
+            "error": "device unreachable: tiny-op probe failed "
+                     f"({type(e).__name__}); tunnel likely down"}))
+        return 1
 
     # The 1M point runs FIRST, in its own process, so the large corpus
     # gets a clean device: when it shares the chip with the 200k+encoder

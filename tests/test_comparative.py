@@ -835,3 +835,114 @@ def test_geography_cue_yields_located_in_key():
                              ["Salem", "Oregon"], rel_lexicon=lex)
     assert keys == {"head_key": "Salem", "rel": "located_in",
                     "tail_key": "Oregon"}
+
+
+# ----------------------------------------------------------------- v15
+def _label_graph_with_performers(entries, label="Tiden Records"):
+    """Label set whose members also carry performed_by edges."""
+    g = NoteGraph()
+    for i, (work, year, person) in enumerate(entries):
+        rel = f"{work} was released in {year} on the label {label}."
+        keys = extract_note_keys(rel, [work, str(year), label])
+        g.add_notes([{"note_id": f"r{i}", "content": rel, **keys,
+                      "paragraph_idxs": [i]}])
+        per = f"{work} is an album performed by {person}."
+        pkeys = extract_note_keys(per, [work, person])
+        g.add_notes([{"note_id": f"p{i}", "content": per, **pkeys,
+                      "paragraph_idxs": [i]}])
+    return g
+
+
+def test_member_year_hop():
+    """v15 kind 42: select the set member by YEAR EQUALITY, then hop
+    performed_by on it; support covers the whole enumerated set."""
+    from anorag_tpu.answer.comparative import answer_member_year_hop
+
+    g = _label_graph_with_performers(
+        [("Holden Harbor", 1958, "Mira Vel"),
+         ("Linlin Garden", 1970, "Kesto Ra"),
+         ("Denon Harbor", 1966, "Bdone Sha")])
+    res = answer_member_year_hop(
+        "Who performed the album released on the label Tiden Records "
+        "in 1970?", g, [])
+    assert res["answer"] == "Kesto Ra"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    # a year matching NO member falls through
+    assert answer_member_year_hop(
+        "Who performed the album released on the label Tiden Records "
+        "in 1999?", g, []) is None
+
+
+def test_attr_superlative_over_label_set():
+    """v15 kind 43: argmax over word-number track counts carried by
+    every member paragraph; an incomplete count set falls through."""
+    from anorag_tpu.answer.comparative import answer_attr_superlative
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970),
+                      ("Denon Harbor", 1966)])
+    cands = [
+        {"title": "Holden Harbor (album)", "paragraph_idxs": [0],
+         "content": "Holden Harbor features three tracks."},
+        {"title": "Linlin Garden (album)", "paragraph_idxs": [1],
+         "content": "Linlin Garden features nineteen tracks."},
+        {"title": "Denon Harbor (album)", "paragraph_idxs": [2],
+         "content": "Denon Harbor features seven tracks."},
+    ]
+    res = answer_attr_superlative(
+        "Which album on the label Tiden Records has the most tracks?",
+        g, cands)
+    assert res["answer"] == "Linlin Garden"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    res = answer_attr_superlative(
+        "Which album on the label Tiden Records has the fewest tracks?",
+        g, cands)
+    assert res["answer"] == "Holden Harbor"
+    # a member without a stated count makes the argmax unsound
+    assert answer_attr_superlative(
+        "Which album on the label Tiden Records has the most tracks?",
+        g, cands[:2]) is None
+
+
+def test_exists_decade_quantification():
+    """v15 kind 44: existential dual of the forall stage."""
+    from anorag_tpu.answer.comparative import answer_exists_decade
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1972),
+                      ("Denon Harbor", 1966)])
+    res = answer_exists_decade(
+        "Did any album on the label Tiden Records come out in the "
+        "1970s?", g, [])
+    assert res["answer"] == "yes"
+    res = answer_exists_decade(
+        "Did any album on the label Tiden Records come out in the "
+        "1990s?", g, [])
+    assert res["answer"] == "no"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+
+
+def test_same_label_equality():
+    """v15 kind 45: attribute equality on WORKS via released_on_label
+    edges; either side unresolved falls through."""
+    from anorag_tpu.answer.comparative import answer_same_label
+
+    g = NoteGraph()
+    for i, (work, label) in enumerate(
+            [("Holden Harbor", "Tiden Records"),
+             ("Linlin Garden", "Tiden Records"),
+             ("Denon Harbor", "Velpri Sound")]):
+        text = f"{work} was released in 1980 on the label {label}."
+        keys = extract_note_keys(text, [work, "1980", label])
+        g.add_notes([{"note_id": f"n{i}", "content": text, **keys,
+                      "paragraph_idxs": [i]}])
+    res = answer_same_label(
+        "Were Holden Harbor and Linlin Garden released on the same "
+        "label?", g, [])
+    assert res["answer"] == "yes"
+    assert set(res["support_idxs"]) == {0, 1}
+    res = answer_same_label(
+        "Were Holden Harbor and Denon Harbor released on the same "
+        "label?", g, [])
+    assert res["answer"] == "no"
+    assert answer_same_label(
+        "Were Holden Harbor and Ghost Album released on the same "
+        "label?", g, []) is None
