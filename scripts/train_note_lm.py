@@ -119,7 +119,8 @@ def _wrong_hint(item, rng):
 
 
 def build_pairs(n_items: int, seeds, max_prompt: int, max_total: int,
-                merged_only: bool = True, tasks=("notes", "answer")):
+                merged_only: bool = True, tasks=("notes", "answer"),
+                answer_boost: int = 4):
     """(rendered prompt, completion JSON) pairs from synthetic worlds."""
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from gen_synth_musique import make_items
@@ -144,7 +145,13 @@ def build_pairs(n_items: int, seeds, max_prompt: int, max_total: int,
     for seed in seeds:
         items = make_items(n_items, 12, seed)
         if "answer" in tasks:
-            apairs, a_long = build_answer_pairs(items, rng, max_prompt,
+            # the note task yields ~30-50 pairs per item (one per
+            # paragraph) vs ONE answer pair — draw extra worlds so the
+            # answer task is not drowned in the mixture
+            a_items = list(items)
+            for j in range(max(0, answer_boost - 1)):
+                a_items += make_items(n_items, 12, seed + 7919 * (j + 1))
+            apairs, a_long = build_answer_pairs(a_items, rng, max_prompt,
                                                 max_total)
             n_long += a_long
             for p, t in apairs:
