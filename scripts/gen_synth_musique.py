@@ -239,6 +239,23 @@ widens to 46 with four kinds whose machinery is again missing:
     label?" — the same-attribute comparison runs on WORKS via their
     released_on_label edges (the city/state stage keys persons).
 
+v16 (round 3, session 4 — OPEN round-4 headroom): the v15 kinds closed
+(all 1.00), so the cycle widens to 50 with four kinds left UNSOLVED at
+round-3 end (the recorded floor is the round-4 target):
+  * kind 46, two-hop after superlative: "Where was the performer of the
+    last album released on the label L born?" — superlative ->
+    performed_by -> born_in (the hop stages take exactly one hop);
+  * kind 47, label of the performer-set superlative: "Which label
+    released the first album by P?" — the set anchors on a PERFORMER,
+    the answer is the resolved member's LABEL (reverse of kind 38);
+  * kind 48, attribute sum: "How many tracks do the albums on the label
+    L have in total?" — SUM of word-number counts over the whole set
+    (the attr stages do argmax/diff, never aggregation);
+  * kind 49, superlative-anchored temporal join: "Who was the spouse of
+    the performer of W at the time the first album on the label L was
+    released?" — the marriage-history join's time anchor is itself a
+    superlative that must resolve first.
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -581,7 +598,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 46
+        kind = i % 50
         answerable = True
         akey = None
         extra_aliases = None
@@ -1158,7 +1175,7 @@ def make_items(n: int, distractors: int, seed: int):
             support = {0}
             extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
-        else:
+        elif kind == 45:
             # v15 same-label equality: the same-attribute comparison runs
             # on WORKS via their released_on_label edges
             want_same = bool(rng.random() < 0.5)
@@ -1175,6 +1192,83 @@ def make_items(n: int, distractors: int, seed: int):
                  f"same label?")
             a = "yes" if want_same else "no"
             support = {0}
+        elif kind == 46:
+            # v16 two-hop after superlative: superlative -> performed_by
+            # -> born_in; the extremum is forced to a SIBLING whose
+            # performer gets a birth paragraph
+            sibs = _siblings(rng, w, seen_works)
+            sibs[0]["year"] = w["year"] + 1 + int(rng.integers(0, 10))
+            while (sibs[1]["year"] >= sibs[0]["year"]
+                   or sibs[1]["year"] == w["year"]):
+                sibs[1]["year"] = sibs[0]["year"] - 1 - int(
+                    rng.integers(0, 20))
+            city = str(rng.choice(_CITIES))
+            q = (f"Where was the performer of the last album released "
+                 f"on the label {w['label']} born?")
+            a = city
+            extra_aliases = [f"{city}, {_STATES[city]}"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+            extra_support_paras.append(
+                (sibs[0]["person"],
+                 f"{sibs[0]['person']} was born in {city}."))
+        elif kind == 47:
+            # v16 label of the performer-set superlative: the set anchors
+            # on a performer; the answer is the resolved member's LABEL
+            extras = _performer_works(rng, w, seen_works)
+            members = [{"work": w["work"], "year": w["year"],
+                        "label": w["label"]}] + extras
+            first = min(members, key=lambda x: x["year"])
+            q = f"Which label released the first album by {w['person']}?"
+            a = first["label"]
+            support = {0}
+            extra_support_paras = [
+                _performer_paragraph(x, w["person"]) for x in extras]
+        elif kind == 48:
+            # v16 attribute sum over the set (argmax/diff never aggregate)
+            sibs = _siblings(rng, w, seen_works)
+            counts = [int(c) for c in rng.permutation(
+                np.arange(2, 20))[:3]]
+            track_counts = (counts[0], 0)
+            sib_paras = []
+            for s, c in zip(sibs, counts[1:]):
+                t, x = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (t, f"{x} It features {_NUM_WORDS[c]} tracks."))
+            q = (f"How many tracks do the albums on the label "
+                 f"{w['label']} have in total?")
+            a = str(sum(counts))
+            if sum(counts) in _NUM_WORDS:
+                extra_aliases = [_NUM_WORDS[sum(counts)]]
+            support = {0}
+            extra_support_paras = sib_paras
+        else:
+            # v16 superlative-anchored temporal join: the marriage
+            # history's time anchor is the FIRST album on w's label
+            sibs = _siblings(rng, w, seen_works)
+            anchor_y = min([w["year"]] + [s["year"] for s in sibs])
+            x1, x2 = w["spouse"], _name(rng)
+            if rng.random() < 0.5:
+                m1 = anchor_y - 3 - int(rng.integers(0, 10))
+                d2 = anchor_y + 2 + int(rng.integers(1, 5))
+                m2 = d2 + 1 + int(rng.integers(0, 4))
+                a = x1
+            else:
+                m2 = anchor_y - 2 - int(rng.integers(0, 5))
+                d2 = m2 - 1 - int(rng.integers(0, 3))
+                m1 = d2 - 5 - int(rng.integers(0, 8))
+                a = x2
+            marriage_history = (
+                f"{w['person']} married {x1} in {m1}. {w['person']} and "
+                f"{x1} divorced in {d2}. {w['person']} married {x2} in "
+                f"{m2}. {w['person']} was born in {w['city']}.")
+            q = (f"Who was the spouse of the performer of {w['work']} at "
+                 f"the time the first album on the label {w['label']} "
+                 f"was released?")
+            support = {0, 1}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
@@ -1257,16 +1351,17 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 46] = kinds.get(i % 46, 0) + 1
+        kinds[i % 50] = kinds.get(i % 50, 0) + 1
     n_multi = sum(v for k, v in kinds.items()
-                  if k in (0, 1, 4, 5, 6, 9, 16, 17, 26, 30, 32, 34, 35))
+                  if k in (0, 1, 4, 5, 6, 9, 16, 17, 26, 30, 32, 34, 35,
+                           46, 49))
     n_unans = kinds.get(7, 0) + kinds.get(33, 0)
     n_agg = sum(kinds.get(k, 0)
                 for k in (10, 11, 12, 13, 14, 15, 19, 20, 21,
                           22, 23, 24, 25, 27, 28, 29, 31, 36, 37,
-                          38, 39, 40, 41, 42, 43, 44, 45))
+                          38, 39, 40, 41, 42, 43, 44, 45, 47, 48))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-45 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-49 cycle) "
           f"-> {args.out}")
     return 0
 
