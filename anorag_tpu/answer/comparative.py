@@ -448,6 +448,117 @@ def answer_superlative_hop(question: str, graph: Optional[NoteGraph],
             "method": "superlative_hop"}
 
 
+# "Where was the performer of the first/last album released on the
+# label L born?" (v16 kind 46) — TWO hops on the superlative's output:
+# superlative -> performed_by -> born_in
+_SUPERL_HOP2_RE = re.compile(
+    r"\bwhere\s+was\s+the\s+(?P<role>performer|artist|singer)\s+of\s+"
+    r"the\s+(?P<ord>" + _ORD_MIN + r"|" + _ORD_MAX + r")\s+"
+    r"(?:album|work|record|song|release)\s+"
+    r"(?:released\s+|recorded\s+|put\s+out\s+)?"
+    r"(?:on|by|through|under)\s+(?:the\s+label\s+)?(?P<set>.+?)\s+"
+    r"born\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_superlative_hop2(question: str, graph: Optional[NoteGraph],
+                            candidates: Sequence[Dict[str, Any]]
+                            ) -> Optional[Dict[str, Any]]:
+    m = _SUPERL_HOP2_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    if len(entries) < 2:
+        return None
+    ordinal = re.sub(r"\s+", " ", m.group("ord").lower())
+    best = min(entries, key=lambda t: t[1]) \
+        if re.fullmatch(_ORD_MIN, ordinal) else max(entries, key=lambda t: t[1])
+    if [y for _, y, _ in entries].count(best[1]) > 1:
+        return None
+    hop1 = _hop_tail(graph, best[0], ("performed_by",))
+    if hop1 is None:
+        return None
+    hop2 = _hop_tail(graph, hop1[0], ("born_in",))
+    if hop2 is None:
+        return None
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    support += [p for p in hop1[1] + hop2[1] if p not in support]
+    return {"answer": hop2[0].split(",")[0].strip(),
+            "support_idxs": support, "method": "superlative_hop2"}
+
+
+# "Which label released the first album by P?" (v16 kind 47) — the set
+# anchors on a PERFORMER; the answer is the resolved member's LABEL
+_LABEL_OF_SUPERL_RE = re.compile(
+    r"\b(?:what|which)\s+(?:record\s+)?(?:label|company)\s+"
+    r"(?:released|put\s+out|issued|published)\s+the\s+"
+    r"(?P<ord>" + _ORD_MIN + r"|" + _ORD_MAX + r")\s+"
+    r"(?:album|work|record|song|release)\s+by\s+(?P<who>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_label_of_superlative(question: str, graph: Optional[NoteGraph],
+                                candidates: Sequence[Dict[str, Any]]
+                                ) -> Optional[Dict[str, Any]]:
+    m = _LABEL_OF_SUPERL_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = [e for e in _label_set(m.group("who").strip(), graph)
+               if e[1] >= 0]
+    if len(entries) < 2:
+        return None
+    ordinal = re.sub(r"\s+", " ", m.group("ord").lower())
+    best = min(entries, key=lambda t: t[1]) \
+        if re.fullmatch(_ORD_MIN, ordinal) else max(entries, key=lambda t: t[1])
+    if [y for _, y, _ in entries].count(best[1]) > 1:
+        return None
+    hop = _hop_tail(graph, best[0], ("released_on_label",))
+    if hop is None:
+        return None
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    support += [p for p in hop[1] if p not in support]
+    return {"answer": hop[0], "support_idxs": support,
+            "method": "label_of_superlative"}
+
+
+# "How many tracks do the albums on the label L have in total?" (v16
+# kind 48) — SUM of word-number counts over the whole set
+_ATTR_SUM_RE = re.compile(
+    r"\bhow\s+many\s+(?P<attr>tracks|songs|discs|minutes)\s+do\s+the\s+"
+    r"(?:album|work|record|song|release)s\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+have\s+in\s+total\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_attr_sum(question: str, graph: Optional[NoteGraph],
+                    candidates: Sequence[Dict[str, Any]]
+                    ) -> Optional[Dict[str, Any]]:
+    m = _ATTR_SUM_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2:
+        return None
+    pool = list(candidates or ()) + list(graph.notes.values())
+    total = 0
+    support: List[int] = []
+    for work, _y, paras in entries:
+        support += [p for p in paras if p not in support]
+        c = _attr_count(work, m.group("attr"), pool)
+        if c is None:
+            return None              # incomplete set: the sum is unsound
+        total += c[0]
+        support += [p for p in c[1] if p not in support]
+    return {"answer": str(total), "support_idxs": support,
+            "method": "attr_sum"}
+
+
 # "Who performed the album released on the label L in 1994?" (v15 kind
 # 42) — the member is selected by YEAR EQUALITY, then the hop runs on it
 _MEMBER_YEAR_RE = re.compile(
@@ -1333,7 +1444,8 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                answer_year_range, answer_years_apart,
                answer_same_attribute,
                answer_closest_release, answer_successor,
-               answer_member_year_hop,
+               answer_member_year_hop, answer_superlative_hop2,
+               answer_label_of_superlative, answer_attr_sum,
                answer_superlative_hop, answer_superlative, answer_ordinal,
                answer_decade, answer_label_intersection,
                answer_count_comparative, answer_conjunctive,

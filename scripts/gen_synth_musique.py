@@ -1316,9 +1316,17 @@ def make_items(n: int, distractors: int, seed: int):
             for title, text in _paragraphs(cw, rng)[:5 if ci == 0 else 3]:
                 paras.append({"idx": len(paras), "title": title,
                               "paragraph_text": text, "is_supporting": False})
-        # regular distractors from other items' worlds
-        others = rng.choice([j for j in range(n) if j != i],
-                            min(distractors, n - 1), replace=False)
+        # regular distractors from other items' worlds — EXCLUDING any
+        # world already present in this item (kind-specific picks like
+        # worlds[(i+3)%n] ride in as extra support; drawing the same
+        # world again would add an UNLABELED duplicate paragraph the
+        # pipeline can legitimately cite, corrupting support golds — and
+        # for the track-count kinds, a contradictory count surface)
+        present = {p["title"] for p in paras}
+        pool = [j for j in range(n)
+                if j != i and f"{worlds[j]['work']} (album)" not in present]
+        others = rng.choice(pool, min(distractors, len(pool)),
+                            replace=False)
         for j in others:
             take = 1 + int(rng.integers(0, 3))
             for title, text in _paragraphs(worlds[j], rng)[:take]:

@@ -946,3 +946,78 @@ def test_same_label_equality():
     assert answer_same_label(
         "Were Holden Harbor and Ghost Album released on the same "
         "label?", g, []) is None
+
+
+# ----------------------------------------------------------------- v16
+def test_superlative_hop2_two_hops():
+    """v16 kind 46: superlative -> performed_by -> born_in."""
+    from anorag_tpu.answer.comparative import answer_superlative_hop2
+
+    g = _label_graph_with_performers(
+        [("Holden Harbor", 1958, "Mira Vel"),
+         ("Linlin Garden", 1970, "Kesto Ra"),
+         ("Denon Harbor", 1966, "Bdone Sha")])
+    born = "Kesto Ra was born in Denver."
+    keys = extract_note_keys(born, ["Kesto Ra", "Denver"])
+    g.add_notes([{"note_id": "b1", "content": born, **keys,
+                  "paragraph_idxs": [7]}])
+    res = answer_superlative_hop2(
+        "Where was the performer of the last album released on the "
+        "label Tiden Records born?", g, [])
+    assert res["answer"] == "Denver"
+    assert 7 in res["support_idxs"]
+    # missing birth fact for the resolved performer falls through
+    assert answer_superlative_hop2(
+        "Where was the performer of the first album released on the "
+        "label Tiden Records born?", g, []) is None
+
+
+def test_label_of_performer_superlative():
+    """v16 kind 47: the set anchors on a PERFORMER; the answer is the
+    resolved member's label."""
+    from anorag_tpu.answer.comparative import answer_label_of_superlative
+
+    g = NoteGraph()
+    for i, (work, year, label) in enumerate(
+            [("Holden Harbor", 1958, "Tiden Records"),
+             ("Linlin Garden", 1970, "Velpri Sound"),
+             ("Denon Harbor", 1966, "Kesto Audio")]):
+        rel = f"{work} was released in {year} on the label {label}."
+        keys = extract_note_keys(rel, [work, str(year), label])
+        g.add_notes([{"note_id": f"r{i}", "content": rel, **keys,
+                      "paragraph_idxs": [i]}])
+        per = f"{work} is an album by Mira Vel."
+        pkeys = extract_note_keys(per, [work, "Mira Vel"])
+        g.add_notes([{"note_id": f"p{i}", "content": per, **pkeys,
+                      "paragraph_idxs": [i]}])
+    res = answer_label_of_superlative(
+        "Which label released the first album by Mira Vel?", g, [])
+    assert res["answer"] == "Tiden Records"
+    res = answer_label_of_superlative(
+        "Which label released the last album by Mira Vel?", g, [])
+    assert res["answer"] == "Velpri Sound"
+
+
+def test_attr_sum_over_label_set():
+    """v16 kind 48: SUM of word-number counts; incomplete set falls
+    through."""
+    from anorag_tpu.answer.comparative import answer_attr_sum
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970),
+                      ("Denon Harbor", 1966)])
+    cands = [
+        {"title": "Holden Harbor (album)", "paragraph_idxs": [0],
+         "content": "Holden Harbor features three tracks."},
+        {"title": "Linlin Garden (album)", "paragraph_idxs": [1],
+         "content": "Linlin Garden features nineteen tracks."},
+        {"title": "Denon Harbor (album)", "paragraph_idxs": [2],
+         "content": "Denon Harbor features seven tracks."},
+    ]
+    res = answer_attr_sum(
+        "How many tracks do the albums on the label Tiden Records have "
+        "in total?", g, cands)
+    assert res["answer"] == "29"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    assert answer_attr_sum(
+        "How many tracks do the albums on the label Tiden Records have "
+        "in total?", g, cands[:2]) is None

@@ -161,7 +161,7 @@ def test_generated_musique_all_kinds(tmp_path):
     assert metrics["support_f1"] >= 0.90, metrics
     # any individual miss outside `tolerated_kinds` is a regression.
     # When a vN adds unsolved kinds, list them here until closed.
-    tolerated_kinds: set = {46, 47, 48, 49}   # v16 OPEN (round-4 headroom)
+    tolerated_kinds: set = set()   # v16 closed (all 1.00)
     from anorag_tpu.eval.musique import answer_em, gold_aliases
     by_id = {it["id"]: it for it in items}
     for p in preds:

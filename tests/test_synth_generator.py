@@ -113,3 +113,18 @@ def test_kind27_rejection_loop_terminates():
     make_items spun forever (hit at n=100, distractors=4, seed=101)."""
     items = make_items(100, distractors=4, seed=101)
     assert len(items) == 100
+
+
+def test_no_mixed_support_duplicate_titles():
+    """Regression (v16): a world picked as extra support (e.g. kind 10's
+    worlds[(i+3)%n]) could ALSO be drawn as a regular distractor, adding
+    an unlabeled duplicate paragraph the pipeline can legitimately cite
+    — support golds corrupted (and kinds 31/39 risked a contradictory
+    track-count surface). A title must never appear with BOTH support
+    labels inside one item."""
+    for seed in (5, 16):
+        for it in _mk(seed, n=N_KINDS * 2):
+            lab = {}
+            for p in it["paragraphs"]:
+                prev = lab.setdefault(p["title"], p["is_supporting"])
+                assert prev == p["is_supporting"], (it["id"], p["title"])
