@@ -118,9 +118,37 @@ def _wrong_hint(item, rng):
     return t.replace(" (album)", "") or None
 
 
+def build_copy_pairs(rng, count: int, max_total: int):
+    """Echo pairs over the synthetic name distribution.
+
+    Byte-level copying of NOVEL names is the hard sub-skill of both real
+    tasks (the first distilled checkpoint emitted perfect JSON schema
+    with hallucinated entity names — induction never formed). A pure
+    copy curriculum gives the induction circuit a dense training signal:
+    every target byte must be read from the prompt."""
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from gen_synth_musique import _paragraphs, _world
+
+    from anorag_tpu.llm.jax_client import render_prompt
+
+    out = []
+    for _ in range(count):
+        w = _world(rng)
+        paras = _paragraphs(w, rng)
+        k = int(rng.integers(1, 3))
+        picks = [paras[int(j)][1] for j in
+                 rng.permutation(len(paras))[:k]]
+        text = " ".join(picks)
+        prompt = render_prompt(text, "Copy the text exactly.")
+        if len(prompt) + len(text) + 2 > max_total:
+            continue
+        out.append((prompt, text))
+    return out
+
+
 def build_pairs(n_items: int, seeds, max_prompt: int, max_total: int,
                 merged_only: bool = True, tasks=("notes", "answer"),
-                answer_boost: int = 4):
+                answer_boost: int = 4, copy_pairs: int = 0):
     """(rendered prompt, completion JSON) pairs from synthetic worlds."""
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from gen_synth_musique import make_items
@@ -142,6 +170,8 @@ def build_pairs(n_items: int, seeds, max_prompt: int, max_total: int,
     # kinds rejection-sample foils from the distractor pool and spin
     # forever below ~8 worlds
     rng = np.random.default_rng(seeds[0] if seeds else 0)
+    if copy_pairs:
+        pairs.extend(build_copy_pairs(rng, copy_pairs, max_total))
     for seed in seeds:
         items = make_items(n_items, 12, seed)
         if "answer" in tasks:
@@ -247,11 +277,18 @@ def evaluate(lm, held, max_new: int):
     n_parse = n_exact = 0
     note_hits = note_total = 0
     ans_hits = ans_total = 0
+    copy_hits = copy_total = 0
     for i in range(0, len(held), 8):
         batch = held[i:i + 8]
         outs = lm.generate([p for p, _ in batch], max_new=max_new)
         for (p, tgt), got in zip(batch, outs):
-            want = json.loads(tgt)
+            try:
+                want = json.loads(tgt)
+            except ValueError:                              # copy task
+                copy_total += 1
+                if got.strip() == tgt.strip():
+                    copy_hits += 1
+                continue
             if isinstance(want, dict):                      # answer task
                 ans_total += 1
                 pred = extract_prediction(got)
@@ -276,10 +313,13 @@ def evaluate(lm, held, max_new: int):
             else:
                 note_total += len(want)
     n = max(len(held), 1)
-    return {"parse_rate": n_parse / n, "exact_rate": n_exact / n,
+    return {"parse_rate": n_parse / max(n - copy_total, 1),
+            "exact_rate": n_exact / max(n - copy_total, 1),
             "note_text_recall": note_hits / max(note_total, 1),
             "answer_match": ans_hits / max(ans_total, 1),
-            "n_eval_answer": ans_total, "n_eval": len(held)}
+            "copy_exact": copy_hits / max(copy_total, 1),
+            "n_eval_answer": ans_total, "n_eval_copy": copy_total,
+            "n_eval": len(held)}
 
 
 def main() -> int:
@@ -303,6 +343,9 @@ def main() -> int:
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--tasks", nargs="+", default=["notes", "answer"],
                     choices=["notes", "answer"])
+    ap.add_argument("--copy-pairs", type=int, default=0,
+                    help="extra pure-copy curriculum pairs (induction "
+                         "bootstrap)")
     ap.add_argument("--stats-only", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -316,7 +359,8 @@ def main() -> int:
     pairs, n_long = build_pairs(args.items, args.seeds,
                                 max_prompt=int(args.seq * 0.7),
                                 max_total=args.seq,
-                                tasks=tuple(args.tasks))
+                                tasks=tuple(args.tasks),
+                                copy_pairs=args.copy_pairs)
     lens = sorted(len(p) + len(c) for p, c in pairs)
     print(f"pairs: {len(pairs)} (dropped {n_long} over budget) "
           f"len p50={lens[len(lens)//2]} p95={lens[int(len(lens)*.95)]} "
