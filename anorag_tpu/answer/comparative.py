@@ -1109,17 +1109,17 @@ def answer_spouse_at_time(question: str, graph: Optional[NoteGraph],
     # events join ACROSS notes: a per-sentence note may carry the
     # marriage while its divorce sits in a sibling note. When the person
     # was REACHED by a hop (v13 kind 34) the question never names them,
-    # so retrieval may miss the marriage history — widen the scan with
-    # the person's own graph-adjacent notes
+    # so retrieval may miss the marriage history — and the divorce
+    # sentence ("A and B divorced in Y") extracts a GLUED "A and B"
+    # pseudo-entity as head, so the divorce note is graph-adjacent to
+    # NEITHER spouse (v17: one missed divorce made two marriages qualify
+    # and the join bailed as ambiguous). Widen the scan to the whole
+    # note store — the person-substring filter below keeps it cheap.
     pool: List[Dict[str, Any]] = list(candidates or ())
-    pkey = graph.resolve_head(person) if graph is not None else None
-    if pkey is not None:
-        nids = {nid for _r, _t, nid, _w, _p in graph.neighbors(pkey)}
-        nids |= {nid for _r, _h, nid in graph.rheads(pkey)}
+    if graph is not None:
         seen_ids = {id(c) for c in pool}
-        for nid in nids:
-            n = graph.notes.get(nid)
-            if n is None or id(n) in seen_ids:
+        for n in graph.notes.values():
+            if id(n) in seen_ids:
                 continue
             pool.append({"title": n.get("title", ""),
                          "content": n.get("text") or n.get("content", ""),

@@ -256,6 +256,22 @@ round-3 end (the recorded floor is the round-4 target):
     released?" — the marriage-history join's time anchor is itself a
     superlative that must resolve first.
 
+v17 (round 3, session 4 — OPEN round-4 headroom): the v16 kinds closed
+(all 1.00), so the cycle widens to 54 with four kinds left UNSOLVED at
+round-3 end (the recorded floor is the round-4 target):
+  * kind 50, three-step member join: "Where was the performer of the
+    album released on the label L in 1994 born?" — year-equality member
+    selection -> performed_by -> born_in;
+  * kind 51, interval membership: "Which album on the label L was
+    released between 1980 and 1990?" — a two-sided year window (the
+    decade stage only buckets canonical decades);
+  * kind 52, attribute-threshold count: "How many albums on the label L
+    have more than ten tracks?" — cardinality AFTER a word-number
+    attribute filter;
+  * kind 53, inverse hop at chain END: "Which album was performed by
+    the spouse of P?" — resolve spouse(P) forward, then the LAST hop
+    runs AGAINST the stored edge (work --performed_by--> spouse).
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -598,7 +614,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 50
+        kind = i % 54
         answerable = True
         akey = None
         extra_aliases = None
@@ -1243,7 +1259,7 @@ def make_items(n: int, distractors: int, seed: int):
                 extra_aliases = [_NUM_WORDS[sum(counts)]]
             support = {0}
             extra_support_paras = sib_paras
-        else:
+        elif kind == 49:
             # v16 superlative-anchored temporal join: the marriage
             # history's time anchor is the FIRST album on w's label
             sibs = _siblings(rng, w, seen_works)
@@ -1269,6 +1285,84 @@ def make_items(n: int, distractors: int, seed: int):
             support = {0, 1}
             extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
+        elif kind == 50:
+            # v17 three-step member join: year-equality selection ->
+            # performed_by -> born_in
+            sibs = _siblings(rng, w, seen_works)
+            pick = sibs[int(rng.integers(0, 2))]
+            city = str(rng.choice(_CITIES))
+            q = (f"Where was the performer of the album released on the "
+                 f"label {w['label']} in {pick['year']} born?")
+            a = city
+            extra_aliases = [f"{city}, {_STATES[city]}"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+            extra_support_paras.append(
+                (pick["person"],
+                 f"{pick['person']} was born in {city}."))
+        elif kind == 51:
+            # v17 interval membership: a two-sided year window; the other
+            # members sit outside it
+            sibs = _siblings(rng, w, seen_works)
+            lo = w["year"] - 1 - int(rng.integers(0, 5))
+            hi = w["year"] + 1 + int(rng.integers(0, 5))
+            for s in sibs:
+                while lo <= s["year"] <= hi:
+                    s["year"] = int(rng.integers(1950, 2020))
+            q = (f"Which album on the label {w['label']} was released "
+                 f"between {lo} and {hi}?")
+            a = w["work"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 52:
+            # v17 attribute-threshold count: cardinality after a
+            # word-number attribute filter
+            sibs = _siblings(rng, w, seen_works)
+            t = 3 + int(rng.integers(0, 14))             # 3..16
+            counts = []
+            used = {t}
+            while len(counts) < 3:
+                c = 2 + int(rng.integers(0, 18))
+                if c not in used:
+                    used.add(c)
+                    counts.append(c)
+            track_counts = (counts[0], 0)
+            sib_paras = []
+            for s, c in zip(sibs, counts[1:]):
+                pt, px = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
+            n_over = sum(1 for c in counts if c > t)
+            q = (f"How many albums on the label {w['label']} have more "
+                 f"than {_NUM_WORDS[t]} tracks?")
+            a = str(n_over)
+            if n_over in _NUM_WORDS:
+                extra_aliases = [_NUM_WORDS[n_over]]
+            support = {0}
+            extra_support_paras = sib_paras
+        else:
+            # v17 inverse hop at chain END: spouse(P) resolves forward,
+            # then the work is reached AGAINST the performed_by edge
+            first2 = "".join(rng.choice(_SYL, 2)).capitalize()
+            while True:
+                w2 = f"{first2} {rng.choice(_WORK_W)}"
+                if w2 not in seen_works:
+                    seen_works.add(w2)
+                    break
+                first2 = "".join(rng.choice(_SYL, 2)).capitalize()
+            l2 = f"{''.join(rng.choice(_SYL, 2)).capitalize()} " \
+                 f"{rng.choice(_LABEL_W)}"
+            y2 = int(rng.integers(1950, 2020))
+            q = (f"Which album was performed by the spouse of "
+                 f"{w['person']}?")
+            a = w2
+            support = {1}
+            extra_support_paras = [
+                (f"{w2} (album)",
+                 f"{w2} is an album by {w['spouse']}. It was released "
+                 f"in {y2} on the label {l2}.")]
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
@@ -1359,17 +1453,18 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 50] = kinds.get(i % 50, 0) + 1
+        kinds[i % 54] = kinds.get(i % 54, 0) + 1
     n_multi = sum(v for k, v in kinds.items()
                   if k in (0, 1, 4, 5, 6, 9, 16, 17, 26, 30, 32, 34, 35,
-                           46, 49))
+                           46, 49, 50, 53))
     n_unans = kinds.get(7, 0) + kinds.get(33, 0)
     n_agg = sum(kinds.get(k, 0)
                 for k in (10, 11, 12, 13, 14, 15, 19, 20, 21,
                           22, 23, 24, 25, 27, 28, 29, 31, 36, 37,
-                          38, 39, 40, 41, 42, 43, 44, 45, 47, 48))
+                          38, 39, 40, 41, 42, 43, 44, 45, 47, 48,
+                          51, 52))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-49 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-53 cycle) "
           f"-> {args.out}")
     return 0
 

@@ -161,7 +161,7 @@ def test_generated_musique_all_kinds(tmp_path):
     assert metrics["support_f1"] >= 0.90, metrics
     # any individual miss outside `tolerated_kinds` is a regression.
     # When a vN adds unsolved kinds, list them here until closed.
-    tolerated_kinds: set = set()   # v16 closed (all 1.00)
+    tolerated_kinds: set = {50, 51, 52, 53}   # v17 OPEN (round-4 headroom)
     from anorag_tpu.eval.musique import answer_em, gold_aliases
     by_id = {it["id"]: it for it in items}
     for p in preds:
@@ -169,7 +169,7 @@ def test_generated_musique_all_kinds(tmp_path):
         if not it.get("answerable", True):
             continue
         i = int(p["id"].split("_")[1])
-        if i % 50 in tolerated_kinds:
+        if i % 54 in tolerated_kinds:
             continue
         assert answer_em(p.get("predicted_answer") or "",
                          gold_aliases(it)) == 1.0, \
