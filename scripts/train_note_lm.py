@@ -346,6 +346,9 @@ def main() -> int:
     ap.add_argument("--copy-pairs", type=int, default=0,
                     help="extra pure-copy curriculum pairs (induction "
                          "bootstrap)")
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="checkpoint every N steps (long CPU runs must "
+                         "survive being cut short)")
     ap.add_argument("--stats-only", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -405,6 +408,9 @@ def main() -> int:
             dt = time.time() - t0
             print(f"step {step} loss {lv:.4f} ({dt:.0f}s, "
                   f"{(step+1)/max(dt,1e-9):.2f} it/s)", flush=True)
+        if args.save_every and step and step % args.save_every == 0:
+            dlm.save_lm(args.out, params, cfg)
+            print(f"checkpoint saved at step {step}", flush=True)
 
     dlm.save_lm(args.out, params, cfg)
     lm = dlm.DecoderLM(params, cfg, prompt_bucket=256)
