@@ -426,6 +426,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "monitoring": {"enabled": True, "log_stats": True, "export_metrics": False},
     },
     "notes_llm": {
+        "use_llm": True,
         "use_v2_schema": True,
         "stream_early_stop": True,
         "sentinel_char": "~",

@@ -92,7 +92,12 @@ class DocumentProcessor:
     def note_generator(self):
         if self._note_generator is None:
             ang = self.cfg.get("atomic_note_generation", {}) or {}
-            if self.llm is None:
+            if self.llm is None or not self.cfg.get("notes_llm.use_llm",
+                                                    True):
+                # notes_llm.use_llm=false: rule-built KB even when an LLM
+                # is configured (the LLM still serves the ANSWER path) —
+                # the deployment mode where note extraction quality is
+                # measured-better than the available model's
                 self._note_generator = _RuleNoteGenerator(self.cfg)
             elif ang.get("parallel_enabled"):
                 from anorag_tpu.llm.parallel_note_gen import ParallelTaskAtomicNoteGenerator

@@ -284,3 +284,20 @@ def test_document_processor_caching(tmp_path):
     assert len(r2["atomic_notes"]) == len(r1["atomic_notes"])
     # second run is pure cache hits (no rebuild of chunks/notes)
     assert r2["processing_stats"]["n_chunks"] == r1["processing_stats"]["n_chunks"]
+
+
+def test_notes_llm_use_llm_toggle_forces_rule_notes():
+    """notes_llm.use_llm=false builds a rule-note KB even with an LLM
+    configured (the LLM still serves the answer path)."""
+    from anorag_tpu.config import ConfigLoader
+    from anorag_tpu.doc.processor import DocumentProcessor, _RuleNoteGenerator
+
+    cfg = ConfigLoader(auto_load=False)
+    cfg.set("notes_llm.use_llm", False)
+
+    class _FakeLLM:
+        def generate(self, *a, **k):
+            raise AssertionError("LLM must not be called for notes")
+
+    dp = DocumentProcessor("/tmp/unused_wd", llm=_FakeLLM(), cfg=cfg)
+    assert isinstance(dp.note_generator, _RuleNoteGenerator)
