@@ -596,6 +596,48 @@ def answer_member_year_hop(question: str, graph: Optional[NoteGraph],
             "method": "member_year_hop"}
 
 
+# "Where was the performer of the album released on the label L in Y
+# born?" (v17 kind 50) — the member-year selection above extended by a
+# second hop (role -> person -> born_in); proving the year-equality
+# selection still requires citing every member's year fact
+_MEMBER_YEAR_BORN_RE = re.compile(
+    r"\bwhere\s+(?:was|is)\s+the\s+"
+    r"(?P<role>performer|artist|singer|founder|author|writer)\s+of\s+"
+    r"the\s+(?:album|work|record|song|release)\s+"
+    r"(?:released\s+|put\s+out\s+|recorded\s+)?"
+    r"(?:on|by|through|under)\s+(?:the\s+label\s+)?(?P<set>.+?)\s+"
+    r"in\s+(?P<year>1[0-9]{3}|20[0-9]{2})\s+born\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_member_year_born(question: str, graph: Optional[NoteGraph],
+                            candidates: Sequence[Dict[str, Any]]
+                            ) -> Optional[Dict[str, Any]]:
+    m = _MEMBER_YEAR_BORN_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    year = int(m.group("year"))
+    hits = [e for e in entries if e[1] == year]
+    if len(entries) < 2 or len(hits) != 1:
+        return None                        # zero or several: ambiguous
+    role = _ROLE_RELS.get(m.group("role").lower(), ("performed_by",))
+    person = _hop_tail(graph, hits[0][0], role)
+    if person is None:
+        return None
+    city = _hop_tail(graph, person[0], ("born_in",))
+    if city is None:
+        return None
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    for hop in (person, city):
+        support += [p for p in hop[1] if p not in support]
+    return {"answer": city[0], "support_idxs": support,
+            "method": "member_year_born"}
+
+
 # "What was the second album released on the label L?" (v8 kind 15) —
 # an ORDINAL over the label's work set, not an extremum
 _ORDINAL_WORDS = {"second": 2, "third": 3, "fourth": 4, "fifth": 5,
@@ -706,6 +748,42 @@ def answer_decade(question: str, graph: Optional[NoteGraph],
             "method": "decade"}
 
 
+# "Which album on the label L was released between LO and HI?" (v17
+# kind 51) — a two-sided inclusive year window over the label's work
+# set; the decade stage above is the one-sided special case
+_INTERVAL_RE = re.compile(
+    r"\b(?:what|which)\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:was|were|got|came)\s+"
+    r"(?:released|out|put\s+out|issued|published)\s+between\s+"
+    r"(?P<lo>1[0-9]{3}|20[0-9]{2})\s+and\s+"
+    r"(?P<hi>1[0-9]{3}|20[0-9]{2})\b",
+    re.IGNORECASE)
+
+
+def answer_interval(question: str, graph: Optional[NoteGraph],
+                    candidates: Sequence[Dict[str, Any]]
+                    ) -> Optional[Dict[str, Any]]:
+    m = _INTERVAL_RE.search((question or "").strip())
+    if not m:
+        return None
+    lo, hi = int(m.group("lo")), int(m.group("hi"))
+    if hi < lo:
+        return None
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    if len(entries) < 2:
+        return None
+    hits = [e for e in entries if lo <= e[1] <= hi]
+    if len(hits) != 1:
+        return None                        # zero or several: ambiguous
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": hits[0][0], "support_idxs": support,
+            "method": "interval"}
+
+
 # "Which album by P was released on the label L?" (v9 kind 18) — BOTH
 # constraints must bind (the corpus carries single-constraint foils)
 _CONJ_RE = re.compile(
@@ -779,6 +857,196 @@ def answer_count_filtered(question: str, graph: Optional[NoteGraph],
         support += [p for p in paras if p not in support]
     return {"answer": str(len(hits)), "support_idxs": support,
             "method": "count_filtered"}
+
+
+# "How many albums on the label L have more than eight tracks?" (v17
+# kind 52) — cardinality after a word-number ATTRIBUTE threshold (the
+# filtered count above thresholds on the release DECADE); every member
+# must carry a resolvable count or the cardinality is unsound
+_COUNT_THRESH_RE = re.compile(
+    r"\bhow\s+many\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:have|contain|feature)\s+"
+    r"(?P<dir>more|fewer|less)\s+than\s+(?P<t>\d{1,3}|[a-z]+)\s+"
+    r"(?P<attr>tracks|songs|discs|minutes)\b",
+    re.IGNORECASE)
+
+
+def answer_count_threshold(question: str, graph: Optional[NoteGraph],
+                           candidates: Sequence[Dict[str, Any]]
+                           ) -> Optional[Dict[str, Any]]:
+    m = _COUNT_THRESH_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    tok = m.group("t").lower()
+    if tok.isdigit():
+        t = int(tok)
+    elif tok in _WORD_NUMS:
+        t = _WORD_NUMS[tok]
+    else:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2:
+        return None
+    pool = list(candidates or ()) + list(graph.notes.values())
+    over = 0
+    support: List[int] = []
+    for work, _y, paras in entries:
+        support += [p for p in paras if p not in support]
+        c = _attr_count(work, m.group("attr"), pool)
+        if c is None:
+            return None          # a member without a count: unsound
+        if (c[0] > t) if m.group("dir").lower() == "more" else (c[0] < t):
+            over += 1
+        support += [p for p in c[1] if p not in support]
+    return {"answer": str(over), "support_idxs": support,
+            "method": "count_threshold"}
+
+
+# "Which album on the label L has more than eight tracks?" (v18 kind
+# 55) — the threshold filter above reused as a SELECTION: exactly one
+# member sits on the asked side of the cut
+_ATTR_WHICH_RE = re.compile(
+    r"\b(?:what|which)\s+(?:album|work|record|song|release)\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:has|contains|features)\s+"
+    r"(?P<dir>more|fewer|less)\s+than\s+(?P<t>\d{1,3}|[a-z]+)\s+"
+    r"(?P<attr>tracks|songs|discs|minutes)\b",
+    re.IGNORECASE)
+
+
+def answer_attr_threshold_which(question: str, graph: Optional[NoteGraph],
+                                candidates: Sequence[Dict[str, Any]]
+                                ) -> Optional[Dict[str, Any]]:
+    m = _ATTR_WHICH_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    tok = m.group("t").lower()
+    if tok.isdigit():
+        t = int(tok)
+    elif tok in _WORD_NUMS:
+        t = _WORD_NUMS[tok]
+    else:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2:
+        return None
+    pool = list(candidates or ()) + list(graph.notes.values())
+    hits: List[str] = []
+    support: List[int] = []
+    for work, _y, paras in entries:
+        support += [p for p in paras if p not in support]
+        c = _attr_count(work, m.group("attr"), pool)
+        if c is None:
+            return None          # a member without a count: unsound
+        if (c[0] > t) if m.group("dir").lower() == "more" else (c[0] < t):
+            hits.append(work)
+        support += [p for p in c[1] if p not in support]
+    if len(hits) != 1:
+        return None                        # zero or several: ambiguous
+    return {"answer": hits[0], "support_idxs": support,
+            "method": "attr_threshold_which"}
+
+
+# "How many tracks does the album performed by the spouse of P have?"
+# (v18 kind 56) — spouse resolves FORWARD, the work is reached AGAINST
+# the performed_by edge (kind 53's inverse hop), then the answer is a
+# word-number attribute stated only in the hopped-to paragraph
+_INV_HOP_ATTR_RE = re.compile(
+    r"\bhow\s+many\s+(?P<attr>tracks|songs|discs|minutes)\s+does\s+the\s+"
+    r"(?:album|work|record|song|release)\s+"
+    r"(?:performed|recorded|written|made)\s+by\s+the\s+"
+    r"(?:spouse|wife|husband|partner)\s+of\s+(?P<p>.+?)\s+"
+    r"(?:have|contain|feature)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def _spouse_tail(graph: NoteGraph, person: str
+                 ) -> Optional[Tuple[str, List[int]]]:
+    """(spouse, marriage-note paras) resolved forward or reverse."""
+    key = graph.resolve_head(person)
+    if key is not None:
+        for rel, tail, nid, _w, _p in graph.neighbors(key):
+            if rel == "spouse_of":
+                note = graph.notes.get(nid, {})
+                return str(tail), list(note.get("paragraph_idxs") or [])
+    key = graph.resolve_tail(person)
+    if key is not None:
+        for rel, head, nid in graph.rheads(key):
+            if rel == "spouse_of":
+                note = graph.notes.get(nid, {})
+                return str(head), list(note.get("paragraph_idxs") or [])
+    return None
+
+
+def answer_inverse_hop_attr(question: str, graph: Optional[NoteGraph],
+                            candidates: Sequence[Dict[str, Any]]
+                            ) -> Optional[Dict[str, Any]]:
+    m = _INV_HOP_ATTR_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    sp = _spouse_tail(graph, m.group("p").strip())
+    if sp is None:
+        return None
+    skey = graph.resolve_tail(sp[0])
+    if skey is None:
+        return None
+    by_work: Dict[str, List[str]] = {}
+    for rel, head, nid in graph.rheads(skey):
+        if rel == "performed_by":
+            by_work.setdefault(head, []).append(nid)
+    if len(by_work) != 1:      # several DISTINCT works: ambiguous
+        return None
+    work, nids = next(iter(by_work.items()))
+    pool = list(candidates or ()) + list(graph.notes.values())
+    c = _attr_count(work, m.group("attr"), pool)
+    if c is None:
+        return None
+    support = list(sp[1])
+    wparas = [p for nid in nids
+              for p in (graph.notes.get(nid, {}).get("paragraph_idxs") or ())]
+    for p in wparas + c[1]:
+        if p not in support:
+            support.append(p)
+    return {"answer": str(c[0]), "support_idxs": support,
+            "method": "inverse_hop_attr"}
+
+
+# "Which album was released both on the label L1 and on the label L2?"
+# (v18 kind 57) — intersection of two reverse label sets; the second
+# edge is typically a REISSUE (the kind-17 trap wants the primary edge
+# for "which label released W", but membership unions both)
+_DUAL_LABEL_RE = re.compile(
+    r"\b(?:what|which)\s+(?:album|work|record|song|release)\s+was\s+"
+    r"(?:released|put\s+out|issued|reissued|published)\s+both\s+"
+    r"(?:on|by|through|under)\s+the\s+label\s+(?P<a>.+?)\s+and\s+"
+    r"(?:on|by|through|under)\s+the\s+label\s+(?P<b>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_dual_label(question: str, graph: Optional[NoteGraph],
+                      candidates: Sequence[Dict[str, Any]]
+                      ) -> Optional[Dict[str, Any]]:
+    m = _DUAL_LABEL_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    sets = []
+    for surf in (m.group("a").strip(), m.group("b").strip()):
+        entries = _label_set(surf, graph)
+        if not entries:
+            return None
+        sets.append({w: paras for w, _y, paras in entries})
+    hits = [w for w in sets[0] if w in sets[1]]
+    if len(hits) != 1:
+        return None                        # zero or several: ambiguous
+    # uniqueness of the intersection is established by enumerating both
+    # sets — every member paragraph is support
+    support: List[int] = []
+    for s in sets:
+        for paras in s.values():
+            support += [p for p in paras if p not in support]
+    return {"answer": hits[0], "support_idxs": support,
+            "method": "dual_label"}
 
 
 # "Were the performer of A and the performer of B born in the same city?"
@@ -1444,13 +1712,16 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                answer_year_range, answer_years_apart,
                answer_same_attribute,
                answer_closest_release, answer_successor,
-               answer_member_year_hop, answer_superlative_hop2,
+               answer_member_year_hop, answer_member_year_born,
+               answer_superlative_hop2,
                answer_label_of_superlative, answer_attr_sum,
                answer_superlative_hop, answer_superlative, answer_ordinal,
-               answer_decade, answer_label_intersection,
+               answer_decade, answer_interval, answer_label_intersection,
+               answer_attr_threshold_which, answer_inverse_hop_attr,
+               answer_dual_label,
                answer_count_comparative, answer_conjunctive,
-               answer_count_conjunctive, answer_count_filtered,
-               answer_count):
+               answer_count_conjunctive, answer_count_threshold,
+               answer_count_filtered, answer_count):
         res = fn(question, note_graph, candidates)
         if res:
             return res

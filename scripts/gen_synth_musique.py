@@ -256,9 +256,9 @@ round-3 end (the recorded floor is the round-4 target):
     released?" — the marriage-history join's time anchor is itself a
     superlative that must resolve first.
 
-v17 (round 3, session 4 — OPEN round-4 headroom): the v16 kinds closed
-(all 1.00), so the cycle widens to 54 with four kinds left UNSOLVED at
-round-3 end (the recorded floor is the round-4 target):
+v17 (round 3, session 4; CLOSED session 5 at EM/supEM/supF1/ansAcc all
+1.00 over 216 items — floor was EM 0.833/supEM 0.75 on the four kinds):
+the v16 kinds closed (all 1.00), so the cycle widened to 54:
   * kind 50, three-step member join: "Where was the performer of the
     album released on the label L in 1994 born?" — year-equality member
     selection -> performed_by -> born_in;
@@ -271,6 +271,26 @@ round-3 end (the recorded floor is the round-4 target):
   * kind 53, inverse hop at chain END: "Which album was performed by
     the spouse of P?" — resolve spouse(P) forward, then the LAST hop
     runs AGAINST the stored edge (work --performed_by--> spouse).
+
+v18 (round 3, session 5; CLOSED same session at EM/supEM/supF1/ansAcc
+all 1.00 over 232 items — floor was EM 0.4375 on the four new kinds):
+the v17 kinds closed (all 1.00), so the cycle widens to 58 with four
+kinds composing solved machinery along new axes:
+  * kind 54, hop-resolved comparative: "Which was released first, the
+    album performed by A or the album performed by B?" — the compared
+    operands are DESCRIPTIVE and must resolve through reverse performer
+    edges before the year comparison (every solved comparative names
+    its options);
+  * kind 55, attribute-threshold selection: "Which album on the label L
+    has more than ten tracks?" — kind 52's filter reused as a WHICH
+    (unique member above the cut), not a count;
+  * kind 56, chain-end attribute lookup: "How many tracks does the
+    album performed by the spouse of P have?" — the kind-53 inverse hop
+    composed with a word-number attribute read on the hopped-to work;
+  * kind 57, dual-label membership: "Which album was released both on
+    the label L1 and on the label L2?" — the work carries a PRIMARY
+    label edge and a genuine reissue edge; the kind-17 trap taught the
+    pipeline to distrust reissues, here the reissue is load-bearing.
 
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
@@ -599,6 +619,21 @@ def _sibling_paragraph(sib, label, rng):
     return (f"{sib['work']} (album)", f"{perform} {release}")
 
 
+def _spouse_album(rng, seen_works):
+    """A fresh (work, label, year) performed by the item's spouse — the
+    inverse-hop target for the chain-END kinds (53/56)."""
+    first2 = "".join(rng.choice(_SYL, 2)).capitalize()
+    while True:
+        w2 = f"{first2} {rng.choice(_WORK_W)}"
+        if w2 not in seen_works:
+            seen_works.add(w2)
+            break
+        first2 = "".join(rng.choice(_SYL, 2)).capitalize()
+    l2 = f"{''.join(rng.choice(_SYL, 2)).capitalize()} " \
+         f"{rng.choice(_LABEL_W)}"
+    return w2, l2, int(rng.integers(1950, 2020))
+
+
 _NUM_WORDS = {2: "two", 3: "three", 4: "four", 5: "five", 6: "six",
               7: "seven", 8: "eight", 9: "nine", 10: "ten", 11: "eleven",
               12: "twelve", 13: "thirteen", 14: "fourteen", 15: "fifteen",
@@ -614,7 +649,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 54
+        kind = i % 58
         answerable = True
         akey = None
         extra_aliases = None
@@ -625,6 +660,7 @@ def make_items(n: int, distractors: int, seed: int):
         extra_foil_paras = []        # v9: NON-supporting confounders
         marriage_history = None      # v12 kind 30: replaces person para
         track_counts = None          # v12 kind 31: (own, other) counts
+        own_extra_sent = None        # v18 kind 57: appended to own[0]
         # support indexes into _paragraphs(w): 0 work, 1 person, 2 spouse,
         # 3 label, 4 founder, 5 founder_spouse
         if kind == 0:
@@ -1342,19 +1378,10 @@ def make_items(n: int, distractors: int, seed: int):
                 extra_aliases = [_NUM_WORDS[n_over]]
             support = {0}
             extra_support_paras = sib_paras
-        else:
+        elif kind == 53:
             # v17 inverse hop at chain END: spouse(P) resolves forward,
             # then the work is reached AGAINST the performed_by edge
-            first2 = "".join(rng.choice(_SYL, 2)).capitalize()
-            while True:
-                w2 = f"{first2} {rng.choice(_WORK_W)}"
-                if w2 not in seen_works:
-                    seen_works.add(w2)
-                    break
-                first2 = "".join(rng.choice(_SYL, 2)).capitalize()
-            l2 = f"{''.join(rng.choice(_SYL, 2)).capitalize()} " \
-                 f"{rng.choice(_LABEL_W)}"
-            y2 = int(rng.integers(1950, 2020))
+            w2, l2, y2 = _spouse_album(rng, seen_works)
             q = (f"Which album was performed by the spouse of "
                  f"{w['person']}?")
             a = w2
@@ -1363,6 +1390,75 @@ def make_items(n: int, distractors: int, seed: int):
                 (f"{w2} (album)",
                  f"{w2} is an album by {w['spouse']}. It was released "
                  f"in {y2} on the label {l2}.")]
+        elif kind == 54:
+            # v18 hop-resolved comparative: the compared options are
+            # DESCRIPTIVE ("the album performed by X"), not named works
+            # — both operands must resolve through reverse performer
+            # edges before the year comparison
+            wb = worlds[(i + 3) % n]
+            if wb["year"] == w["year"]:
+                wb = worlds[(i + 7) % n]
+            firstw = w if w["year"] < wb["year"] else wb
+            q = (f"Which was released first, the album performed by "
+                 f"{w['person']} or the album performed by "
+                 f"{wb['person']}?")
+            a = firstw["work"]
+            support = {0}
+            extra_support_paras = [_paragraphs(wb, rng)[0]]
+        elif kind == 55:
+            # v18 attribute-threshold WHICH: the unique member above the
+            # word-number cut (kind 52 counts; this one selects)
+            sibs = _siblings(rng, w, seen_works)
+            t = 3 + int(rng.integers(0, 14))             # 3..16
+            own_c = min(19, t + 1 + int(rng.integers(0, 3)))
+            track_counts = (own_c, 0)
+            sib_paras = []
+            for s in sibs:
+                c = 2 + int(rng.integers(0, t - 1))      # 2..t
+                pt, px = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
+            q = (f"Which album on the label {w['label']} has more than "
+                 f"{_NUM_WORDS[t]} tracks?")
+            a = w["work"]
+            support = {0}
+            extra_support_paras = sib_paras
+        elif kind == 56:
+            # v18 chain-end attribute: inverse hop to the spouse's album
+            # (kind 53), then a word-number attribute LOOKUP on it — the
+            # answer is a number stated only in the hopped-to paragraph
+            w2, l2, y2 = _spouse_album(rng, seen_works)
+            c = 2 + int(rng.integers(0, 18))             # 2..19
+            q = (f"How many tracks does the album performed by the "
+                 f"spouse of {w['person']} have?")
+            a = str(c)
+            extra_aliases = [_NUM_WORDS[c]]
+            support = {1}
+            extra_support_paras = [
+                (f"{w2} (album)",
+                 f"{w2} is an album by {w['spouse']}. It was released "
+                 f"in {y2} on the label {l2}. It features "
+                 f"{_NUM_WORDS[c]} tracks.")]
+        else:
+            # v18 dual-label membership: the asked work carries BOTH
+            # label edges (primary release + a genuine reissue); each
+            # label also has a single-label member, so "both" must
+            # intersect the two reverse label sets (the kind-17 trap
+            # taught the pipeline to distrust reissue edges — here the
+            # reissue is load-bearing)
+            sibs = _siblings(rng, w, seen_works)
+            l2 = f"{''.join(rng.choice(_SYL, 2)).capitalize()} " \
+                 f"{rng.choice(_LABEL_W)}"
+            y2 = w["year"] + int(rng.integers(5, 25))
+            own_extra_sent = (f"It was later reissued in {y2} on the "
+                              f"label {l2}.")
+            q = (f"Which album was released both on the label "
+                 f"{w['label']} and on the label {l2}?")
+            a = w["work"]
+            support = {0}
+            extra_support_paras = [
+                _sibling_paragraph(sibs[0], w["label"], rng),
+                _sibling_paragraph(sibs[1], l2, rng)]
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
@@ -1384,6 +1480,9 @@ def make_items(n: int, distractors: int, seed: int):
             x0 = x0.replace(" It features ten tracks.", "")
             own[0] = (t0, f"{x0} It features "
                           f"{_NUM_WORDS[track_counts[0]]} tracks.")
+        if own_extra_sent is not None:
+            t0, x0 = own[0]
+            own[0] = (t0, f"{x0} {own_extra_sent}")
         paras = []
         for pi, (title, text) in enumerate(own):
             paras.append({"idx": len(paras), "title": title,
@@ -1453,7 +1552,7 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 54] = kinds.get(i % 54, 0) + 1
+        kinds[i % 58] = kinds.get(i % 58, 0) + 1
     n_multi = sum(v for k, v in kinds.items()
                   if k in (0, 1, 4, 5, 6, 9, 16, 17, 26, 30, 32, 34, 35,
                            46, 49, 50, 53))
@@ -1464,7 +1563,7 @@ def main() -> int:
                           38, 39, 40, 41, 42, 43, 44, 45, 47, 48,
                           51, 52))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-53 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-57 cycle) "
           f"-> {args.out}")
     return 0
 

@@ -1021,3 +1021,195 @@ def test_attr_sum_over_label_set():
     assert answer_attr_sum(
         "How many tracks do the albums on the label Tiden Records have "
         "in total?", g, cands[:2]) is None
+
+
+def test_interval_membership():
+    """v17 kind 51: two-sided inclusive year window over the label's
+    works; zero or several members inside fall through."""
+    from anorag_tpu.answer.comparative import answer_interval
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1972),
+                      ("Denon Harbor", 1966)])
+    res = answer_interval(
+        "Which album on the label Tiden Records was released between "
+        "1970 and 1975?", g, [])
+    assert res["answer"] == "Linlin Garden" and res["method"] == "interval"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    # inclusive bounds: [1972, 1980] contains exactly Linlin Garden
+    res = answer_interval(
+        "Which album on the label Tiden Records was released between "
+        "1972 and 1980?", g, [])
+    assert res["answer"] == "Linlin Garden"
+    # two members inside -> ambiguous; none inside -> fall through
+    assert answer_interval(
+        "Which album on the label Tiden Records was released between "
+        "1950 and 1970?", g, []) is None
+    assert answer_interval(
+        "Which album on the label Tiden Records was released between "
+        "1990 and 1995?", g, []) is None
+    # inverted window is ill-posed
+    assert answer_interval(
+        "Which album on the label Tiden Records was released between "
+        "1975 and 1970?", g, []) is None
+
+
+def test_count_threshold():
+    """v17 kind 52: cardinality after a word-number attribute threshold;
+    a member without a stated count makes it unsound."""
+    from anorag_tpu.answer.comparative import answer_count_threshold
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970),
+                      ("Denon Harbor", 1966)])
+    cands = [
+        {"title": "Holden Harbor (album)", "paragraph_idxs": [0],
+         "content": "Holden Harbor features three tracks."},
+        {"title": "Linlin Garden (album)", "paragraph_idxs": [1],
+         "content": "Linlin Garden features nineteen tracks."},
+        {"title": "Denon Harbor (album)", "paragraph_idxs": [2],
+         "content": "Denon Harbor features seven tracks."},
+    ]
+    res = answer_count_threshold(
+        "How many albums on the label Tiden Records have more than six "
+        "tracks?", g, cands)
+    assert res["answer"] == "2" and res["method"] == "count_threshold"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    # digit threshold + the 'fewer' direction
+    res = answer_count_threshold(
+        "How many albums on the label Tiden Records have fewer than 7 "
+        "tracks?", g, cands)
+    assert res["answer"] == "1"
+    # strict inequality: 'more than nineteen' excludes the 19-track album
+    res = answer_count_threshold(
+        "How many albums on the label Tiden Records have more than "
+        "nineteen tracks?", g, cands)
+    assert res["answer"] == "0"
+    # a member without a count -> unsound
+    assert answer_count_threshold(
+        "How many albums on the label Tiden Records have more than six "
+        "tracks?", g, cands[:2]) is None
+
+
+def test_member_year_born_three_step():
+    """v17 kind 50: year-equality member selection -> performed_by ->
+    born_in; the selection proof cites every member's year fact."""
+    from anorag_tpu.answer.comparative import answer_member_year_born
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1972),
+                      ("Denon Harbor", 1966)])
+    for i, (work, person) in enumerate(
+            [("Holden Harbor", "Mira Vel"), ("Linlin Garden", "Tane Bo"),
+             ("Denon Harbor", "Rolu Kas")]):
+        text = f"{work} is an album performed by {person}."
+        keys = extract_note_keys(text, [work, person])
+        g.add_notes([{"note_id": f"p{i}", "content": text, **keys,
+                      "paragraph_idxs": [3 + i]}])
+    text = "Tane Bo was born in Boston."
+    keys = extract_note_keys(text, ["Tane Bo", "Boston"])
+    g.add_notes([{"note_id": "b0", "content": text, **keys,
+                  "paragraph_idxs": [9]}])
+    res = answer_member_year_born(
+        "Where was the performer of the album released on the label "
+        "Tiden Records in 1972 born?", g, [])
+    assert res["answer"] == "Boston" and res["method"] == "member_year_born"
+    assert set(res["support_idxs"]) == {0, 1, 2, 4, 9}
+    # no member in the asked year -> fall through
+    assert answer_member_year_born(
+        "Where was the performer of the album released on the label "
+        "Tiden Records in 1980 born?", g, []) is None
+
+
+def test_attr_threshold_which():
+    """v18 kind 55: the threshold filter as a SELECTION — exactly one
+    member above the cut; ties/ambiguity and missing counts fall
+    through."""
+    from anorag_tpu.answer.comparative import answer_attr_threshold_which
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970),
+                      ("Denon Harbor", 1966)])
+    cands = [
+        {"title": "Holden Harbor (album)", "paragraph_idxs": [0],
+         "content": "Holden Harbor features three tracks."},
+        {"title": "Linlin Garden (album)", "paragraph_idxs": [1],
+         "content": "Linlin Garden features nineteen tracks."},
+        {"title": "Denon Harbor (album)", "paragraph_idxs": [2],
+         "content": "Denon Harbor features seven tracks."},
+    ]
+    res = answer_attr_threshold_which(
+        "Which album on the label Tiden Records has more than ten "
+        "tracks?", g, cands)
+    assert res["answer"] == "Linlin Garden"
+    assert res["method"] == "attr_threshold_which"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    res = answer_attr_threshold_which(
+        "Which album on the label Tiden Records has fewer than five "
+        "tracks?", g, cands)
+    assert res["answer"] == "Holden Harbor"
+    # two members above the cut -> ambiguous
+    assert answer_attr_threshold_which(
+        "Which album on the label Tiden Records has more than five "
+        "tracks?", g, cands) is None
+    # a member without a count -> unsound
+    assert answer_attr_threshold_which(
+        "Which album on the label Tiden Records has more than ten "
+        "tracks?", g, cands[:2]) is None
+
+
+def test_inverse_hop_attr():
+    """v18 kind 56: spouse forward, work AGAINST performed_by, then a
+    word-number attribute read on the hopped-to work."""
+    from anorag_tpu.answer.comparative import answer_inverse_hop_attr
+
+    g = NoteGraph()
+    text = "Mira Vel married Tane Bo."
+    keys = extract_note_keys(text, ["Mira Vel", "Tane Bo"])
+    g.add_notes([{"note_id": "s0", "content": text, **keys,
+                  "paragraph_idxs": [1]}])
+    text = "Gorba Horizon is an album by Tane Bo."
+    keys = extract_note_keys(text, ["Gorba Horizon", "Tane Bo"])
+    g.add_notes([{"note_id": "w0", "content": text, **keys,
+                  "paragraph_idxs": [4]}])
+    cands = [{"title": "Gorba Horizon (album)", "paragraph_idxs": [4],
+              "content": "Gorba Horizon features eleven tracks."}]
+    res = answer_inverse_hop_attr(
+        "How many tracks does the album performed by the spouse of "
+        "Mira Vel have?", g, cands)
+    assert res["answer"] == "11" and res["method"] == "inverse_hop_attr"
+    assert set(res["support_idxs"]) == {1, 4}
+    # a second DISTINCT work by the spouse makes the hop ambiguous
+    text = "Kesvel River is an album by Tane Bo."
+    keys = extract_note_keys(text, ["Kesvel River", "Tane Bo"])
+    g.add_notes([{"note_id": "w1", "content": text, **keys,
+                  "paragraph_idxs": [6]}])
+    assert answer_inverse_hop_attr(
+        "How many tracks does the album performed by the spouse of "
+        "Mira Vel have?", g, cands) is None
+
+
+def test_dual_label_membership():
+    """v18 kind 57: intersection of two reverse label sets — the second
+    edge rides a reissue sentence; enumerating both sets is support."""
+    from anorag_tpu.answer.comparative import answer_dual_label
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970)])
+    g2_entries = [("Denon Harbor", 1966)]
+    for i, (work, year) in enumerate(g2_entries):
+        text = f"{work} was released in {year} on the label Velpri Sound."
+        keys = extract_note_keys(text, [work, str(year), "Velpri Sound"])
+        g.add_notes([{"note_id": f"v{i}", "content": text, **keys,
+                      "paragraph_idxs": [5 + i]}])
+    # the shared member: primary on Tiden, reissued on Velpri
+    text = ("Holden Harbor was reissued in 1975 on the label "
+            "Velpri Sound.")
+    keys = extract_note_keys(text, ["Holden Harbor", "1975",
+                                    "Velpri Sound"])
+    g.add_notes([{"note_id": "r0", "content": text, **keys,
+                  "paragraph_idxs": [0]}])
+    res = answer_dual_label(
+        "Which album was released both on the label Tiden Records and "
+        "on the label Velpri Sound?", g, [])
+    assert res["answer"] == "Holden Harbor" and res["method"] == "dual_label"
+    assert set(res["support_idxs"]) == {0, 1, 5}
+    # labels with an empty intersection fall through
+    assert answer_dual_label(
+        "Which album was released both on the label Tiden Records and "
+        "on the label Nosuch Disc?", g, []) is None

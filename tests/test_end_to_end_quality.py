@@ -150,18 +150,23 @@ def test_generated_musique_all_kinds(tmp_path):
     cfg.set("embedding.backend", "hash")
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
-    items = make_items(76, distractors=4, seed=9)   # 2 of each of 38 kinds
+    items = make_items(116, distractors=4, seed=9)  # 2 of each of 58 kinds
     preds = []
     for it in items:
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
         preds.append(res)
     metrics = evaluate_dataset(preds, items)
-    # v13 floor is 0.899 EM (kinds 34-37 open) — restore >=0.90 when closed
-    assert metrics["answer_em"] >= 0.85, metrics
-    assert metrics["support_f1"] >= 0.90, metrics
+    # v17 closed (kinds 50-53) at EM/supEM/supF1/ansAcc all 1.00 over
+    # 216 items; v18 (kinds 54-57: hop-resolved comparative, threshold
+    # WHICH, chain-end attribute read, dual-label membership) recorded
+    # floor EM 0.4375 on the four new kinds, closed same session at all
+    # 1.00 over 232 items (attr_threshold_which + inverse_hop_attr +
+    # dual_label stages; kind 54 fell to the existing machinery)
+    assert metrics["answer_em"] >= 0.95, metrics
+    assert metrics["support_f1"] >= 0.95, metrics
     # any individual miss outside `tolerated_kinds` is a regression.
     # When a vN adds unsolved kinds, list them here until closed.
-    tolerated_kinds: set = {50, 51, 52, 53}   # v17 OPEN (round-4 headroom)
+    tolerated_kinds: set = set()
     from anorag_tpu.eval.musique import answer_em, gold_aliases
     by_id = {it["id"]: it for it in items}
     for p in preds:
@@ -169,9 +174,9 @@ def test_generated_musique_all_kinds(tmp_path):
         if not it.get("answerable", True):
             continue
         i = int(p["id"].split("_")[1])
-        if i % 54 in tolerated_kinds:
+        if i % 58 in tolerated_kinds:
             continue
         assert answer_em(p.get("predicted_answer") or "",
                          gold_aliases(it)) == 1.0, \
-            (p["id"], i % 38, it["question"], it["answer"],
+            (p["id"], i % 58, it["question"], it["answer"],
              p.get("predicted_answer"))
