@@ -292,6 +292,24 @@ kinds composing solved machinery along new axes:
     label edge and a genuine reissue edge; the kind-17 trap taught the
     pipeline to distrust reissues, here the reissue is load-bearing.
 
+v19 (round 3, session 5 — OPEN round-4 headroom): the v18 kinds closed
+(all 1.00), so the cycle widens to 62 with four kinds left UNSOLVED
+(the recorded floor is the round-4 target):
+  * kind 58, hop-resolved conjunctive: "Which album by the spouse of P
+    was released on the label L?" — the performer operand of the
+    kind-18 conjunction resolves through spouse_of; single-constraint
+    foils on both sides;
+  * kind 59, superlative member + attribute read: "How many tracks
+    does the first album released on the label L have?" — attr lookup
+    on the argmin of the release years;
+  * kind 60, non-strict threshold count: "How many albums on the label
+    L have at least/at most N tracks?" — a member always sits exactly
+    ON the cut, so the strict reading is wrong by one;
+  * kind 61, universal quantification over an attribute: "Do all
+    albums on the label L have more than N tracks?" — the forall
+    machinery exists only for decades; "no" plants the counterexample
+    on the asked work itself.
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -649,7 +667,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 58
+        kind = i % 62
         answerable = True
         akey = None
         extra_aliases = None
@@ -1439,7 +1457,7 @@ def make_items(n: int, distractors: int, seed: int):
                  f"{w2} is an album by {w['spouse']}. It was released "
                  f"in {y2} on the label {l2}. It features "
                  f"{_NUM_WORDS[c]} tracks.")]
-        else:
+        elif kind == 57:
             # v18 dual-label membership: the asked work carries BOTH
             # label edges (primary release + a genuine reissue); each
             # label also has a single-label member, so "both" must
@@ -1459,6 +1477,105 @@ def make_items(n: int, distractors: int, seed: int):
             extra_support_paras = [
                 _sibling_paragraph(sibs[0], w["label"], rng),
                 _sibling_paragraph(sibs[1], l2, rng)]
+        elif kind == 58:
+            # v19 hop-resolved conjunctive: "album by the spouse of P on
+            # the label L" — the performer operand of the kind-18
+            # conjunction must itself resolve through spouse_of; foils
+            # bind one constraint each (another album by the spouse on a
+            # different label; another album on L by someone else)
+            w2, l2, y2 = _spouse_album(rng, seen_works)
+            w3, l3, y3 = _spouse_album(rng, seen_works)   # foil: by spouse
+            sibs = _siblings(rng, w, seen_works, count=1)  # foil: on label
+            q = (f"Which album by the spouse of {w['person']} was "
+                 f"released on the label {w['label']}?")
+            a = w2
+            support = {1}
+            extra_support_paras = [
+                (f"{w2} (album)",
+                 f"{w2} is an album by {w['spouse']}. It was released "
+                 f"in {y2} on the label {w['label']}.")]
+            extra_foil_paras = [
+                (f"{w3} (album)",
+                 f"{w3} is an album by {w['spouse']}. It was released "
+                 f"in {y3} on the label {l3}."),
+                _sibling_paragraph(sibs[0], w["label"], rng)]
+        elif kind == 59:
+            # v19 superlative member + attribute read: the attr lookup
+            # runs on the ARGMIN of the release years, so the proof
+            # cites every member's year fact plus the count sentence
+            sibs = _siblings(rng, w, seen_works)
+            for s in sibs:
+                # draw STRICTLY later years; widen past the generator
+                # ceiling so w.year == 2019 still has candidates (the
+                # kind-27 regression class: an empty resample interval)
+                s["year"] = int(rng.integers(w["year"] + 1,
+                                             w["year"] + 40))
+            c = 2 + int(rng.integers(0, 18))             # 2..19
+            track_counts = (c, 0)
+            q = (f"How many tracks does the first album released on "
+                 f"the label {w['label']} have?")
+            a = str(c)
+            extra_aliases = [_NUM_WORDS[c]]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 60:
+            # v19 NON-STRICT threshold count: "at least/at most" (the
+            # solved comparators are strict more/fewer-than); the gold
+            # count differs from the strict reading whenever a member
+            # sits exactly ON the cut — one always does
+            sibs = _siblings(rng, w, seen_works)
+            t = 3 + int(rng.integers(0, 14))             # 3..16
+            at_least = bool(rng.integers(0, 2))
+            counts = [t]                                  # ON the cut
+            used = {t}
+            while len(counts) < 3:
+                c = 2 + int(rng.integers(0, 18))
+                if c not in used:
+                    used.add(c)
+                    counts.append(c)
+            track_counts = (counts[0], 0)
+            sib_paras = []
+            for s, c in zip(sibs, counts[1:]):
+                pt, px = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
+            if at_least:
+                n_hit = sum(1 for c in counts if c >= t)
+                word = "at least"
+            else:
+                n_hit = sum(1 for c in counts if c <= t)
+                word = "at most"
+            q = (f"How many albums on the label {w['label']} have "
+                 f"{word} {_NUM_WORDS[t]} tracks?")
+            a = str(n_hit)
+            if n_hit in _NUM_WORDS:
+                extra_aliases = [_NUM_WORDS[n_hit]]
+            support = {0}
+            extra_support_paras = sib_paras
+        else:
+            # v19 universal quantification over an ATTRIBUTE: "do all
+            # albums on the label L have more than N tracks?" — the
+            # forall machinery exists only for decades; the answer
+            # flips on a single counterexample
+            sibs = _siblings(rng, w, seen_works)
+            t = 3 + int(rng.integers(0, 14))             # 3..16
+            yes = bool(rng.integers(0, 2))
+            # "no" plants the counterexample on the asked work itself
+            own_c = int(rng.integers(t + 1, 20)) if yes \
+                else int(rng.integers(2, t + 1))
+            track_counts = (own_c, 0)
+            sib_paras = []
+            for s in sibs:
+                c = int(rng.integers(t + 1, 20))
+                pt, px = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
+            q = (f"Do all albums on the label {w['label']} have more "
+                 f"than {_NUM_WORDS[t]} tracks?")
+            a = "yes" if yes else "no"
+            support = {0}
+            extra_support_paras = sib_paras
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
@@ -1552,7 +1669,7 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 58] = kinds.get(i % 58, 0) + 1
+        kinds[i % 62] = kinds.get(i % 62, 0) + 1
     n_multi = sum(v for k, v in kinds.items()
                   if k in (0, 1, 4, 5, 6, 9, 16, 17, 26, 30, 32, 34, 35,
                            46, 49, 50, 53))
@@ -1563,7 +1680,7 @@ def main() -> int:
                           38, 39, 40, 41, 42, 43, 44, 45, 47, 48,
                           51, 52))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-57 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-61 cycle) "
           f"-> {args.out}")
     return 0
 

