@@ -722,7 +722,7 @@ def answer_label_intersection(question: str, graph: Optional[NoteGraph],
 _DECADE_RE = re.compile(
     r"\b(?:what|which)\s+(?:album|work|record|song|release)s?\s+"
     r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
-    r"(?P<set>.+?)\s+(?:was|were|got|came)\s+[^?]*?"
+    r"(?P<set>.+?)\s+(?:was|were|got|came)\s+(?P<neg>not\s+)?[^?]*?"
     r"\bin\s+the\s+(?P<dec>1[0-9]{2}|20[0-9])0s\b",
     re.IGNORECASE)
 
@@ -738,7 +738,11 @@ def answer_decade(question: str, graph: Optional[NoteGraph],
                if e[1] >= 0]
     if len(entries) < 2:
         return None
-    hits = [e for e in entries if lo <= e[1] < lo + 10]
+    # v20 kind 63: "was NOT released in the <dec>s" selects the
+    # complement — the member outside the decade
+    want_outside = bool(m.group("neg"))
+    hits = [e for e in entries
+            if (lo <= e[1] < lo + 10) != want_outside]
     if len(hits) != 1:
         return None                        # zero or several: ambiguous
     support: List[int] = []
@@ -794,13 +798,29 @@ _CONJ_RE = re.compile(
     re.IGNORECASE)
 
 
+_CONJ_SPOUSE_RE = re.compile(
+    r"^the\s+(?:spouse|wife|husband|partner)\s+of\s+(?P<p>.+)$",
+    re.IGNORECASE)
+
+
 def answer_conjunctive(question: str, graph: Optional[NoteGraph],
                        candidates: Sequence[Dict[str, Any]]
                        ) -> Optional[Dict[str, Any]]:
     m = _CONJ_RE.search((question or "").strip())
     if not m or graph is None:
         return None
-    pkey = graph.resolve_tail(m.group("who").strip())
+    who = m.group("who").strip()
+    hop_paras: List[int] = []
+    sm = _CONJ_SPOUSE_RE.match(who)
+    if sm:
+        # v19 kind 58: the performer operand itself resolves through
+        # spouse_of before the conjunction runs; the marriage note is
+        # part of the proof
+        sp = _spouse_tail(graph, sm.group("p").strip())
+        if sp is None:
+            return None
+        who, hop_paras = sp
+    pkey = graph.resolve_tail(who)
     lkey = graph.resolve_tail(m.group("set").strip())
     if pkey is None or lkey is None:
         return None
@@ -822,7 +842,7 @@ def answer_conjunctive(question: str, graph: Optional[NoteGraph],
             return None
         wk = hits[0]
         nids = [by_p[wk], on_l[wk]]
-    support: List[int] = []
+    support: List[int] = list(hop_paras)
     for nid in nids:
         note = graph.notes.get(nid, {})
         support += [p for p in (note.get("paragraph_idxs") or [])
@@ -859,6 +879,36 @@ def answer_count_filtered(question: str, graph: Optional[NoteGraph],
             "method": "count_filtered"}
 
 
+# strict AND non-strict threshold comparators (v17 kind 52 strict,
+# v19 kind 60 at-least/at-most — a member sitting exactly ON the cut
+# flips the answer between the readings)
+_THRESH_DIR = (r"(?:(?P<dir>more|fewer|less)\s+than|"
+               r"(?P<nsdir>at\s+least|at\s+most|no\s+more\s+than|"
+               r"no\s+fewer\s+than|no\s+less\s+than))")
+
+
+def _threshold_cmp(m: "re.Match"):
+    """count-vs-threshold predicate from a _THRESH_DIR match, or None."""
+    d = (m.group("dir") or "").lower()
+    ns = re.sub(r"\s+", " ", (m.group("nsdir") or "").lower())
+    if d == "more":
+        return lambda c, t: c > t
+    if d in ("fewer", "less"):
+        return lambda c, t: c < t
+    if ns in ("at least", "no fewer than", "no less than"):
+        return lambda c, t: c >= t
+    if ns in ("at most", "no more than"):
+        return lambda c, t: c <= t
+    return None
+
+
+def _parse_num(tok: str) -> Optional[int]:
+    tok = tok.lower()
+    if tok.isdigit():
+        return int(tok)
+    return _WORD_NUMS.get(tok)
+
+
 # "How many albums on the label L have more than eight tracks?" (v17
 # kind 52) — cardinality after a word-number ATTRIBUTE threshold (the
 # filtered count above thresholds on the release DECADE); every member
@@ -867,7 +917,7 @@ _COUNT_THRESH_RE = re.compile(
     r"\bhow\s+many\s+(?:album|work|record|song|release)s?\s+"
     r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
     r"(?P<set>.+?)\s+(?:have|contain|feature)\s+"
-    r"(?P<dir>more|fewer|less)\s+than\s+(?P<t>\d{1,3}|[a-z]+)\s+"
+    + _THRESH_DIR + r"\s+(?P<t>\d{1,3}|[a-z]+)\s+"
     r"(?P<attr>tracks|songs|discs|minutes)\b",
     re.IGNORECASE)
 
@@ -878,12 +928,9 @@ def answer_count_threshold(question: str, graph: Optional[NoteGraph],
     m = _COUNT_THRESH_RE.search((question or "").strip())
     if not m or graph is None:
         return None
-    tok = m.group("t").lower()
-    if tok.isdigit():
-        t = int(tok)
-    elif tok in _WORD_NUMS:
-        t = _WORD_NUMS[tok]
-    else:
+    t = _parse_num(m.group("t"))
+    cmp_fn = _threshold_cmp(m)
+    if t is None or cmp_fn is None:
         return None
     entries = _label_set(m.group("set").strip(), graph)
     if len(entries) < 2:
@@ -896,7 +943,7 @@ def answer_count_threshold(question: str, graph: Optional[NoteGraph],
         c = _attr_count(work, m.group("attr"), pool)
         if c is None:
             return None          # a member without a count: unsound
-        if (c[0] > t) if m.group("dir").lower() == "more" else (c[0] < t):
+        if cmp_fn(c[0], t):
             over += 1
         support += [p for p in c[1] if p not in support]
     return {"answer": str(over), "support_idxs": support,
@@ -910,7 +957,7 @@ _ATTR_WHICH_RE = re.compile(
     r"\b(?:what|which)\s+(?:album|work|record|song|release)\s+"
     r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
     r"(?P<set>.+?)\s+(?:has|contains|features)\s+"
-    r"(?P<dir>more|fewer|less)\s+than\s+(?P<t>\d{1,3}|[a-z]+)\s+"
+    + _THRESH_DIR + r"\s+(?P<t>\d{1,3}|[a-z]+)\s+"
     r"(?P<attr>tracks|songs|discs|minutes)\b",
     re.IGNORECASE)
 
@@ -921,12 +968,9 @@ def answer_attr_threshold_which(question: str, graph: Optional[NoteGraph],
     m = _ATTR_WHICH_RE.search((question or "").strip())
     if not m or graph is None:
         return None
-    tok = m.group("t").lower()
-    if tok.isdigit():
-        t = int(tok)
-    elif tok in _WORD_NUMS:
-        t = _WORD_NUMS[tok]
-    else:
+    t = _parse_num(m.group("t"))
+    cmp_fn = _threshold_cmp(m)
+    if t is None or cmp_fn is None:
         return None
     entries = _label_set(m.group("set").strip(), graph)
     if len(entries) < 2:
@@ -939,7 +983,7 @@ def answer_attr_threshold_which(question: str, graph: Optional[NoteGraph],
         c = _attr_count(work, m.group("attr"), pool)
         if c is None:
             return None          # a member without a count: unsound
-        if (c[0] > t) if m.group("dir").lower() == "more" else (c[0] < t):
+        if cmp_fn(c[0], t):
             hits.append(work)
         support += [p for p in c[1] if p not in support]
     if len(hits) != 1:
@@ -1047,6 +1091,89 @@ def answer_dual_label(question: str, graph: Optional[NoteGraph],
             support += [p for p in paras if p not in support]
     return {"answer": hits[0], "support_idxs": support,
             "method": "dual_label"}
+
+
+# "How many tracks does the first album released on the label L have?"
+# (v19 kind 59) — the attribute read runs on the ARGMIN of the release
+# years, so the proof cites every member's year fact (establishing the
+# extremum) plus the winner's count sentence
+_SUPERL_ATTR_RE = re.compile(
+    r"\bhow\s+many\s+(?P<attr>tracks|songs|discs|minutes)\s+does\s+the\s+"
+    r"(?P<ord>" + _ORD_MIN + r"|" + _ORD_MAX + r")\s+"
+    r"(?:album|work|record|song|release)\s+"
+    r"(?:released\s+|recorded\s+|put\s+out\s+)?"
+    r"(?:on|by|through|under)\s+(?:the\s+label\s+)?(?P<set>.+?)\s+"
+    r"(?:have|contain|feature)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_superlative_attr(question: str, graph: Optional[NoteGraph],
+                            candidates: Sequence[Dict[str, Any]]
+                            ) -> Optional[Dict[str, Any]]:
+    m = _SUPERL_ATTR_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    if len(entries) < 2:
+        return None
+    ordinal = re.sub(r"\s+", " ", m.group("ord").lower())
+    best = min(entries, key=lambda t: t[1]) \
+        if re.fullmatch(_ORD_MIN, ordinal) else max(entries, key=lambda t: t[1])
+    if [y for _, y, _ in entries].count(best[1]) > 1:
+        return None                              # tied extremum: ambiguous
+    pool = list(candidates or ()) + list(graph.notes.values())
+    c = _attr_count(best[0], m.group("attr"), pool)
+    if c is None:
+        return None
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    support += [p for p in c[1] if p not in support]
+    return {"answer": str(c[0]), "support_idxs": support,
+            "method": "superlative_attr"}
+
+
+# "Do all albums on the label L have more than N tracks?" (v19 kind 61)
+# — universal quantification over a word-number ATTRIBUTE (the decade
+# forall quantifies over release years); a single counterexample flips
+# the answer, so every member must carry a resolvable count
+_ALL_ATTR_RE = re.compile(
+    r"\b(?:do|does)\s+all\s+(?:of\s+)?(?:the\s+)?"
+    r"(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:have|contain|feature)\s+"
+    + _THRESH_DIR + r"\s+(?P<t>\d{1,3}|[a-z]+)\s+"
+    r"(?P<attr>tracks|songs|discs|minutes)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_forall_attr(question: str, graph: Optional[NoteGraph],
+                       candidates: Sequence[Dict[str, Any]]
+                       ) -> Optional[Dict[str, Any]]:
+    m = _ALL_ATTR_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    t = _parse_num(m.group("t"))
+    cmp_fn = _threshold_cmp(m)
+    if t is None or cmp_fn is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2:
+        return None
+    pool = list(candidates or ()) + list(graph.notes.values())
+    ok = True
+    support: List[int] = []
+    for work, _y, paras in entries:
+        support += [p for p in paras if p not in support]
+        c = _attr_count(work, m.group("attr"), pool)
+        if c is None:
+            return None          # a member without a count: unsound
+        if not cmp_fn(c[0], t):
+            ok = False
+        support += [p for p in c[1] if p not in support]
+    return {"answer": "yes" if ok else "no", "support_idxs": support,
+            "method": "forall_attr"}
 
 
 # "Were the performer of A and the performer of B born in the same city?"
@@ -1708,6 +1835,7 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                answer_attr_superlative, answer_attr_comparative,
                answer_comparative, answer_temporal_diff,
                answer_forall_decade, answer_exists_decade,
+               answer_forall_attr, answer_superlative_attr,
                answer_same_label, answer_yesno,
                answer_year_range, answer_years_apart,
                answer_same_attribute,

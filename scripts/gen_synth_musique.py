@@ -667,7 +667,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 62
+        kind = i % 66
         answerable = True
         akey = None
         extra_aliases = None
@@ -1553,7 +1553,7 @@ def make_items(n: int, distractors: int, seed: int):
                 extra_aliases = [_NUM_WORDS[n_hit]]
             support = {0}
             extra_support_paras = sib_paras
-        else:
+        elif kind == 61:
             # v19 universal quantification over an ATTRIBUTE: "do all
             # albums on the label L have more than N tracks?" — the
             # forall machinery exists only for decades; the answer
@@ -1574,6 +1574,85 @@ def make_items(n: int, distractors: int, seed: int):
             q = (f"Do all albums on the label {w['label']} have more "
                  f"than {_NUM_WORDS[t]} tracks?")
             a = "yes" if yes else "no"
+            support = {0}
+            extra_support_paras = sib_paras
+        elif kind == 62:
+            # v20 superlative SPAN: the difference runs between two
+            # superlative-resolved operands (years_apart resolves two
+            # NAMED options; here both are argmin/argmax over the set)
+            sibs = _siblings(rng, w, seen_works)
+            years = [w["year"]] + [s["year"] for s in sibs]
+            span = max(years) - min(years)
+            q = (f"How many years apart were the first and last albums "
+                 f"released on the label {w['label']}?")
+            a = str(span)
+            if span in _NUM_WORDS:
+                extra_aliases = [_NUM_WORDS[span]]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 63:
+            # v20 NEGATED decade selection: the decade stage selects the
+            # member IN the decade; here exactly one member sits OUTSIDE
+            # and the complement is asked
+            sibs = _siblings(rng, w, seen_works)
+            d0 = (w["year"] // 10) * 10
+            in_years = [y for y in range(d0, d0 + 10) if y != w["year"]]
+            sibs[0]["year"] = int(
+                in_years[int(rng.integers(0, len(in_years)))])
+            while True:
+                y2 = int(rng.integers(1950, 2020))
+                if y2 // 10 != d0 // 10:
+                    sibs[1]["year"] = y2
+                    break
+            q = (f"Which album on the label {w['label']} was not "
+                 f"released in the {d0}s?")
+            a = sibs[1]["work"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 64:
+            # v20 spouse of the performer of the superlative member: a
+            # THREE-step read on the resolved extremum (superlative ->
+            # performed_by -> spouse_of); hop2 machinery ends at born_in
+            sibs = _siblings(rng, w, seen_works)
+            for s in sibs:
+                s["year"] = int(rng.integers(w["year"] + 1,
+                                             w["year"] + 40))
+            q = (f"Who is the spouse of the performer of the first "
+                 f"album released on the label {w['label']}?")
+            a = w["spouse"]
+            support = {0, 1}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        else:
+            # v20 decade-FILTERED attribute sum: the total runs over the
+            # subset released in the asked decade (attr_sum covers the
+            # whole set); every member needs a year to prove membership
+            sibs = _siblings(rng, w, seen_works)
+            d0 = (w["year"] // 10) * 10
+            in_years = [y for y in range(d0, d0 + 10) if y != w["year"]]
+            sibs[0]["year"] = int(
+                in_years[int(rng.integers(0, len(in_years)))])
+            while True:
+                y2 = int(rng.integers(1950, 2020))
+                if y2 // 10 != d0 // 10:
+                    sibs[1]["year"] = y2
+                    break
+            counts = [int(c) for c in rng.permutation(
+                np.arange(2, 20))[:3]]
+            track_counts = (counts[0], 0)
+            sib_paras = []
+            for s, c in zip(sibs, counts[1:]):
+                pt, px = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
+            total = counts[0] + counts[1]
+            q = (f"How many tracks in total do the albums released on "
+                 f"the label {w['label']} in the {d0}s have?")
+            a = str(total)
+            if total in _NUM_WORDS:
+                extra_aliases = [_NUM_WORDS[total]]
             support = {0}
             extra_support_paras = sib_paras
         # confusables first: the negation trap names the first one's label
@@ -1669,7 +1748,7 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 62] = kinds.get(i % 62, 0) + 1
+        kinds[i % 66] = kinds.get(i % 66, 0) + 1
     n_multi = sum(v for k, v in kinds.items()
                   if k in (0, 1, 4, 5, 6, 9, 16, 17, 26, 30, 32, 34, 35,
                            46, 49, 50, 53))
@@ -1680,7 +1759,7 @@ def main() -> int:
                           38, 39, 40, 41, 42, 43, 44, 45, 47, 48,
                           51, 52))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-61 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-65 cycle) "
           f"-> {args.out}")
     return 0
 

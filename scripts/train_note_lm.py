@@ -346,6 +346,9 @@ def main() -> int:
     ap.add_argument("--copy-pairs", type=int, default=0,
                     help="extra pure-copy curriculum pairs (induction "
                          "bootstrap)")
+    ap.add_argument("--answer-boost", type=int, default=4,
+                    help="extra world draws for the answer task (one "
+                         "answer pair per item vs ~30-50 note pairs)")
     ap.add_argument("--save-every", type=int, default=0,
                     help="checkpoint every N steps (long CPU runs must "
                          "survive being cut short)")
@@ -363,6 +366,7 @@ def main() -> int:
                                 max_prompt=int(args.seq * 0.7),
                                 max_total=args.seq,
                                 tasks=tuple(args.tasks),
+                                answer_boost=args.answer_boost,
                                 copy_pairs=args.copy_pairs)
     lens = sorted(len(p) + len(c) for p, c in pairs)
     print(f"pairs: {len(pairs)} (dropped {n_long} over budget) "

@@ -1213,3 +1213,118 @@ def test_dual_label_membership():
     assert answer_dual_label(
         "Which album was released both on the label Tiden Records and "
         "on the label Nosuch Disc?", g, []) is None
+
+
+def test_conjunctive_spouse_operand_hop():
+    """v19 kind 58: the performer operand of the conjunction resolves
+    through spouse_of first; the marriage note joins the proof."""
+    from anorag_tpu.answer.comparative import answer_conjunctive
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970)])
+    text = "Mira Vel married Tane Bo."
+    keys = extract_note_keys(text, ["Mira Vel", "Tane Bo"])
+    g.add_notes([{"note_id": "s0", "content": text, **keys,
+                  "paragraph_idxs": [7]}])
+    # the spouse performs TWO works; only one sits on the asked label
+    for i, (work, on_label) in enumerate(
+            [("Holden Harbor", True), ("Offlabel River", False)]):
+        text = f"{work} is an album by Tane Bo."
+        keys = extract_note_keys(text, [work, "Tane Bo"])
+        g.add_notes([{"note_id": f"w{i}", "content": text, **keys,
+                      "paragraph_idxs": [8 + i]}])
+    res = answer_conjunctive(
+        "Which album by the spouse of Mira Vel was released on the "
+        "label Tiden Records?", g, [])
+    assert res["answer"] == "Holden Harbor"
+    assert res["method"] == "conjunctive"
+    # marriage note + the winner's performer and label notes
+    assert set(res["support_idxs"]) == {7, 8, 0}
+    # an unresolvable spouse falls through
+    assert answer_conjunctive(
+        "Which album by the spouse of Nobody Here was released on the "
+        "label Tiden Records?", g, []) is None
+
+
+def test_superlative_attr_read_on_argmin():
+    """v19 kind 59: attribute read on the ARGMIN of the release years;
+    the proof cites every member's year fact + the count sentence."""
+    from anorag_tpu.answer.comparative import answer_superlative_attr
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970),
+                      ("Denon Harbor", 1966)])
+    cands = [{"title": "Holden Harbor (album)", "paragraph_idxs": [0],
+              "content": "Holden Harbor features thirteen tracks."}]
+    res = answer_superlative_attr(
+        "How many tracks does the first album released on the label "
+        "Tiden Records have?", g, cands)
+    assert res["answer"] == "13" and res["method"] == "superlative_attr"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    # the LAST album's count is unstated -> unsound, fall through
+    assert answer_superlative_attr(
+        "How many tracks does the latest album released on the label "
+        "Tiden Records have?", g, cands) is None
+
+
+def test_count_threshold_non_strict():
+    """v19 kind 60: at-least/at-most flip the answer vs the strict
+    reading when a member sits exactly ON the cut."""
+    from anorag_tpu.answer.comparative import answer_count_threshold
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970),
+                      ("Denon Harbor", 1966)])
+    cands = [
+        {"title": "Holden Harbor (album)", "paragraph_idxs": [0],
+         "content": "Holden Harbor features three tracks."},
+        {"title": "Linlin Garden (album)", "paragraph_idxs": [1],
+         "content": "Linlin Garden features nineteen tracks."},
+        {"title": "Denon Harbor (album)", "paragraph_idxs": [2],
+         "content": "Denon Harbor features seven tracks."},
+    ]
+    res = answer_count_threshold(
+        "How many albums on the label Tiden Records have at least "
+        "seven tracks?", g, cands)
+    assert res["answer"] == "2"          # strict 'more than seven' = 1
+    res = answer_count_threshold(
+        "How many albums on the label Tiden Records have at most "
+        "seven tracks?", g, cands)
+    assert res["answer"] == "2"          # strict 'fewer than seven' = 1
+    res = answer_count_threshold(
+        "How many albums on the label Tiden Records have no more than "
+        "three tracks?", g, cands)
+    assert res["answer"] == "1"
+
+
+def test_forall_attr_quantification():
+    """v19 kind 61: universal quantification over a word-number
+    attribute; one counterexample flips to 'no', a missing count is
+    unsound."""
+    from anorag_tpu.answer.comparative import answer_forall_attr
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970),
+                      ("Denon Harbor", 1966)])
+    cands = [
+        {"title": "Holden Harbor (album)", "paragraph_idxs": [0],
+         "content": "Holden Harbor features twelve tracks."},
+        {"title": "Linlin Garden (album)", "paragraph_idxs": [1],
+         "content": "Linlin Garden features nineteen tracks."},
+        {"title": "Denon Harbor (album)", "paragraph_idxs": [2],
+         "content": "Denon Harbor features seven tracks."},
+    ]
+    res = answer_forall_attr(
+        "Do all albums on the label Tiden Records have more than six "
+        "tracks?", g, cands)
+    assert res["answer"] == "yes" and res["method"] == "forall_attr"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    res = answer_forall_attr(
+        "Do all albums on the label Tiden Records have more than ten "
+        "tracks?", g, cands)
+    assert res["answer"] == "no"
+    # non-strict comparator vocabulary works here too
+    res = answer_forall_attr(
+        "Do all albums on the label Tiden Records have at least seven "
+        "tracks?", g, cands)
+    assert res["answer"] == "yes"
+    # a member without a count -> unsound
+    assert answer_forall_attr(
+        "Do all albums on the label Tiden Records have more than six "
+        "tracks?", g, cands[:2]) is None
