@@ -529,10 +529,13 @@ def answer_label_of_superlative(question: str, graph: Optional[NoteGraph],
 # "How many tracks do the albums on the label L have in total?" (v16
 # kind 48) — SUM of word-number counts over the whole set
 _ATTR_SUM_RE = re.compile(
-    r"\bhow\s+many\s+(?P<attr>tracks|songs|discs|minutes)\s+do\s+the\s+"
+    r"\bhow\s+many\s+(?P<attr>tracks|songs|discs|minutes)"
+    r"(?P<tot1>\s+in\s+total)?\s+do\s+the\s+"
     r"(?:album|work|record|song|release)s\s+"
     r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
-    r"(?P<set>.+?)\s+have\s+in\s+total\s*\??\s*$",
+    r"(?P<set>.+?)"
+    r"(?:\s+in\s+the\s+(?P<dec>1[0-9]{2}|20[0-9])0s)?"
+    r"\s+have(?P<tot2>\s+in\s+total)?\s*\??\s*$",
     re.IGNORECASE)
 
 
@@ -540,21 +543,38 @@ def answer_attr_sum(question: str, graph: Optional[NoteGraph],
                     candidates: Sequence[Dict[str, Any]]
                     ) -> Optional[Dict[str, Any]]:
     m = _ATTR_SUM_RE.search((question or "").strip())
-    if not m or graph is None:
+    if not m or graph is None or not (m.group("tot1") or m.group("tot2")):
         return None
     entries = _label_set(m.group("set").strip(), graph)
     if len(entries) < 2:
         return None
+    dec = m.group("dec")
+    if dec is not None:
+        # v20 kind 65: the total runs over the members released in the
+        # asked decade; every member needs a year to PROVE membership
+        # (the excluded members' year facts are part of the support)
+        if any(y < 0 for _, y, _ in entries):
+            return None
+        lo = int(dec) * 10
+        summed = [(w, y, p) for w, y, p in entries if lo <= y < lo + 10]
+        if not summed:
+            return None
+    else:
+        summed = entries
     pool = list(candidates or ()) + list(graph.notes.values())
+    in_sum = {w for w, _y, _p in summed}
     total = 0
     support: List[int] = []
     for work, _y, paras in entries:
         support += [p for p in paras if p not in support]
         c = _attr_count(work, m.group("attr"), pool)
         if c is None:
-            return None              # incomplete set: the sum is unsound
-        total += c[0]
-        support += [p for p in c[1] if p not in support]
+            if work in in_sum:
+                return None          # incomplete set: the sum is unsound
+            continue                 # excluded member: year alone proves it
+        if work in in_sum:
+            total += c[0]
+            support += [p for p in c[1] if p not in support]
     return {"answer": str(total), "support_idxs": support,
             "method": "attr_sum"}
 
@@ -1174,6 +1194,84 @@ def answer_forall_attr(question: str, graph: Optional[NoteGraph],
         support += [p for p in c[1] if p not in support]
     return {"answer": "yes" if ok else "no", "support_idxs": support,
             "method": "forall_attr"}
+
+
+# "How many years apart were the first and last albums released on the
+# label L?" (v20 kind 62) — the difference runs between TWO
+# superlative-resolved operands (years_apart subtracts two NAMED
+# options); a tie at either extremum leaves the span itself exact, so
+# no ambiguity gate is needed
+_SUPERL_SPAN_RE = re.compile(
+    r"\bhow\s+many\s+years\s+(?:apart|separate[d]?)\s+"
+    r"(?:were|are|was)\s+the\s+(?:" + _ORD_MIN + r")\s+and\s+"
+    r"(?:the\s+)?(?:" + _ORD_MAX + r")\s+"
+    r"(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+|recorded\s+|put\s+out\s+)?"
+    r"(?:on|by|through|under)\s+(?:the\s+label\s+)?(?P<set>.+?)"
+    r"(?:\s+released)?\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_superlative_span(question: str, graph: Optional[NoteGraph],
+                            candidates: Sequence[Dict[str, Any]]
+                            ) -> Optional[Dict[str, Any]]:
+    m = _SUPERL_SPAN_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2 or any(y < 0 for _, y, _ in entries):
+        return None                  # an unresolved year hides an extremum
+    years = [y for _, y, _ in entries]
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": str(max(years) - min(years)),
+            "support_idxs": support, "method": "superlative_span"}
+
+
+# "Who is the spouse of the performer of the first album released on
+# the label L?" (v20 kind 64) — THREE steps on the resolved extremum:
+# superlative -> performed_by -> spouse_of (hop2 machinery ends at
+# born_in; this chain ends at the marriage edge)
+_SUPERL_SPOUSE_RE = re.compile(
+    r"\bwho\s+(?:is|was)\s+the\s+(?:spouse|wife|husband|partner)\s+of\s+"
+    r"the\s+(?P<role>performer|artist|singer)\s+of\s+the\s+"
+    r"(?P<ord>" + _ORD_MIN + r"|" + _ORD_MAX + r")\s+"
+    r"(?:album|work|record|song|release)\s+"
+    r"(?:released\s+|recorded\s+|put\s+out\s+)?"
+    r"(?:on|by|through|under)\s+(?:the\s+label\s+)?(?P<set>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_superlative_spouse(question: str, graph: Optional[NoteGraph],
+                              candidates: Sequence[Dict[str, Any]]
+                              ) -> Optional[Dict[str, Any]]:
+    m = _SUPERL_SPOUSE_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    if len(entries) < 2:
+        return None
+    ordinal = re.sub(r"\s+", " ", m.group("ord").lower())
+    best = min(entries, key=lambda t: t[1]) \
+        if re.fullmatch(_ORD_MIN, ordinal) else max(entries, key=lambda t: t[1])
+    if [y for _, y, _ in entries].count(best[1]) > 1:
+        return None                              # tied extremum: ambiguous
+    hop = _hop_tail(graph, best[0], ("performed_by",))
+    if hop is None:
+        return None
+    sp = _spouse_tail(graph, hop[0])
+    if sp is None:
+        return None
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    for p in hop[1] + sp[1]:
+        if p not in support:
+            support.append(p)
+    return {"answer": sp[0], "support_idxs": support,
+            "method": "superlative_spouse"}
 
 
 # "Were the performer of A and the performer of B born in the same city?"
@@ -1837,6 +1935,7 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                answer_forall_decade, answer_exists_decade,
                answer_forall_attr, answer_superlative_attr,
                answer_same_label, answer_yesno,
+               answer_superlative_span, answer_superlative_spouse,
                answer_year_range, answer_years_apart,
                answer_same_attribute,
                answer_closest_release, answer_successor,

@@ -1328,3 +1328,109 @@ def test_forall_attr_quantification():
     assert answer_forall_attr(
         "Do all albums on the label Tiden Records have more than six "
         "tracks?", g, cands[:2]) is None
+
+
+def test_superlative_span_years_apart():
+    """v20 kind 62: the difference between two superlative-resolved
+    operands; an unresolved member year hides an extremum -> unsound."""
+    from anorag_tpu.answer.comparative import answer_superlative_span
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970),
+                      ("Denon Harbor", 1966)])
+    res = answer_superlative_span(
+        "How many years apart were the first and last albums released "
+        "on the label Tiden Records?", g, [])
+    assert res["answer"] == "12" and res["method"] == "superlative_span"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    # a member without a year -> fall through
+    text = "Ghost Echo came out on the label Tiden Records."
+    keys = extract_note_keys(text, ["Ghost Echo", "Tiden Records"])
+    g.add_notes([{"note_id": "g0", "content": text, **keys,
+                  "paragraph_idxs": [9]}])
+    assert answer_superlative_span(
+        "How many years apart were the first and last albums released "
+        "on the label Tiden Records?", g, []) is None
+
+
+def test_negated_decade_selects_complement():
+    """v20 kind 63: 'was NOT released in the <dec>s' selects the one
+    member OUTSIDE the decade; several outside stays ambiguous."""
+    from anorag_tpu.answer.comparative import answer_decade
+
+    g = _label_graph([("Holden Harbor", 1992), ("Linlin Garden", 1995),
+                      ("Denon Harbor", 1966)])
+    res = answer_decade(
+        "Which album on the label Tiden Records was not released in "
+        "the 1990s?", g, [])
+    assert res["answer"] == "Denon Harbor" and res["method"] == "decade"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    # the positive reading still selects the member IN the decade
+    res = answer_decade(
+        "Which album on the label Tiden Records was released in "
+        "the 1960s?", g, [])
+    assert res["answer"] == "Denon Harbor"
+    # two members outside the asked decade -> ambiguous
+    assert answer_decade(
+        "Which album on the label Tiden Records was not released in "
+        "the 1960s?", g, []) is None
+
+
+def test_superlative_spouse_three_step():
+    """v20 kind 64: superlative -> performed_by -> spouse_of; the
+    marriage note joins the proof."""
+    from anorag_tpu.answer.comparative import answer_superlative_spouse
+
+    g = _label_graph([("Holden Harbor", 1958), ("Linlin Garden", 1970),
+                      ("Denon Harbor", 1966)])
+    text = "Holden Harbor is an album performed by Mira Vel."
+    keys = extract_note_keys(text, ["Holden Harbor", "Mira Vel"])
+    g.add_notes([{"note_id": "p0", "content": text, **keys,
+                  "paragraph_idxs": [0]}])
+    text = "Mira Vel married Tane Bo."
+    keys = extract_note_keys(text, ["Mira Vel", "Tane Bo"])
+    g.add_notes([{"note_id": "s0", "content": text, **keys,
+                  "paragraph_idxs": [5]}])
+    res = answer_superlative_spouse(
+        "Who is the spouse of the performer of the first album "
+        "released on the label Tiden Records?", g, [])
+    assert res["answer"] == "Tane Bo"
+    assert res["method"] == "superlative_spouse"
+    assert set(res["support_idxs"]) == {0, 1, 2, 5}
+    # no marriage fact for the resolved performer -> fall through
+    assert answer_superlative_spouse(
+        "Who is the spouse of the performer of the last album "
+        "released on the label Tiden Records?", g, []) is None
+
+
+def test_attr_sum_decade_filtered():
+    """v20 kind 65: the total runs over the members in the asked
+    decade; the excluded member's year fact is still support, and a
+    missing count on an INCLUDED member is unsound."""
+    from anorag_tpu.answer.comparative import answer_attr_sum
+
+    g = _label_graph([("Holden Harbor", 1992), ("Linlin Garden", 1995),
+                      ("Denon Harbor", 1966)])
+    cands = [
+        {"title": "Holden Harbor (album)", "paragraph_idxs": [0],
+         "content": "Holden Harbor features three tracks."},
+        {"title": "Linlin Garden (album)", "paragraph_idxs": [1],
+         "content": "Linlin Garden features nineteen tracks."},
+    ]
+    res = answer_attr_sum(
+        "How many tracks in total do the albums released on the label "
+        "Tiden Records in the 1990s have?", g, cands)
+    assert res["answer"] == "22" and res["method"] == "attr_sum"
+    assert set(res["support_idxs"]) == {0, 1, 2}
+    # unfiltered phrasing still sums the whole set (and now needs the
+    # third count)
+    cands.append(
+        {"title": "Denon Harbor (album)", "paragraph_idxs": [2],
+         "content": "Denon Harbor features seven tracks."})
+    res = answer_attr_sum(
+        "How many tracks do the albums released on the label "
+        "Tiden Records have in total?", g, cands)
+    assert res["answer"] == "29"
+    # an INCLUDED member without a count -> unsound
+    assert answer_attr_sum(
+        "How many tracks in total do the albums released on the label "
+        "Tiden Records in the 1990s have?", g, cands[:1]) is None

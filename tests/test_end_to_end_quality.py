@@ -173,10 +173,13 @@ def test_generated_musique_all_kinds(tmp_path):
     # v20 (kinds 62-65: superlative span, negated decade selection,
     # spouse-of-performer-of-superlative, decade-filtered attribute sum)
     # recorded floor EM 0.375 on the four new kinds (62: 0.0, 63: 0.5,
-    # 64: 1.0 with partial support, 65: 0.0).
+    # 64: 1.0 by luck with partial support, 65: 0.0); closed by the
+    # superlative_span + superlative_spouse stages, decade negation in
+    # answer_decade, and the decade filter + flexible 'in total'
+    # placement in attr_sum (EM 1.00 on all four).
     # any individual miss outside `tolerated_kinds` is a regression.
     # When a vN adds unsolved kinds, list them here until closed.
-    tolerated_kinds: set = {62, 63, 64, 65}   # v20 OPEN
+    tolerated_kinds: set = set()              # v20 CLOSED
     from anorag_tpu.eval.musique import answer_em, gold_aliases
     by_id = {it["id"]: it for it in items}
     for p in preds:
