@@ -667,7 +667,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 66
+        kind = i % 70
         answerable = True
         akey = None
         extra_aliases = None
@@ -1625,7 +1625,7 @@ def make_items(n: int, distractors: int, seed: int):
             support = {0, 1}
             extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
-        else:
+        elif kind == 65:
             # v20 decade-FILTERED attribute sum: the total runs over the
             # subset released in the asked decade (attr_sum covers the
             # whole set); every member needs a year to prove membership
@@ -1653,6 +1653,96 @@ def make_items(n: int, distractors: int, seed: int):
             a = str(total)
             if total in _NUM_WORDS:
                 extra_aliases = [_NUM_WORDS[total]]
+            support = {0}
+            extra_support_paras = sib_paras
+        elif kind == 66:
+            # v21 CROSS-label superlative attribute comparison: resolve
+            # the FIRST album of each label independently, read both
+            # counts, compare — the answer is a LABEL name
+            sibs = _siblings(rng, w, seen_works)
+            for s in sibs:
+                s["year"] = int(rng.integers(w["year"] + 1,
+                                             w["year"] + 40))
+            w2 = _unique_worlds(rng, 1, seen_works)[0]
+            sibs2 = _siblings(rng, w2, seen_works)
+            for s in sibs2:
+                s["year"] = int(rng.integers(w2["year"] + 1,
+                                             w2["year"] + 40))
+            c1, c2 = [int(c) for c in rng.permutation(
+                np.arange(2, 20))[:2]]
+            track_counts = (c1, 0)
+            q = (f"Which label's first album has more tracks, "
+                 f"{w['label']} or {w2['label']}?")
+            a = w["label"] if c1 > c2 else w2["label"]
+            support = {0}
+            extra_support_paras = (
+                [_sibling_paragraph(s, w["label"], rng) for s in sibs]
+                + [(f"{w2['work']} (album)",
+                    f"{w2['work']} is an album by {w2['person']}. It "
+                    f"was released in {w2['year']} on the label "
+                    f"{w2['label']}. It features {_NUM_WORDS[c2]} "
+                    f"tracks.")]
+                + [_sibling_paragraph(s, w2["label"], rng)
+                   for s in sibs2])
+        elif kind == 67:
+            # v21 count over a HOP-RESOLVED set anchor: the label is
+            # never named — it resolves through a member work's forward
+            # released_on_label edge before the count runs
+            sibs = _siblings(rng, w, seen_works)
+            q = (f"How many albums were released on the label that "
+                 f"released {sibs[0]['work']}?")
+            a = "3"
+            extra_aliases = ["three"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 68:
+            # v21 temporal read on the attribute ARGMAX: the superlative
+            # runs over track counts, the answer is the winner's YEAR
+            sibs = _siblings(rng, w, seen_works)
+            counts = [int(c) for c in rng.permutation(
+                np.arange(2, 20))[:3]]
+            track_counts = (counts[0], 0)
+            sib_paras = []
+            for s, c in zip(sibs, counts[1:]):
+                pt, px = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
+            wyears = [w["year"], sibs[0]["year"], sibs[1]["year"]]
+            a = str(wyears[int(np.argmax(counts))])
+            q = (f"In what year was the album with the most tracks on "
+                 f"the label {w['label']} released?")
+            support = {0}
+            extra_support_paras = sib_paras
+        else:
+            # v21 existential over attribute + decade: BOTH filters must
+            # bind — the out-of-decade member always exceeds the cut, so
+            # skipping the decade filter flips a 'no' to 'yes'
+            sibs = _siblings(rng, w, seen_works)
+            d0 = (w["year"] // 10) * 10
+            in_years = [y for y in range(d0, d0 + 10) if y != w["year"]]
+            sibs[0]["year"] = int(
+                in_years[int(rng.integers(0, len(in_years)))])
+            while True:
+                y2 = int(rng.integers(1950, 2020))
+                if y2 // 10 != d0 // 10:
+                    sibs[1]["year"] = y2
+                    break
+            t = 3 + int(rng.integers(0, 14))             # 3..16
+            yes = bool(rng.integers(0, 2))
+            own_c = int(rng.integers(t + 1, 20)) if yes \
+                else int(rng.integers(2, t + 1))
+            track_counts = (own_c, 0)
+            in_c = int(rng.integers(2, t + 1))     # in-decade sib: under
+            out_c = int(rng.integers(t + 1, 20))   # out-of-decade trap
+            sib_paras = []
+            for s, c in zip(sibs, (in_c, out_c)):
+                pt, px = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
+            q = (f"Did any album on the label {w['label']} released in "
+                 f"the {d0}s have more than {_NUM_WORDS[t]} tracks?")
+            a = "yes" if yes else "no"
             support = {0}
             extra_support_paras = sib_paras
         # confusables first: the negation trap names the first one's label
@@ -1748,7 +1838,7 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 66] = kinds.get(i % 66, 0) + 1
+        kinds[i % 70] = kinds.get(i % 70, 0) + 1
     n_multi = sum(v for k, v in kinds.items()
                   if k in (0, 1, 4, 5, 6, 9, 16, 17, 26, 30, 32, 34, 35,
                            46, 49, 50, 53))
@@ -1759,7 +1849,7 @@ def main() -> int:
                           38, 39, 40, 41, 42, 43, 44, 45, 47, 48,
                           51, 52))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-65 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-69 cycle) "
           f"-> {args.out}")
     return 0
 

@@ -150,7 +150,7 @@ def test_generated_musique_all_kinds(tmp_path):
     cfg.set("embedding.backend", "hash")
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
-    items = make_items(132, distractors=4, seed=9)  # 2 of each of 66 kinds
+    items = make_items(140, distractors=4, seed=9)  # 2 of each of 70 kinds
     preds = []
     for it in items:
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
@@ -177,9 +177,13 @@ def test_generated_musique_all_kinds(tmp_path):
     # superlative_span + superlative_spouse stages, decade negation in
     # answer_decade, and the decade filter + flexible 'in total'
     # placement in attr_sum (EM 1.00 on all four).
+    # v21 (kinds 66-69: cross-label superlative attr comparison, count
+    # over a hop-resolved set anchor, temporal read on the attribute
+    # argmax, existential over attribute + decade) recorded floor
+    # EM 0.0 on the four new kinds.
     # any individual miss outside `tolerated_kinds` is a regression.
     # When a vN adds unsolved kinds, list them here until closed.
-    tolerated_kinds: set = set()              # v20 CLOSED
+    tolerated_kinds: set = {66, 67, 68, 69}   # v21 OPEN
     from anorag_tpu.eval.musique import answer_em, gold_aliases
     by_id = {it["id"]: it for it in items}
     for p in preds:
@@ -187,9 +191,9 @@ def test_generated_musique_all_kinds(tmp_path):
         if not it.get("answerable", True):
             continue
         i = int(p["id"].split("_")[1])
-        if i % 66 in tolerated_kinds:
+        if i % 70 in tolerated_kinds:
             continue
         assert answer_em(p.get("predicted_answer") or "",
                          gold_aliases(it)) == 1.0, \
-            (p["id"], i % 66, it["question"], it["answer"],
+            (p["id"], i % 70, it["question"], it["answer"],
              p.get("predicted_answer"))
