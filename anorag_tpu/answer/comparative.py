@@ -1196,6 +1196,331 @@ def answer_forall_attr(question: str, graph: Optional[NoteGraph],
             "method": "forall_attr"}
 
 
+# "Which label's first album has more tracks, L1 or L2?" (v21 kind 66)
+# — a per-OPTION superlative feeding the attribute comparator; unlike
+# attr_comparative the options are LABELS and the answer echoes one
+_LABEL_ATTR_CMP_RE = re.compile(
+    r"\bwhich\s+label'?s\s+(?P<ord>" + _ORD_MIN + r"|" + _ORD_MAX + r")\s+"
+    r"(?:album|work|record|song|release)\s+has\s+"
+    r"(?P<dir>more|fewer|less)\s+(?P<attr>tracks|songs|discs|minutes)\s*"
+    r"[,:]?\s*(?P<a>.+?)\s+or\s+(?P<b>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_label_attr_comparative(question: str,
+                                  graph: Optional[NoteGraph],
+                                  candidates: Sequence[Dict[str, Any]]
+                                  ) -> Optional[Dict[str, Any]]:
+    m = _LABEL_ATTR_CMP_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    ordinal = re.sub(r"\s+", " ", m.group("ord").lower())
+    pickfn = min if re.fullmatch(_ORD_MIN, ordinal) else max
+    pool = list(candidates or ()) + list(graph.notes.values())
+    got: List[Tuple[str, int]] = []
+    support: List[int] = []
+    for opt in (m.group("a").strip(), m.group("b").strip()):
+        entries = [e for e in _label_set(opt, graph) if e[1] >= 0]
+        if not entries:
+            return None
+        best = pickfn(entries, key=lambda t: t[1])
+        if [y for _, y, _ in entries].count(best[1]) > 1:
+            return None                          # tied extremum
+        c = _attr_count(best[0], m.group("attr"), pool)
+        if c is None:
+            return None
+        got.append((opt, c[0]))
+        for _, _, paras in entries:
+            support += [p for p in paras if p not in support]
+        support += [p for p in c[1] if p not in support]
+    if got[0][1] == got[1][1]:
+        return None
+    more = m.group("dir").lower() == "more"
+    idx = 0 if (got[0][1] > got[1][1]) == more else 1
+    return {"answer": got[idx][0], "support_idxs": support,
+            "method": "label_attr_comparative"}
+
+
+# "How many albums were released on the label that released W?" (v21
+# kind 67) — the count's set anchor is never NAMED; it resolves through
+# the member's forward released_on_label edge before the count runs
+_COUNT_HOP_RE = re.compile(
+    r"\bhow\s+many\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:was|were)\s+(?:released|published|put\s+out)\s+"
+    r"(?:on|by|through|under)\s+the\s+label\s+that\s+"
+    r"(?:released|put\s+out|published)\s+(?P<w>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_count_hop(question: str, graph: Optional[NoteGraph],
+                     candidates: Sequence[Dict[str, Any]]
+                     ) -> Optional[Dict[str, Any]]:
+    m = _COUNT_HOP_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    hop = _hop_tail(graph, m.group("w").strip(), ("released_on_label",))
+    if hop is None:
+        return None
+    entries = _label_set(hop[0], graph)
+    if not entries:
+        return None
+    support: List[int] = list(hop[1])
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": str(len(entries)), "support_idxs": support,
+            "method": "count_hop"}
+
+
+# "In what year was the album with the most tracks on the label L
+# released?" (v21 kind 68) — a temporal read on the attribute ARGMAX
+# (attr_superlative answers the work itself; here the winner's year is
+# the answer, so every member still needs a resolvable count)
+_ATTR_ARGMAX_YEAR_RE = re.compile(
+    r"\bin\s+what\s+year\s+was\s+the\s+"
+    r"(?:album|work|record|song|release)\s+with\s+the\s+"
+    r"(?P<dir>most|fewest|least)\s+(?P<attr>tracks|songs|discs|minutes)\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+released\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_attr_argmax_year(question: str, graph: Optional[NoteGraph],
+                            candidates: Sequence[Dict[str, Any]]
+                            ) -> Optional[Dict[str, Any]]:
+    m = _ATTR_ARGMAX_YEAR_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2:
+        return None
+    pool = list(candidates or ()) + list(graph.notes.values())
+    got: List[Tuple[str, int, int]] = []
+    support: List[int] = []
+    for work, y, paras in entries:
+        support += [p for p in paras if p not in support]
+        c = _attr_count(work, m.group("attr"), pool)
+        if c is None:
+            return None          # a member without a count: argmax unsound
+        got.append((work, y, c[0]))
+        support += [p for p in c[1] if p not in support]
+    pickfn = max if m.group("dir").lower() == "most" else min
+    best = pickfn(got, key=lambda t: t[2])
+    if [n for _, _, n in got].count(best[2]) > 1 or best[1] < 0:
+        return None              # tied extremum / winner's year unknown
+    return {"answer": str(best[1]), "support_idxs": support,
+            "method": "attr_argmax_year"}
+
+
+# "Did any album on the label L released in the 1960s have more than
+# thirteen tracks?" (v21 kind 69) — existential over attribute AND
+# decade; the decade filter must bind BEFORE the threshold (the
+# out-of-decade member is built to exceed the cut)
+_EXISTS_ATTR_DEC_RE = re.compile(
+    r"\bdid\s+any\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+released\s+in\s+the\s+(?P<dec>1[0-9]{2}|20[0-9])0s\s+"
+    r"(?:have|contain|feature)\s+" + _THRESH_DIR +
+    r"\s+(?P<t>\d{1,3}|[a-z]+)\s+"
+    r"(?P<attr>tracks|songs|discs|minutes)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_exists_attr_decade(question: str, graph: Optional[NoteGraph],
+                              candidates: Sequence[Dict[str, Any]]
+                              ) -> Optional[Dict[str, Any]]:
+    m = _EXISTS_ATTR_DEC_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    t = _parse_num(m.group("t"))
+    cmp_fn = _threshold_cmp(m)
+    if t is None or cmp_fn is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2 or any(y < 0 for _, y, _ in entries):
+        return None             # unknown year: the decade filter is unsound
+    lo = int(m.group("dec")) * 10
+    sel = [e for e in entries if lo <= e[1] < lo + 10]
+    pool = list(candidates or ()) + list(graph.notes.values())
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    hit = unknown = False
+    for work, _y, _paras in sel:
+        c = _attr_count(work, m.group("attr"), pool)
+        if c is None:
+            unknown = True
+            continue
+        support += [p for p in c[1] if p not in support]
+        if cmp_fn(c[0], t):
+            hit = True
+    if not hit and unknown:
+        return None             # a member without a count: 'no' is unsound
+    return {"answer": "yes" if hit else "no", "support_idxs": support,
+            "method": "exists_attr_decade"}
+
+
+# "Who performed the last album released on the label that released W?"
+# (v22 kind 70) — the set anchor is UNNAMED and resolves through a
+# member's forward released_on_label edge before the superlative and
+# the performer hop run (every solved superlative names its label)
+_SUPERL_HOP_UNNAMED_RE = re.compile(
+    r"\bwho\s+(?P<verb>performed|recorded|made|released|wrote)\s+the\s+"
+    r"(?P<ord>" + _ORD_MIN + r"|" + _ORD_MAX + r")\s+"
+    r"(?:album|work|record|song|release)\s+"
+    r"(?:released\s+|put\s+out\s+|recorded\s+)?"
+    r"(?:on|by|through|under)\s+the\s+label\s+that\s+"
+    r"(?:released|put\s+out|published)\s+(?P<w>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_superlative_hop_unnamed(question: str,
+                                   graph: Optional[NoteGraph],
+                                   candidates: Sequence[Dict[str, Any]]
+                                   ) -> Optional[Dict[str, Any]]:
+    m = _SUPERL_HOP_UNNAMED_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    anchor = _hop_tail(graph, m.group("w").strip(), ("released_on_label",))
+    if anchor is None:
+        return None
+    entries = [e for e in _label_set(anchor[0], graph) if e[1] >= 0]
+    if len(entries) < 2:
+        return None
+    ordinal = re.sub(r"\s+", " ", m.group("ord").lower())
+    best = min(entries, key=lambda t: t[1]) \
+        if re.fullmatch(_ORD_MIN, ordinal) else max(entries, key=lambda t: t[1])
+    if [y for _, y, _ in entries].count(best[1]) > 1:
+        return None                              # tied extremum
+    want = _HOP_RELS.get(m.group("verb").lower(), ("performed_by",))
+    hop = _hop_tail(graph, best[0], want)
+    if hop is None:
+        return None
+    support: List[int] = list(anchor[1])
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    support += [p for p in hop[1] if p not in support]
+    return {"answer": hop[0], "support_idxs": support,
+            "method": "superlative_hop_unnamed"}
+
+
+# "Were more albums on the label L released in the 1980s than in the
+# 1990s?" (v22 kind 71) — two decade-filtered counts over ONE label
+# compared as yes/no (count_filtered counts a single decade)
+_DEC_CMP_RE = re.compile(
+    r"\b(?:were|was)\s+(?P<dir>more|fewer|less)\s+"
+    r"(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+released\s+in\s+the\s+(?P<d0>1[0-9]{2}|20[0-9])0s\s+"
+    r"than\s+in\s+the\s+(?P<d1>1[0-9]{2}|20[0-9])0s\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_decade_count_compare(question: str,
+                                graph: Optional[NoteGraph],
+                                candidates: Sequence[Dict[str, Any]]
+                                ) -> Optional[Dict[str, Any]]:
+    m = _DEC_CMP_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2 or any(y < 0 for _, y, _ in entries):
+        return None             # unknown year: the bucket counts are unsound
+    lo0, lo1 = int(m.group("d0")) * 10, int(m.group("d1")) * 10
+    n0 = sum(1 for _, y, _ in entries if lo0 <= y < lo0 + 10)
+    n1 = sum(1 for _, y, _ in entries if lo1 <= y < lo1 + 10)
+    more = m.group("dir").lower() == "more"
+    ok = (n0 > n1) if more else (n0 < n1)
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": "yes" if ok else "no", "support_idxs": support,
+            "method": "decade_count_compare"}
+
+
+# "Which label's albums have more tracks in total, L1 or L2?" (v22 kind
+# 72) — a per-label attribute SUM feeding the comparator (the v21
+# label comparison reads one superlative member per label)
+_LABEL_SUM_CMP_RE = re.compile(
+    r"\bwhich\s+label'?s\s+(?:album|work|record|song|release)s\s+have\s+"
+    r"(?P<dir>more|fewer|less)\s+(?P<attr>tracks|songs|discs|minutes)\s+"
+    r"in\s+total\s*[,:]?\s*(?P<a>.+?)\s+or\s+(?P<b>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_label_attr_sum_compare(question: str,
+                                  graph: Optional[NoteGraph],
+                                  candidates: Sequence[Dict[str, Any]]
+                                  ) -> Optional[Dict[str, Any]]:
+    m = _LABEL_SUM_CMP_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    pool = list(candidates or ()) + list(graph.notes.values())
+    got: List[Tuple[str, int]] = []
+    support: List[int] = []
+    for opt in (m.group("a").strip(), m.group("b").strip()):
+        entries = _label_set(opt, graph)
+        if not entries:
+            return None
+        total = 0
+        for work, _y, paras in entries:
+            support += [p for p in paras if p not in support]
+            c = _attr_count(work, m.group("attr"), pool)
+            if c is None:
+                return None      # a member without a count: sum unsound
+            total += c[0]
+            support += [p for p in c[1] if p not in support]
+        got.append((opt, total))
+    if got[0][1] == got[1][1]:
+        return None
+    more = m.group("dir").lower() == "more"
+    idx = 0 if (got[0][1] > got[1][1]) == more else 1
+    return {"answer": got[idx][0], "support_idxs": support,
+            "method": "label_attr_sum_compare"}
+
+
+# "How many albums on the label L have the same number of tracks as W?"
+# (v22 kind 73) — the threshold is another MEMBER's attribute, not a
+# literal, and the reference member itself must not be counted
+_ATTR_EQ_COUNT_RE = re.compile(
+    r"\bhow\s+many\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+have\s+the\s+same\s+number\s+of\s+"
+    r"(?P<attr>tracks|songs|discs|minutes)\s+as\s+(?P<w>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_attr_equal_count(question: str, graph: Optional[NoteGraph],
+                            candidates: Sequence[Dict[str, Any]]
+                            ) -> Optional[Dict[str, Any]]:
+    m = _ATTR_EQ_COUNT_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    ref = m.group("w").strip()
+    pool = list(candidates or ()) + list(graph.notes.values())
+    cref = _attr_count(ref, m.group("attr"), pool)
+    if cref is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2:
+        return None
+    ref_low = re.sub(r"\s*\([^)]*\)\s*$", "", ref).strip().lower()
+    support: List[int] = list(cref[1])
+    n_eq = 0
+    for work, _y, paras in entries:
+        support += [p for p in paras if p not in support]
+        base = re.sub(r"\s*\([^)]*\)\s*$", "", work).strip().lower()
+        if base == ref_low:
+            continue                             # the reference member
+        c = _attr_count(work, m.group("attr"), pool)
+        if c is None:
+            return None          # a member without a count: unsound
+        support += [p for p in c[1] if p not in support]
+        if c[0] == cref[0]:
+            n_eq += 1
+    return {"answer": str(n_eq), "support_idxs": support,
+            "method": "attr_equal_count"}
+
+
 # "How many years apart were the first and last albums released on the
 # label L?" (v20 kind 62) — the difference runs between TWO
 # superlative-resolved operands (years_apart subtracts two NAMED
@@ -1930,9 +2255,14 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
     """Dispatcher over every exact-math family; None = not such a question
     or unresolvable (callers fall through to the regular stages)."""
     for fn in (answer_spouse_at_time, answer_attr_difference,
-               answer_attr_superlative, answer_attr_comparative,
+               answer_attr_superlative, answer_attr_argmax_year,
+               answer_label_attr_sum_compare,
+               answer_label_attr_comparative, answer_attr_comparative,
                answer_comparative, answer_temporal_diff,
+               answer_exists_attr_decade, answer_decade_count_compare,
                answer_forall_decade, answer_exists_decade,
+               answer_attr_equal_count,
+               answer_superlative_hop_unnamed,
                answer_forall_attr, answer_superlative_attr,
                answer_same_label, answer_yesno,
                answer_superlative_span, answer_superlative_spouse,
@@ -1948,7 +2278,7 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                answer_dual_label,
                answer_count_comparative, answer_conjunctive,
                answer_count_conjunctive, answer_count_threshold,
-               answer_count_filtered, answer_count):
+               answer_count_filtered, answer_count_hop, answer_count):
         res = fn(question, note_graph, candidates)
         if res:
             return res

@@ -310,6 +310,50 @@ v19 (round 3, session 5 — OPEN round-4 headroom): the v18 kinds closed
     machinery exists only for decades; "no" plants the counterexample
     on the asked work itself.
 
+v20 (round 3, session 5; closed same session): kinds 62-65 — superlative
+span, negated decade selection, spouse-of-performer-of-superlative,
+decade-filtered attribute sum (floor EM 0.375, closed at 1.00).
+
+v21 (round 3, session 5; closed session 6): kinds 66-69 — cross-label
+superlative attr comparison, count over a hop-resolved set anchor,
+temporal read on the attribute argmax, existential over attribute +
+decade (floor EM 0.0, closed at EM/supF1 1.00).
+
+v22 (round 3, session 6; closed same session at EM/supF1 1.00): the v21
+kinds closed, so the cycle widens to 74:
+  * kind 70, superlative hop on an UNNAMED label: "Who performed the
+    last album released on the label that released W?" — the set
+    anchor resolves through a member's forward edge (kind 67) BEFORE
+    the superlative + performer hop run;
+  * kind 71, decade-bucket count comparison: "Were more albums on the
+    label L released in the 1980s than in the 1990s?" — two
+    decade-filtered counts over one label compared as yes/no, with a
+    third-decade noise member;
+  * kind 72, cross-label TOTAL attribute comparison: "Which label's
+    albums have more tracks in total, L1 or L2?" — attr_sum per label
+    feeding the comparator (kind 66 compares one member per label);
+  * kind 73, attribute-equality count join: "How many albums on the
+    label L have the same number of tracks as W?" — the threshold is
+    another member's attribute, not a literal; the naive reading
+    counts w itself (off by one).
+
+v23 (round 3, session 6): the v22 kinds closed, so the cycle widens to
+78 with four kinds composing solved machinery along new axes:
+  * kind 74, member selection through a 2-hop performer-attribute
+    join: "Which album on the label L was performed by someone born in
+    C?" — the filter fact (the performer's birth city) lives in a
+    SEPARATE paragraph per member; solved member filters read the
+    member's own sentence;
+  * kind 75, difference of two superlative-resolved attribute reads:
+    "How many more tracks does the first album on L1 have than the
+    first album on L2?" — attr_difference takes named options;
+  * kind 76, negated decade count: "How many albums on the label L
+    were not released in the D0s?" — the complement of the decade
+    filter over the full membership;
+  * kind 77, decade-filtered attribute superlative: "Which album on
+    the label L released in the 1980s has the most tracks?" — the
+    out-of-decade trap member carries the GLOBAL max count.
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -667,7 +711,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 70
+        kind = i % 78
         answerable = True
         akey = None
         extra_aliases = None
@@ -1714,7 +1758,7 @@ def make_items(n: int, distractors: int, seed: int):
                  f"the label {w['label']} released?")
             support = {0}
             extra_support_paras = sib_paras
-        else:
+        elif kind == 69:
             # v21 existential over attribute + decade: BOTH filters must
             # bind — the out-of-decade member always exceeds the cut, so
             # skipping the decade filter flips a 'no' to 'yes'
@@ -1744,6 +1788,234 @@ def make_items(n: int, distractors: int, seed: int):
                  f"the {d0}s have more than {_NUM_WORDS[t]} tracks?")
             a = "yes" if yes else "no"
             support = {0}
+            extra_support_paras = sib_paras
+        elif kind == 70:
+            # v22 superlative hop on an UNNAMED label: the set anchor
+            # resolves through a member's forward released_on_label edge
+            # (kind 67), THEN the superlative + performer hop run — every
+            # solved superlative names its label
+            sibs = _siblings(rng, w, seen_works)
+            sibs[0]["year"] = int(rng.integers(w["year"] + 1,
+                                               w["year"] + 20))
+            sibs[1]["year"] = int(rng.integers(w["year"] + 20,
+                                               w["year"] + 40))
+            q = (f"Who performed the last album released on the label "
+                 f"that released {sibs[0]['work']}?")
+            a = sibs[1]["person"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 71:
+            # v22 decade-bucket count comparison: two decade-filtered
+            # counts over ONE label compared as yes/no — the solved
+            # machinery filters a single decade or compares label sizes,
+            # never counts-per-bucket; a third-decade member is noise
+            sibs = _siblings(rng, w, seen_works, count=3)
+            d0 = (w["year"] // 10) * 10
+            while True:
+                d1 = int(rng.integers(195, 202)) * 10
+                if d1 != d0:
+                    break
+            in0 = [y for y in range(d0, d0 + 10) if y != w["year"]]
+            more_first = bool(rng.integers(0, 2))
+            if more_first:
+                # d0: w + sibs[0] (2) vs d1: sibs[1] (1)
+                sibs[0]["year"] = int(
+                    in0[int(rng.integers(0, len(in0)))])
+                sibs[1]["year"] = d1 + int(rng.integers(0, 10))
+            else:
+                # d0: w (1) vs d1: sibs[0,1] (2)
+                y0 = d1 + int(rng.integers(0, 10))
+                y1 = d1 + int((y0 - d1 + 1 + rng.integers(0, 9)) % 10)
+                sibs[0]["year"], sibs[1]["year"] = y0, y1
+            while True:
+                y3 = int(rng.integers(1950, 2020))
+                if y3 // 10 not in (d0 // 10, d1 // 10):
+                    sibs[2]["year"] = y3
+                    break
+            q = (f"Were more albums on the label {w['label']} released "
+                 f"in the {d0}s than in the {d1}s?")
+            a = "yes" if more_first else "no"
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 72:
+            # v22 cross-label TOTAL attribute comparison: attr_sum per
+            # label, then the comparator — kind 66 compares one member
+            # per label, the sum stages never compare
+            sibs = _siblings(rng, w, seen_works)
+            for s in sibs:
+                s["year"] = int(rng.integers(w["year"] + 1,
+                                             w["year"] + 40))
+            w2 = _unique_worlds(rng, 1, seen_works)[0]
+            sibs2 = _siblings(rng, w2, seen_works)
+            for s in sibs2:
+                s["year"] = int(rng.integers(w2["year"] + 1,
+                                             w2["year"] + 40))
+            while True:
+                cs = [int(c) for c in rng.permutation(
+                    np.arange(2, 20))[:6]]
+                if sum(cs[:3]) != sum(cs[3:]):
+                    break
+            track_counts = (cs[0], 0)
+            sib_paras = []
+            for s, c in zip(sibs, cs[1:3]):
+                pt, px = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
+            sib_paras.append(
+                (f"{w2['work']} (album)",
+                 f"{w2['work']} is an album by {w2['person']}. It was "
+                 f"released in {w2['year']} on the label {w2['label']}. "
+                 f"It features {_NUM_WORDS[cs[3]]} tracks."))
+            for s, c in zip(sibs2, cs[4:]):
+                pt, px = _sibling_paragraph(s, w2["label"], rng)
+                sib_paras.append(
+                    (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
+            q = (f"Which label's albums have more tracks in total, "
+                 f"{w['label']} or {w2['label']}?")
+            a = w["label"] if sum(cs[:3]) > sum(cs[3:]) else w2["label"]
+            support = {0}
+            extra_support_paras = sib_paras
+        elif kind == 73:
+            # v22 attribute-equality count join: members whose count
+            # equals the NAMED member's — the threshold comparators test
+            # against a literal number, never another member's attribute;
+            # the naive reading counts w itself (off by one)
+            sibs = _siblings(rng, w, seen_works, count=3)
+            c0 = 2 + int(rng.integers(0, 18))
+            track_counts = (c0, 0)
+            n_eq = int(rng.integers(0, 3))               # 0..2 matches
+            others = [c for c in range(2, 20) if c != c0]
+            rest = [int(others[j]) for j in
+                    rng.permutation(len(others))[:3 - n_eq]]
+            counts = [c0] * n_eq + rest
+            sib_paras = []
+            for s, c in zip(sibs, counts):
+                pt, px = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
+            q = (f"How many albums on the label {w['label']} have the "
+                 f"same number of tracks as {w['work']}?")
+            a = str(n_eq)
+            extra_aliases = [{0: "zero", 1: "one"}.get(
+                n_eq, _NUM_WORDS.get(n_eq))]
+            support = {0}
+            extra_support_paras = sib_paras
+        elif kind == 74:
+            # v23 member selection through a 2-hop performer-attribute
+            # join: the filter runs on each performer's BIRTH CITY, a
+            # fact in a separate paragraph per member — solved member
+            # filters read the member's own sentence (year, count)
+            sibs = _siblings(rng, w, seen_works)
+            cities = [c for c in _CITIES if c != w["city"]]
+            picks = rng.permutation(len(cities))[:2]
+            c_target = cities[int(picks[0])]
+            c_other = cities[int(picks[1])]
+            sib_paras = [_sibling_paragraph(s, w["label"], rng)
+                         for s in sibs]
+            born_paras = [
+                (sibs[0]["person"],
+                 f"{sibs[0]['person']} was born in {c_target}."),
+                (sibs[1]["person"],
+                 f"{sibs[1]['person']} was born in {c_other}."),
+            ]
+            q = (f"Which album on the label {w['label']} was performed "
+                 f"by someone born in {c_target}?")
+            a = sibs[0]["work"]
+            support = {0, 1}          # own work + own performer's city
+            extra_support_paras = sib_paras + born_paras
+        elif kind == 75:
+            # v23 difference of two superlative-resolved attribute
+            # reads: attr_difference takes NAMED options; here each
+            # operand is the first album of its label
+            sibs = _siblings(rng, w, seen_works)
+            for s in sibs:
+                s["year"] = int(rng.integers(w["year"] + 1,
+                                             w["year"] + 40))
+            w2 = _unique_worlds(rng, 1, seen_works)[0]
+            sibs2 = _siblings(rng, w2, seen_works)
+            for s in sibs2:
+                s["year"] = int(rng.integers(w2["year"] + 1,
+                                             w2["year"] + 40))
+            cs = [int(c) for c in rng.permutation(np.arange(2, 20))[:2]]
+            c1, c2 = max(cs), min(cs)
+            track_counts = (c1, 0)
+            q = (f"How many more tracks does the first album released "
+                 f"on the label {w['label']} have than the first album "
+                 f"released on the label {w2['label']}?")
+            a = str(c1 - c2)
+            if (c1 - c2) in _NUM_WORDS:
+                extra_aliases = [_NUM_WORDS[c1 - c2]]
+            elif c1 - c2 == 1:
+                extra_aliases = ["one"]
+            support = {0}
+            extra_support_paras = (
+                [_sibling_paragraph(s, w["label"], rng) for s in sibs]
+                + [(f"{w2['work']} (album)",
+                    f"{w2['work']} is an album by {w2['person']}. It "
+                    f"was released in {w2['year']} on the label "
+                    f"{w2['label']}. It features {_NUM_WORDS[c2]} "
+                    f"tracks.")]
+                + [_sibling_paragraph(s, w2["label"], rng)
+                   for s in sibs2])
+        elif kind == 76:
+            # v23 NEGATED decade count: "not released in the D0s" —
+            # count_filtered counts the decade itself; the complement
+            # must subtract from the full membership
+            sibs = _siblings(rng, w, seen_works, count=3)
+            d0 = (w["year"] // 10) * 10
+            n_out = 1 + int(rng.integers(0, 3))          # 1..3 outside
+            in0 = [y for y in range(d0, d0 + 10) if y != w["year"]]
+            used_in = set()
+            for j, s in enumerate(sibs):
+                if j < n_out:
+                    while True:
+                        y = int(rng.integers(1950, 2020))
+                        if y // 10 != d0 // 10:
+                            s["year"] = y
+                            break
+                else:
+                    while True:
+                        y = int(in0[int(rng.integers(0, len(in0)))])
+                        if y not in used_in:
+                            used_in.add(y)
+                            s["year"] = y
+                            break
+            q = (f"How many albums on the label {w['label']} were not "
+                 f"released in the {d0}s?")
+            a = str(n_out)
+            extra_aliases = [{1: "one"}.get(n_out, _NUM_WORDS.get(n_out))]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        else:
+            # v23 decade-FILTERED attribute superlative: the argmax runs
+            # only over in-decade members; the out-of-decade trap member
+            # carries the GLOBAL max count, so skipping the filter
+            # answers with the trap
+            sibs = _siblings(rng, w, seen_works, count=3)
+            d0 = (w["year"] // 10) * 10
+            in0 = [y for y in range(d0, d0 + 10) if y != w["year"]]
+            sibs[0]["year"] = int(in0[int(rng.integers(0, len(in0)))])
+            for s in sibs[1:]:
+                while True:
+                    y = int(rng.integers(1950, 2020))
+                    if y // 10 != d0 // 10:
+                        s["year"] = y
+                        break
+            cs = [int(c) for c in rng.permutation(np.arange(2, 19))[:3]]
+            track_counts = (cs[0], 0)
+            winner = w["work"] if cs[0] > cs[1] else sibs[0]["work"]
+            q = (f"Which album on the label {w['label']} released in "
+                 f"the {d0}s has the most tracks?")
+            a = winner
+            support = {0}
+            sib_paras = []
+            for s, c in zip(sibs, (cs[1], 19, cs[2])):
+                pt, px = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
             extra_support_paras = sib_paras
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
@@ -1838,7 +2110,7 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 70] = kinds.get(i % 70, 0) + 1
+        kinds[i % 78] = kinds.get(i % 78, 0) + 1
     n_multi = sum(v for k, v in kinds.items()
                   if k in (0, 1, 4, 5, 6, 9, 16, 17, 26, 30, 32, 34, 35,
                            46, 49, 50, 53))
@@ -1849,7 +2121,7 @@ def main() -> int:
                           38, 39, 40, 41, 42, 43, 44, 45, 47, 48,
                           51, 52))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-69 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-77 cycle) "
           f"-> {args.out}")
     return 0
 
