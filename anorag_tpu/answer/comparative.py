@@ -1521,6 +1521,187 @@ def answer_attr_equal_count(question: str, graph: Optional[NoteGraph],
             "method": "attr_equal_count"}
 
 
+# "Which album on the label L was performed by someone born in C?"
+# (v23 kind 74) — member selection through a 2-hop performer-attribute
+# join: the filter fact (the performer's birth city) lives in a
+# separate paragraph per member, so each member walks
+# performed_by -> born_in before the equality test
+_MEMBER_BORN_RE = re.compile(
+    r"\b(?:which|what)\s+(?:album|work|record|song|release)\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+was\s+(?:performed|recorded|made)\s+by\s+"
+    r"(?:someone|a\s+person|an?\s+(?:artist|musician|singer))\s+"
+    r"born\s+in\s+(?P<city>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_member_born_join(question: str, graph: Optional[NoteGraph],
+                            candidates: Sequence[Dict[str, Any]]
+                            ) -> Optional[Dict[str, Any]]:
+    m = _MEMBER_BORN_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2:
+        return None
+    want = m.group("city").strip().lower()
+    support: List[int] = []
+    matches: List[str] = []
+    for work, _y, paras in entries:
+        support += [p for p in paras if p not in support]
+        perf = _hop_tail(graph, work, ("performed_by",))
+        if perf is None:
+            continue
+        support += [p for p in perf[1] if p not in support]
+        city = _hop_tail(graph, perf[0], ("born_in",))
+        if city is None:
+            continue
+        support += [p for p in city[1] if p not in support]
+        if city[0].strip().lower() == want:
+            matches.append(work)
+    if len(matches) != 1:
+        return None                  # zero or ambiguous: selection unsound
+    return {"answer": matches[0], "support_idxs": support,
+            "method": "member_born_join"}
+
+
+# "How many more tracks does the first album released on the label L1
+# have than the first album released on the label L2?" (v23 kind 75) —
+# attr_difference over two SUPERLATIVE-resolved operands (the named
+# version subtracts two stated counts)
+_SUPERL_ATTR_DIFF_RE = re.compile(
+    r"\bhow\s+many\s+(?P<dir>more|fewer|less)\s+"
+    r"(?P<attr>tracks|songs|discs|minutes)\s+does\s+the\s+"
+    r"(?P<orda>" + _ORD_MIN + r"|" + _ORD_MAX + r")\s+"
+    r"(?:album|work|record|song|release)\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<a>.+?)\s+have\s+than\s+the\s+"
+    r"(?P<ordb>" + _ORD_MIN + r"|" + _ORD_MAX + r")\s+"
+    r"(?:album|work|record|song|release)\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<b>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def _superl_member_count(label: str, ordinal: str, attr: str,
+                         graph: NoteGraph, pool
+                         ) -> Optional[Tuple[int, List[int]]]:
+    """(count, support) of the ordinal-extremum member of `label`."""
+    entries = [e for e in _label_set(label, graph) if e[1] >= 0]
+    if not entries:
+        return None
+    ordinal = re.sub(r"\s+", " ", ordinal.lower())
+    best = min(entries, key=lambda t: t[1]) \
+        if re.fullmatch(_ORD_MIN, ordinal) else max(entries, key=lambda t: t[1])
+    if [y for _, y, _ in entries].count(best[1]) > 1:
+        return None                              # tied extremum
+    c = _attr_count(best[0], attr, pool)
+    if c is None:
+        return None
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    support += [p for p in c[1] if p not in support]
+    return c[0], support
+
+
+def answer_superl_attr_difference(question: str,
+                                  graph: Optional[NoteGraph],
+                                  candidates: Sequence[Dict[str, Any]]
+                                  ) -> Optional[Dict[str, Any]]:
+    m = _SUPERL_ATTR_DIFF_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    pool = list(candidates or ()) + list(graph.notes.values())
+    got_a = _superl_member_count(m.group("a").strip(), m.group("orda"),
+                                 m.group("attr"), graph, pool)
+    got_b = _superl_member_count(m.group("b").strip(), m.group("ordb"),
+                                 m.group("attr"), graph, pool)
+    if got_a is None or got_b is None:
+        return None
+    diff = got_a[0] - got_b[0] if m.group("dir").lower() == "more" \
+        else got_b[0] - got_a[0]
+    if diff <= 0:
+        return None              # phrasing contradicts the facts
+    support = list(dict.fromkeys(got_a[1] + got_b[1]))
+    return {"answer": str(diff), "support_idxs": support,
+            "method": "superl_attr_difference"}
+
+
+# "How many albums on the label L were not released in the D0s?" (v23
+# kind 76) — the COMPLEMENT of the decade filter over the full
+# membership (count_filtered counts the decade itself)
+_COUNT_NOT_DEC_RE = re.compile(
+    r"\bhow\s+many\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:was|were)\s+not\s+released\s+in\s+the\s+"
+    r"(?P<dec>1[0-9]{2}|20[0-9])0s\b",
+    re.IGNORECASE)
+
+
+def answer_count_not_decade(question: str, graph: Optional[NoteGraph],
+                            candidates: Sequence[Dict[str, Any]]
+                            ) -> Optional[Dict[str, Any]]:
+    m = _COUNT_NOT_DEC_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2 or any(y < 0 for _, y, _ in entries):
+        return None             # unknown year: the complement is unsound
+    lo = int(m.group("dec")) * 10
+    n_out = sum(1 for _, y, _ in entries if not lo <= y < lo + 10)
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": str(n_out), "support_idxs": support,
+            "method": "count_not_decade"}
+
+
+# "Which album on the label L released in the 1980s has the most
+# tracks?" (v23 kind 77) — the attribute argmax runs only over
+# IN-DECADE members; the out-of-decade trap carries the global max
+_DEC_ATTR_SUPERL_RE = re.compile(
+    r"\b(?:which|what)\s+(?:album|work|record|song|release)\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+released\s+in\s+the\s+(?P<dec>1[0-9]{2}|20[0-9])0s\s+"
+    r"has\s+the\s+(?P<dir>most|fewest|least)\s+"
+    r"(?P<attr>tracks|songs|discs|minutes)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_decade_attr_superlative(question: str,
+                                   graph: Optional[NoteGraph],
+                                   candidates: Sequence[Dict[str, Any]]
+                                   ) -> Optional[Dict[str, Any]]:
+    m = _DEC_ATTR_SUPERL_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2 or any(y < 0 for _, y, _ in entries):
+        return None             # unknown year: the decade filter is unsound
+    lo = int(m.group("dec")) * 10
+    sel = [e for e in entries if lo <= e[1] < lo + 10]
+    if len(sel) < 2:
+        return None             # argmax over <2 members: trivial/unsound
+    pool = list(candidates or ()) + list(graph.notes.values())
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    got: List[Tuple[str, int]] = []
+    for work, _y, _paras in sel:
+        c = _attr_count(work, m.group("attr"), pool)
+        if c is None:
+            return None          # an in-decade member without a count
+        got.append((work, c[0]))
+        support += [p for p in c[1] if p not in support]
+    pickfn = max if m.group("dir").lower() == "most" else min
+    best = pickfn(got, key=lambda t: t[1])
+    if [n for _, n in got].count(best[1]) > 1:
+        return None                              # tied extremum
+    return {"answer": best[0], "support_idxs": support,
+            "method": "decade_attr_superlative"}
+
+
 # "How many years apart were the first and last albums released on the
 # label L?" (v20 kind 62) — the difference runs between TWO
 # superlative-resolved operands (years_apart subtracts two NAMED
@@ -2254,8 +2435,11 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                       ) -> Optional[Dict[str, Any]]:
     """Dispatcher over every exact-math family; None = not such a question
     or unresolvable (callers fall through to the regular stages)."""
-    for fn in (answer_spouse_at_time, answer_attr_difference,
+    for fn in (answer_spouse_at_time,
+               answer_superl_attr_difference, answer_attr_difference,
+               answer_decade_attr_superlative,
                answer_attr_superlative, answer_attr_argmax_year,
+               answer_member_born_join, answer_count_not_decade,
                answer_label_attr_sum_compare,
                answer_label_attr_comparative, answer_attr_comparative,
                answer_comparative, answer_temporal_diff,
