@@ -1702,6 +1702,150 @@ def answer_decade_attr_superlative(question: str,
             "method": "decade_attr_superlative"}
 
 
+# "Which album on the label L has the second most tracks?" (v24 kind
+# 78) — an ORDINAL over the attribute ranking (the solved ordinal
+# ranks release years; attr_superlative takes only the extremum)
+_ATTR_ORDINAL_RE = re.compile(
+    r"\b(?:which|what)\s+(?:album|work|record|song|release)\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+has\s+the\s+(?P<ord>second|third|fourth|fifth)\s+"
+    r"(?P<dir>most|fewest|least)\s+"
+    r"(?P<attr>tracks|songs|discs|minutes)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_attr_ordinal(question: str, graph: Optional[NoteGraph],
+                        candidates: Sequence[Dict[str, Any]]
+                        ) -> Optional[Dict[str, Any]]:
+    m = _ATTR_ORDINAL_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    k = _ORDINAL_WORDS.get(m.group("ord").lower())
+    if k is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < k:
+        return None
+    pool = list(candidates or ()) + list(graph.notes.values())
+    got: List[Tuple[str, int]] = []
+    support: List[int] = []
+    for work, _y, paras in entries:
+        support += [p for p in paras if p not in support]
+        c = _attr_count(work, m.group("attr"), pool)
+        if c is None:
+            return None          # a member without a count: rank unsound
+        got.append((work, c[0]))
+        support += [p for p in c[1] if p not in support]
+    rev = m.group("dir").lower() == "most"
+    got.sort(key=lambda t: t[1], reverse=rev)
+    pick = got[k - 1]
+    if [n for _, n in got].count(pick[1]) > 1:
+        return None                              # tied rank: ambiguous
+    return {"answer": pick[0], "support_idxs": support,
+            "method": "attr_ordinal"}
+
+
+# "In which decade were the most albums on the label L released?" (v24
+# kind 79) — the MODE over decade buckets, answered as a decade
+# surface (every solved decade stage filters or compares)
+_DECADE_MODE_RE = re.compile(
+    r"\bin\s+which\s+decade\s+(?:was|were)\s+the\s+most\s+"
+    r"(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+released\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_decade_mode(question: str, graph: Optional[NoteGraph],
+                       candidates: Sequence[Dict[str, Any]]
+                       ) -> Optional[Dict[str, Any]]:
+    m = _DECADE_MODE_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2 or any(y < 0 for _, y, _ in entries):
+        return None             # unknown year: the bucket counts are unsound
+    buckets: Dict[int, int] = {}
+    for _, y, _ in entries:
+        buckets[(y // 10) * 10] = buckets.get((y // 10) * 10, 0) + 1
+    best = max(buckets.items(), key=lambda kv: kv[1])
+    if list(buckets.values()).count(best[1]) > 1:
+        return None                              # tied mode: ambiguous
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": f"{best[0]}s", "support_idxs": support,
+            "method": "decade_mode"}
+
+
+# "Does the first album released on the label L have more tracks than
+# the last album released on the label L?" (v24 kind 80) — yes/no
+# attribute comparison of two SUPERLATIVE-resolved operands (the
+# solved yesno compares release years of NAMED options)
+_SUPERL_ATTR_YESNO_RE = re.compile(
+    r"\bdoes\s+the\s+(?P<orda>" + _ORD_MIN + r"|" + _ORD_MAX + r")\s+"
+    r"(?:album|work|record|song|release)\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<a>.+?)\s+have\s+(?P<dir>more|fewer|less)\s+"
+    r"(?P<attr>tracks|songs|discs|minutes)\s+than\s+the\s+"
+    r"(?P<ordb>" + _ORD_MIN + r"|" + _ORD_MAX + r")\s+"
+    r"(?:album|work|record|song|release)\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<b>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_superl_attr_yesno(question: str, graph: Optional[NoteGraph],
+                             candidates: Sequence[Dict[str, Any]]
+                             ) -> Optional[Dict[str, Any]]:
+    m = _SUPERL_ATTR_YESNO_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    pool = list(candidates or ()) + list(graph.notes.values())
+    got_a = _superl_member_count(m.group("a").strip(), m.group("orda"),
+                                 m.group("attr"), graph, pool)
+    got_b = _superl_member_count(m.group("b").strip(), m.group("ordb"),
+                                 m.group("attr"), graph, pool)
+    if got_a is None or got_b is None:
+        return None
+    more = m.group("dir").lower() == "more"
+    ok = (got_a[0] > got_b[0]) if more else (got_a[0] < got_b[0])
+    support = list(dict.fromkeys(got_a[1] + got_b[1]))
+    return {"answer": "yes" if ok else "no", "support_idxs": support,
+            "method": "superl_attr_yesno"}
+
+
+# "How many albums were released on the labels L1 and L2 combined?"
+# (v24 kind 81) — the counted set is a UNION of two memberships (every
+# solved count anchors one label)
+_COUNT_UNION_RE = re.compile(
+    r"\bhow\s+many\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:was|were)\s+(?:released|published|put\s+out)\s+"
+    r"(?:on|by|through|under)\s+the\s+labels\s+"
+    r"(?P<a>.+?)\s+and\s+(?P<b>.+?)\s+"
+    r"(?:combined|in\s+total|altogether|together)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_count_union(question: str, graph: Optional[NoteGraph],
+                       candidates: Sequence[Dict[str, Any]]
+                       ) -> Optional[Dict[str, Any]]:
+    m = _COUNT_UNION_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    support: List[int] = []
+    works: set = set()
+    for opt in (m.group("a").strip(), m.group("b").strip()):
+        entries = _label_set(opt, graph)
+        if not entries:
+            return None
+        for work, _y, paras in entries:
+            works.add(work)
+            support += [p for p in paras if p not in support]
+    return {"answer": str(len(works)), "support_idxs": support,
+            "method": "count_union"}
+
+
 # "How many years apart were the first and last albums released on the
 # label L?" (v20 kind 62) — the difference runs between TWO
 # superlative-resolved operands (years_apart subtracts two NAMED
@@ -2437,9 +2581,11 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
     or unresolvable (callers fall through to the regular stages)."""
     for fn in (answer_spouse_at_time,
                answer_superl_attr_difference, answer_attr_difference,
-               answer_decade_attr_superlative,
+               answer_decade_attr_superlative, answer_attr_ordinal,
                answer_attr_superlative, answer_attr_argmax_year,
                answer_member_born_join, answer_count_not_decade,
+               answer_decade_mode, answer_superl_attr_yesno,
+               answer_count_union,
                answer_label_attr_sum_compare,
                answer_label_attr_comparative, answer_attr_comparative,
                answer_comparative, answer_temporal_diff,

@@ -36,7 +36,7 @@ def main():
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
 
-    n_cycle = 78
+    n_cycle = 82
     total = n_cycle * args.n
     items = make_items(total, distractors=args.distractors, seed=args.seed)
     picked = [it for i, it in enumerate(items)

@@ -337,8 +337,8 @@ kinds closed, so the cycle widens to 74:
     another member's attribute, not a literal; the naive reading
     counts w itself (off by one).
 
-v23 (round 3, session 6): the v22 kinds closed, so the cycle widens to
-78 with four kinds composing solved machinery along new axes:
+v23 (round 3, session 6; closed same session at EM/supF1 1.00): the
+v22 kinds closed, so the cycle widens to 78:
   * kind 74, member selection through a 2-hop performer-attribute
     join: "Which album on the label L was performed by someone born in
     C?" — the filter fact (the performer's birth city) lives in a
@@ -353,6 +353,21 @@ v23 (round 3, session 6): the v22 kinds closed, so the cycle widens to
   * kind 77, decade-filtered attribute superlative: "Which album on
     the label L released in the 1980s has the most tracks?" — the
     out-of-decade trap member carries the GLOBAL max count.
+
+v24 (round 3, session 6; closed same session at EM/supF1 1.00): the
+v23 kinds closed, so the cycle widens to 82:
+  * kind 78, attribute ORDINAL: "Which album on the label L has the
+    second most tracks?" — the solved ordinal ranks release years and
+    the attr superlative takes only the extremum;
+  * kind 79, decade MODE: "In which decade were the most albums on the
+    label L released?" — argmax over decade buckets answered as a
+    decade surface;
+  * kind 80, yes/no attribute comparison of two superlative operands:
+    "Does the first album on L have more tracks than the last album on
+    L?" — both operands resolve before the count comparison;
+  * kind 81, combined count across two labels: "How many albums were
+    released on the labels L1 and L2 combined?" — the counted set is a
+    UNION of two memberships.
 
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
@@ -711,7 +726,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 78
+        kind = i % 82
         answerable = True
         akey = None
         extra_aliases = None
@@ -1989,7 +2004,7 @@ def make_items(n: int, distractors: int, seed: int):
             support = {0}
             extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
-        else:
+        elif kind == 77:
             # v23 decade-FILTERED attribute superlative: the argmax runs
             # only over in-decade members; the out-of-decade trap member
             # carries the GLOBAL max count, so skipping the filter
@@ -2017,6 +2032,102 @@ def make_items(n: int, distractors: int, seed: int):
                 sib_paras.append(
                     (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
             extra_support_paras = sib_paras
+        elif kind == 78:
+            # v24 attribute ORDINAL: "second most tracks" — the solved
+            # ordinal stage ranks release years, the attr superlative
+            # takes only the extremum
+            sibs = _siblings(rng, w, seen_works, count=3)
+            cs = [int(c) for c in rng.permutation(np.arange(2, 20))[:4]]
+            track_counts = (cs[0], 0)
+            order = sorted(range(4), key=lambda j: -cs[j])
+            second = order[1]
+            works = [w["work"]] + [s["work"] for s in sibs]
+            q = (f"Which album on the label {w['label']} has the "
+                 f"second most tracks?")
+            a = works[second]
+            support = {0}
+            sib_paras = []
+            for s, c in zip(sibs, cs[1:]):
+                pt, px = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
+            extra_support_paras = sib_paras
+        elif kind == 79:
+            # v24 decade MODE: argmax over decade buckets, answered as
+            # a decade surface ("the 1980s") — every solved decade stage
+            # filters or compares, never aggregates to the bucket itself
+            sibs = _siblings(rng, w, seen_works, count=3)
+            d0 = (w["year"] // 10) * 10
+            while True:
+                d1 = int(rng.integers(195, 202)) * 10
+                if d1 != d0:
+                    break
+            in0 = [y for y in range(d0, d0 + 10) if y != w["year"]]
+            # d0 holds w + sibs[0] (2 members), d1 holds sibs[1] (1),
+            # sibs[2] lands in a third decade (1)
+            sibs[0]["year"] = int(in0[int(rng.integers(0, len(in0)))])
+            sibs[1]["year"] = d1 + int(rng.integers(0, 10))
+            while True:
+                y3 = int(rng.integers(1950, 2020))
+                if y3 // 10 not in (d0 // 10, d1 // 10):
+                    sibs[2]["year"] = y3
+                    break
+            q = (f"In which decade were the most albums on the label "
+                 f"{w['label']} released?")
+            a = f"{d0}s"
+            extra_aliases = [f"the {d0}s", f"{d0}'s"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 80:
+            # v24 yes/no attribute comparison of two SUPERLATIVE
+            # operands over one label: both resolve before the count
+            # comparison (the solved yesno compares release YEARS of
+            # named options)
+            sibs = _siblings(rng, w, seen_works)
+            for s in sibs:
+                s["year"] = int(rng.integers(w["year"] + 1,
+                                             w["year"] + 40))
+            last = max(sibs, key=lambda s: s["year"])
+            other = sibs[0] if last is sibs[1] else sibs[1]
+            cs = [int(c) for c in rng.permutation(np.arange(2, 20))[:3]]
+            track_counts = (cs[0], 0)     # w = the FIRST album
+            yes = cs[0] > cs[1]           # cs[1] = the LAST album's count
+            q = (f"Does the first album released on the label "
+                 f"{w['label']} have more tracks than the last album "
+                 f"released on the label {w['label']}?")
+            a = "yes" if yes else "no"
+            support = {0}
+            sib_paras = []
+            for s, c in ((last, cs[1]), (other, cs[2])):
+                pt, px = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
+            extra_support_paras = sib_paras
+        else:
+            # v24 combined count across TWO labels: the count's set is
+            # the union of two memberships (every solved count anchors
+            # one label)
+            sibs = _siblings(rng, w, seen_works,
+                             count=1 + int(rng.integers(0, 2)))
+            w2 = _unique_worlds(rng, 1, seen_works)[0]
+            sibs2 = _siblings(rng, w2, seen_works,
+                              count=1 + int(rng.integers(0, 2)))
+            total = (1 + len(sibs)) + (1 + len(sibs2))
+            q = (f"How many albums were released on the labels "
+                 f"{w['label']} and {w2['label']} combined?")
+            a = str(total)
+            if total in _NUM_WORDS:
+                extra_aliases = [_NUM_WORDS[total]]
+            support = {0}
+            extra_support_paras = (
+                [_sibling_paragraph(s, w["label"], rng) for s in sibs]
+                + [(f"{w2['work']} (album)",
+                    f"{w2['work']} is an album by {w2['person']}. It "
+                    f"was released in {w2['year']} on the label "
+                    f"{w2['label']}.")]
+                + [_sibling_paragraph(s, w2["label"], rng)
+                   for s in sibs2])
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
@@ -2110,7 +2221,7 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 78] = kinds.get(i % 78, 0) + 1
+        kinds[i % 82] = kinds.get(i % 82, 0) + 1
     n_multi = sum(v for k, v in kinds.items()
                   if k in (0, 1, 4, 5, 6, 9, 16, 17, 26, 30, 32, 34, 35,
                            46, 49, 50, 53))
@@ -2121,7 +2232,7 @@ def main() -> int:
                           38, 39, 40, 41, 42, 43, 44, 45, 47, 48,
                           51, 52))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-77 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-81 cycle) "
           f"-> {args.out}")
     return 0
 

@@ -150,7 +150,7 @@ def test_generated_musique_all_kinds(tmp_path):
     cfg.set("embedding.backend", "hash")
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
-    items = make_items(156, distractors=4, seed=9)  # 2 of each of 78 kinds
+    items = make_items(164, distractors=4, seed=9)  # 2 of each of 82 kinds
     preds = []
     for it in items:
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
@@ -197,6 +197,11 @@ def test_generated_musique_all_kinds(tmp_path):
     # closed by the member_born_join, superl_attr_difference,
     # count_not_decade, and decade_attr_superlative stages (EM 1.00,
     # supF1 1.00 on all four).
+    # v24 (kinds 78-81: attribute ordinal, decade mode, yes/no
+    # attribute comparison of two superlative operands, combined count
+    # across two labels) recorded floor EM 0.0 on the four new kinds;
+    # closed by the attr_ordinal, decade_mode, superl_attr_yesno, and
+    # count_union stages (EM 1.00, supF1 1.00 on all four).
     # any individual miss outside `tolerated_kinds` is a regression.
     # When a vN adds unsolved kinds, list them here until closed.
     tolerated_kinds: set = set()
@@ -207,9 +212,9 @@ def test_generated_musique_all_kinds(tmp_path):
         if not it.get("answerable", True):
             continue
         i = int(p["id"].split("_")[1])
-        if i % 78 in tolerated_kinds:
+        if i % 82 in tolerated_kinds:
             continue
         assert answer_em(p.get("predicted_answer") or "",
                          gold_aliases(it)) == 1.0, \
-            (p["id"], i % 78, it["question"], it["answer"],
+            (p["id"], i % 82, it["question"], it["answer"],
              p.get("predicted_answer"))

@@ -11,7 +11,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
 from gen_synth_musique import make_items  # noqa: E402
 
-N_KINDS = 78
+N_KINDS = 82
 
 
 def _mk(seed, n=N_KINDS * 2):
@@ -49,10 +49,13 @@ def test_gold_consistency_per_kind():
         sup_blob = " ".join(p["paragraph_text"] for p in it["paragraphs"]
                             if p["is_supporting"])
         if kind in (10, 13, 23, 24, 27, 37, 39, 40, 48, 52, 56, 59, 60,
-                    62, 65, 67, 68, 73, 75, 76):  # nums
+                    62, 65, 67, 68, 73, 75, 76, 81):  # nums
             assert it["answer"].isdigit(), (i, kind, it["answer"])
-        elif kind in (12, 21, 35, 41, 44, 45, 61, 69, 71):  # polarity
+        elif kind in (12, 21, 35, 41, 44, 45, 61, 69, 71, 80):  # polarity
             assert it["answer"] in ("yes", "no")
+        elif kind == 79:                                 # decade surface
+            assert re.fullmatch(r"(?:19|20)\d0s", it["answer"]), \
+                (i, it["answer"])
         elif kind in (8, 20):                        # comparative: a title
             assert it["answer"] in it["question"] or any(
                 it["answer"] in p["paragraph_text"]
