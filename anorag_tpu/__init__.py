@@ -29,6 +29,6 @@ Layer map (mirrors SURVEY.md §1):
   eval/       MuSiQue metrics + enhanced evaluator
 """
 
-__version__ = "0.3.2"
+__version__ = "0.3.3"
 
 from anorag_tpu.config import config  # noqa: F401

@@ -439,6 +439,7 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "max_notes_per_chunk": 12,
         "max_note_chars": 200,
         "enable_rule_fallback": True,
+        "grounding": {"enabled": True, "min_entity_len": 3},
         "entities_fallback": {
             "enabled": True,
             "min_len": 2,

@@ -405,6 +405,9 @@ class AtomicNoteGenerator:
             require_sentence_terminal=nc.get("require_sentence_terminal", True),
             min_word_count=nc.get("min_word_count_en", 4),
         )
+        gr = nl.get("grounding") or {}
+        self.grounding_enabled = gr.get("enabled", True)
+        self.grounding_min_len = int(gr.get("min_entity_len", 3))
         self.early_stop = StreamingEarlyStop(self.sentinel)
         self.stats = defaultdict(int)
 
@@ -477,6 +480,10 @@ class AtomicNoteGenerator:
         notes: List[Dict[str, Any]] = []
         for i, ch in enumerate(chunks):
             parsed = parsed_map.get(i, _EMPTY)
+            if (parsed is not None and parsed is not _EMPTY
+                    and not self._llm_notes_verified(parsed, ch)):
+                self.stats["grounding_fallback"] += 1
+                parsed = None
             if parsed is None:
                 if not self.enable_rule_fallback:
                     continue
@@ -488,6 +495,59 @@ class AtomicNoteGenerator:
             if parsed:
                 notes.extend(self._post_process(parsed, ch))
         return notes
+
+    # ------------------------------------------------------- grounding gate
+    _GROUND_YEAR_RE = re.compile(r"\b(?:1[89]\d{2}|20\d{2})\b")
+
+    def _llm_notes_verified(self, parsed: List[Any],
+                            chunk: Dict[str, Any]) -> bool:
+        """Grounding + coverage gate on LLM-authored notes.
+
+        Atomic notes are extractive by contract (ref
+        llm/atomic_note_generator.py quality filtering +
+        llm/summary_auditor.py NER-diff audit): every entity and year a
+        note asserts must occur in the source chunk, and every entity
+        and year the chunk asserts must be carried by some note.
+        Autoregressive note models confabulate typical-shaped
+        continuations (an entity or year that fits the template but not
+        THIS chunk) and silently drop facts; either failure poisons the
+        downstream note graph, so the chunk's LLM output is rejected as
+        a whole and the rule fallback takes over (stats:
+        ungrounded_note / uncovered_fact -> grounding_fallback)."""
+        if not self.grounding_enabled:
+            return True
+        src = ((chunk.get("text") or "") + " " +
+               (chunk.get("title") or "")).casefold()
+
+        def present(surface: str, blob: str) -> bool:
+            s = (surface or "").strip().casefold()
+            if len(s) < self.grounding_min_len and not s.isdigit():
+                return True
+            return re.search(r"(?<!\w)" + re.escape(s) + r"(?!\w)",
+                             blob) is not None
+
+        note_blob_parts: List[str] = []
+        for raw in parsed:
+            if not isinstance(raw, dict):
+                continue
+            ntext = str(raw.get("text") or "")
+            note_blob_parts.append(ntext)
+            surfaces = [str(e) for e in (raw.get("entities") or [])]
+            surfaces += self._GROUND_YEAR_RE.findall(ntext)
+            for s in surfaces:
+                if s and not present(s, src):
+                    self.stats["ungrounded_note"] += 1
+                    return False
+        blob = " ".join(note_blob_parts).casefold()
+        text = chunk.get("text") or ""
+        required = set(self._GROUND_YEAR_RE.findall(text))
+        required.update(e for e in extract_entities_fallback(text)
+                        if len(e) >= self.grounding_min_len)
+        for s in required:
+            if not present(s, blob):
+                self.stats["uncovered_fact"] += 1
+                return False
+        return True
 
     def _call_batch(self, prompts: List[str]) -> List[str]:
         if not prompts:
@@ -545,6 +605,10 @@ class AtomicNoteGenerator:
                 parsed = extract_json(self._call(retry_prompt))
                 if isinstance(parsed, list):
                     self.stats["parse_retry_ok"] += 1
+        if (isinstance(parsed, list) and parsed
+                and not self._llm_notes_verified(parsed, chunk)):
+            self.stats["grounding_fallback"] += 1
+            parsed = None
         if not isinstance(parsed, list):
             if self.enable_rule_fallback:
                 self.stats["rule_fallback"] += 1

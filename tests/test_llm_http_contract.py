@@ -179,7 +179,7 @@ def test_note_generation_parse_retry_shorten_over_socket():
         cfg.set("notes_llm.retry_once_on_parse_error", True)
         gen = AtomicNoteGenerator(llm=LocalLLM(cfg=cfg), cfg=cfg)
         chunk = {"chunk_id": "c0", "doc_id": "d0",
-                 "text": "Ada Lovelace worked with Babbage. " * 60}
+                 "text": "Ada Lovelace worked with Charles Babbage. " * 60}
         notes = gen.generate_for_chunk(chunk)
         assert len(srv.requests) == 2  # original + shortened retry
         p1 = srv.requests[0]["payload"]["prompt"]

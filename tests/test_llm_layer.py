@@ -190,10 +190,58 @@ def test_note_generator_rule_fallback():
 def test_note_generator_sent_id_violation():
     reply = json.dumps([{"text": "A fabricated fact sentence here today.",
                          "source_sent_ids": [7], "salience": 0.9}])
-    gen = AtomicNoteGenerator(_note_llm(reply), ConfigLoader(auto_load=False))
+    cfg = ConfigLoader(auto_load=False)
+    cfg.set("notes_llm.grounding.enabled", False)  # isolate the sent_id path
+    gen = AtomicNoteGenerator(_note_llm(reply), cfg)
     chunk = dict(_chunk(), sentence_ids=[0, 1])
     assert gen.generate_for_chunk(chunk) == []
     assert gen.stats["sent_id_violation"] == 1
+
+
+def test_note_generator_grounding_rejects_confabulated_entity():
+    # Note asserts an entity absent from the chunk -> whole LLM output
+    # rejected, rule fallback takes over.
+    reply = json.dumps([{
+        "text": "Crimson Dawn performed the song Blue Horizon.",
+        "entities": ["Crimson Dawn", "Blue Horizon"],
+        "source_sent_ids": [0], "salience": 0.9,
+    }])
+    gen = AtomicNoteGenerator(_note_llm(reply), ConfigLoader(auto_load=False))
+    notes = gen.generate_atomic_notes([_chunk()])
+    assert gen.stats["ungrounded_note"] == 1
+    assert gen.stats["grounding_fallback"] == 1
+    assert gen.stats["rule_fallback"] == 1
+    assert notes and all("Crimson Dawn" not in n["content"] for n in notes)
+
+
+def test_note_generator_grounding_rejects_dropped_fact():
+    # Notes ground OK but silently drop a chunk entity -> coverage fails.
+    reply = json.dumps([{
+        "text": "The album sold a million copies.",
+        "entities": [],
+        "source_sent_ids": [1], "salience": 0.5,
+    }])
+    gen = AtomicNoteGenerator(_note_llm(reply), ConfigLoader(auto_load=False))
+    gen.generate_atomic_notes([_chunk()])
+    assert gen.stats["uncovered_fact"] >= 1
+    assert gen.stats["grounding_fallback"] == 1
+
+
+def test_note_generator_grounding_accepts_complete_notes():
+    reply = json.dumps([{
+        "text": "Aurora Lane performed Blue Horizon.",
+        "entities": ["Aurora Lane", "Blue Horizon"],
+        "source_sent_ids": [0], "salience": 0.9,
+    }, {
+        "text": "Blue Horizon (the album) sold a million copies.",
+        "entities": ["Blue Horizon"],
+        "source_sent_ids": [1], "salience": 0.6,
+    }])
+    gen = AtomicNoteGenerator(_note_llm(reply), ConfigLoader(auto_load=False))
+    notes = gen.generate_atomic_notes([_chunk()])
+    assert gen.stats["grounding_fallback"] == 0
+    assert gen.stats["rule_fallback"] == 0
+    assert notes  # per-paragraph quota may keep fewer than submitted
 
 
 def test_parallel_task_generator_fallback():
