@@ -27,7 +27,7 @@ def main():
     import jax
     jax.config.update("jax_platforms", "cpu")
 
-    from scripts.gen_synth_musique import make_items
+    from scripts.gen_synth_musique import N_KINDS, make_items
     from anorag_tpu.config import config as cfg
     from anorag_tpu.eval.musique import answer_em, gold_aliases, support_f1
     from anorag_tpu.pipeline_musique import process_musique_item
@@ -36,7 +36,7 @@ def main():
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
 
-    n_cycle = 82
+    n_cycle = N_KINDS
     total = n_cycle * args.n
     items = make_items(total, distractors=args.distractors, seed=args.seed)
     picked = [it for i, it in enumerate(items)

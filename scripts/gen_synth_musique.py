@@ -369,6 +369,22 @@ v23 kinds closed, so the cycle widens to 82:
     released on the labels L1 and L2 combined?" — the counted set is a
     UNION of two memberships.
 
+v25 (round 3, session 8): the v24 kinds closed, so the cycle widens
+to 86:
+  * kind 82, attribute AVERAGE: "What is the average number of tracks
+    across the albums on the label L?" — a new arithmetic op (mean);
+    every solved aggregate is a sum, difference, count, or extremum;
+  * kind 83, MULTI-ANSWER enumeration: "Which albums on the label L
+    were released in the D0s?" — the gold is a SET of two titles
+    ("A and B"); every solved kind answers with a single
+    span/number/polarity;
+  * kind 84, negative existence: "Did P release an album on the label
+    L2?" — the polarity comes from the ABSENCE of an edge (50% yes
+    items keep constant-answer strategies at 0.5);
+  * kind 85, hop-resolved threshold count: "How many albums on the
+    label L were released after W?" — the threshold year must be read
+    off the anchor member, not the question.
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -711,6 +727,8 @@ def _spouse_album(rng, seen_works):
     return w2, l2, int(rng.integers(1950, 2020))
 
 
+N_KINDS = 86  # question-kind cycle width
+
 _NUM_WORDS = {2: "two", 3: "three", 4: "four", 5: "five", 6: "six",
               7: "seven", 8: "eight", 9: "nine", 10: "ten", 11: "eleven",
               12: "twelve", 13: "thirteen", 14: "fourteen", 15: "fifteen",
@@ -726,7 +744,7 @@ def make_items(n: int, distractors: int, seed: int):
     ghost_worlds = _unique_worlds(rng, n // 8 + 2, seen_works)
     items = []
     for i, w in enumerate(worlds):
-        kind = i % 82
+        kind = i % N_KINDS
         answerable = True
         akey = None
         extra_aliases = None
@@ -2104,7 +2122,7 @@ def make_items(n: int, distractors: int, seed: int):
                 sib_paras.append(
                     (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
             extra_support_paras = sib_paras
-        else:
+        elif kind == 81:
             # v24 combined count across TWO labels: the count's set is
             # the union of two memberships (every solved count anchors
             # one label)
@@ -2128,6 +2146,109 @@ def make_items(n: int, distractors: int, seed: int):
                     f"{w2['label']}.")]
                 + [_sibling_paragraph(s, w2["label"], rng)
                    for s in sibs2])
+        elif kind == 82:
+            # v25 attribute AVERAGE: "the average number of tracks" —
+            # a new arithmetic op (mean); every solved aggregate is a
+            # sum, difference, count, or extremum. Counts are drawn so
+            # the mean is an integer.
+            sibs = _siblings(rng, w, seen_works, count=3)
+            while True:
+                cs = [int(c) for c in rng.permutation(np.arange(2, 20))[:4]]
+                if sum(cs) % 4 == 0:
+                    break
+            track_counts = (cs[0], 0)
+            q = (f"What is the average number of tracks across the "
+                 f"albums on the label {w['label']}?")
+            avg = sum(cs) // 4
+            a = str(avg)
+            if avg in _NUM_WORDS:
+                extra_aliases = [_NUM_WORDS[avg]]
+            support = {0}
+            sib_paras = []
+            for s, c in zip(sibs, cs[1:]):
+                pt, px = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
+            extra_support_paras = sib_paras
+        elif kind == 83:
+            # v25 MULTI-ANSWER enumeration: the gold is a SET of two
+            # titles ("A and B") — every solved kind answers with one
+            # span/number/polarity; selection must collect ALL decade
+            # members, not the best one
+            sibs = _siblings(rng, w, seen_works, count=3)
+            d0 = (w["year"] // 10) * 10
+            in0 = [y for y in range(d0, d0 + 10) if y != w["year"]]
+            sibs[0]["year"] = int(in0[int(rng.integers(0, len(in0)))])
+            for s in sibs[1:]:
+                while True:
+                    y = int(rng.integers(1950, 2020))
+                    if y // 10 != d0 // 10:
+                        s["year"] = y
+                        break
+            members = sorted([(w["year"], w["work"]),
+                              (sibs[0]["year"], sibs[0]["work"])])
+            m0, m1 = members[0][1], members[1][1]
+            q = (f"Which albums on the label {w['label']} were released "
+                 f"in the {d0}s?")
+            a = f"{m0} and {m1}"
+            extra_aliases = [f"{m1} and {m0}", f"{m0}, {m1}",
+                             f"{m1}, {m0}", f"{m0} & {m1}"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 84:
+            # v25 NEGATIVE existence over a performer-label pair: "Did P
+            # release an album on the label L2?" where P's album is on L
+            # — the polarity comes from the ABSENCE of an edge, so a
+            # finder that stops at "no evidence" must still answer "no"
+            # (and the yes half keeps a constant-answer strategy at 0.5)
+            yes = bool(rng.random() < 0.5)
+            if yes:
+                q = (f"Did {w['person']} release an album on the label "
+                     f"{w['label']}?")
+                a = "yes"
+                support = {0}
+            else:
+                w2 = _unique_worlds(rng, 1, seen_works)[0]
+                q = (f"Did {w['person']} release an album on the label "
+                     f"{w2['label']}?")
+                a = "no"
+                support = {0}
+                extra_support_paras = [
+                    (f"{w2['work']} (album)",
+                     f"{w2['work']} is an album by {w2['person']}. It "
+                     f"was released in {w2['year']} on the label "
+                     f"{w2['label']}.")]
+        else:
+            # v25 HOP-RESOLVED threshold count: "released after W" — the
+            # threshold year is not written in the question; it must be
+            # read off the anchor member first (solved threshold counts
+            # take a literal year/count from the question)
+            sibs = _siblings(rng, w, seen_works, count=3)
+            n_after = int(rng.integers(1, 4))            # 1..3 after w
+            lo = [y for y in range(1950, w["year"])]
+            hi = [y for y in range(w["year"] + 1, 2020)]
+            if not lo or len(hi) < 3:
+                w["year"] = 1985
+                lo = [y for y in range(1950, 1985)]
+                hi = [y for y in range(1986, 2020)]
+            used = set()
+            for j, s in enumerate(sibs):
+                pool = hi if j < n_after else lo
+                while True:
+                    y = int(pool[int(rng.integers(0, len(pool)))])
+                    if y not in used:
+                        used.add(y)
+                        s["year"] = y
+                        break
+            q = (f"How many albums on the label {w['label']} were "
+                 f"released after {w['work']}?")
+            a = str(n_after)
+            extra_aliases = [{1: "one"}.get(n_after,
+                                            _NUM_WORDS.get(n_after))]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
@@ -2221,7 +2342,7 @@ def main() -> int:
             fh.write(json.dumps(it) + "\n")
     kinds = {}
     for i, it in enumerate(items):
-        kinds[i % 82] = kinds.get(i % 82, 0) + 1
+        kinds[i % N_KINDS] = kinds.get(i % N_KINDS, 0) + 1
     n_multi = sum(v for k, v in kinds.items()
                   if k in (0, 1, 4, 5, 6, 9, 16, 17, 26, 30, 32, 34, 35,
                            46, 49, 50, 53))
@@ -2232,7 +2353,7 @@ def main() -> int:
                           38, 39, 40, 41, 42, 43, 44, 45, 47, 48,
                           51, 52))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-81 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-85 cycle) "
           f"-> {args.out}")
     return 0
 

@@ -11,7 +11,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
 from gen_synth_musique import make_items  # noqa: E402
 
-N_KINDS = 82
+N_KINDS = 86
 
 
 def _mk(seed, n=N_KINDS * 2):
@@ -49,10 +49,17 @@ def test_gold_consistency_per_kind():
         sup_blob = " ".join(p["paragraph_text"] for p in it["paragraphs"]
                             if p["is_supporting"])
         if kind in (10, 13, 23, 24, 27, 37, 39, 40, 48, 52, 56, 59, 60,
-                    62, 65, 67, 68, 73, 75, 76, 81):  # nums
+                    62, 65, 67, 68, 73, 75, 76, 81, 82, 85):  # nums
             assert it["answer"].isdigit(), (i, kind, it["answer"])
-        elif kind in (12, 21, 35, 41, 44, 45, 61, 69, 71, 80):  # polarity
+        elif kind in (12, 21, 35, 41, 44, 45, 61, 69, 71, 80, 84):  # polarity
             assert it["answer"] in ("yes", "no")
+        elif kind == 83:                    # multi-answer: two titles
+            parts = it["answer"].split(" and ")
+            assert len(parts) == 2, (i, it["answer"])
+            titles = " ".join(p["title"] for p in it["paragraphs"]
+                              if p["is_supporting"])
+            for t in parts:
+                assert t in sup_blob or t in titles, (i, t)
         elif kind == 79:                                 # decade surface
             assert re.fullmatch(r"(?:19|20)\d0s", it["answer"]), \
                 (i, it["answer"])
@@ -108,6 +115,15 @@ def test_kind21_yes_no_balance():
     items = _mk(1, n=N_KINDS * 6)
     answers = [it["answer"] for i, it in enumerate(items)
                if i % N_KINDS == 21]
+    assert len(set(answers)) == 2, answers
+
+
+def test_kind84_yes_no_balance():
+    """The negative-existence kind draws yes/no ~50/50 — a constant
+    strategy must not score 1.0."""
+    items = _mk(1, n=N_KINDS * 8)
+    answers = [it["answer"] for i, it in enumerate(items)
+               if i % N_KINDS == 84]
     assert len(set(answers)) == 2, answers
 
 
