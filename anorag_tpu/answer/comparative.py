@@ -2574,6 +2574,177 @@ def coerce_state_answer(question: str, answer: str,
     return answer, []
 
 
+# "What is the average number of tracks across the albums on the label
+# L?" (v25 kind 82) — the MEAN over the set's attribute counts; every
+# solved aggregate is a sum, difference, count, or extremum
+_ATTR_AVG_RE = re.compile(
+    r"\b(?:what\s+is\s+)?the\s+average\s+number\s+of\s+"
+    r"(?P<attr>tracks|songs|discs|minutes)\s+"
+    r"(?:across|over|among|of|for)\s+the\s+"
+    r"(?:album|work|record|song|release)s\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_attr_average(question: str, graph: Optional[NoteGraph],
+                        candidates: Sequence[Dict[str, Any]]
+                        ) -> Optional[Dict[str, Any]]:
+    m = _ATTR_AVG_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2:
+        return None
+    pool = list(candidates or ()) + list(graph.notes.values())
+    total = 0
+    support: List[int] = []
+    for work, _y, paras in entries:
+        c = _attr_count(work, m.group("attr"), pool)
+        if c is None:
+            return None      # a member without a count: the mean is unsound
+        total += c[0]
+        support += [p for p in paras if p not in support]
+        support += [p for p in c[1] if p not in support]
+    n = len(entries)
+    ans = str(total // n) if total % n == 0 else f"{total / n:g}"
+    return {"answer": ans, "support_idxs": support,
+            "method": "attr_average"}
+
+
+# "Which albums on the label L were released in the D0s?" (v25 kind 83)
+# — PLURAL enumeration: the gold is the full decade membership joined
+# with "and" (the singular decade stage requires a unique hit)
+_DECADE_ENUM_RE = re.compile(
+    r"\b(?:which|what)\s+(?:album|work|record|song|release)s\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:was|were|got|came)\s+"
+    r"(?:released|out|put\s+out|issued|published)\s+in\s+the\s+"
+    r"(?P<dec>1[0-9]{2}|20[0-9])0s\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_decade_enum(question: str, graph: Optional[NoteGraph],
+                       candidates: Sequence[Dict[str, Any]]
+                       ) -> Optional[Dict[str, Any]]:
+    m = _DECADE_ENUM_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2 or any(y < 0 for _, y, _ in entries):
+        return None
+    lo = int(m.group("dec")) * 10
+    hits = sorted([e for e in entries if lo <= e[1] < lo + 10],
+                  key=lambda e: e[1])
+    if len(hits) < 2:
+        return None          # unique hit: the singular decade stage's case
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": " and ".join(w for w, _, _ in hits),
+            "support_idxs": support, "method": "decade_enum"}
+
+
+# "Did P release an album on the label L?" (v25 kind 84) — existence of
+# a performer->work->label path; the "no" polarity asserts the ABSENCE
+# of an edge, so it requires the asked label to be a live in-corpus
+# anchor (an unknown label falls through to the unanswerable gates)
+_EXISTS_RELEASE_RE = re.compile(
+    r"\bdid\s+(?P<p>.+?)\s+(?:release|put\s+out|issue|record)\s+"
+    r"(?:an?\s+)?(?:album|work|record|song|release)\s+"
+    r"(?:on|through|under|with)\s+(?:the\s+label\s+)?"
+    r"(?P<label>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_release_existence(question: str, graph: Optional[NoteGraph],
+                             candidates: Sequence[Dict[str, Any]]
+                             ) -> Optional[Dict[str, Any]]:
+    m = _EXISTS_RELEASE_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    person, label = m.group("p").strip(), m.group("label").strip()
+    pkey = graph.resolve_tail(person)
+    lkey = graph.resolve_tail(label)
+    if pkey is None or lkey is None:
+        return None
+    works = [(head, nid) for rel, head, nid in graph.rheads(pkey)
+             if rel == "performed_by"]
+    if not works:
+        return None
+    lbase = re.sub(r"\s*\([^)]*\)\s*$", "", label).strip().lower()
+    support: List[int] = []
+    yes = False
+    for w, nid in works:
+        note = graph.notes.get(nid, {})
+        support += [p for p in (note.get("paragraph_idxs") or [])
+                    if p not in support]
+        wkey = graph.resolve_head(w)
+        for rel, tail, nid2, _wt, _pp in graph.neighbors(wkey or w):
+            if rel not in _SET_RELS:
+                continue
+            n2 = graph.notes.get(nid2, {})
+            support += [p for p in (n2.get("paragraph_idxs") or [])
+                        if p not in support]
+            if tail == lkey or str(tail).lower() == lbase:
+                yes = True
+    if not yes:
+        # absence: the asked label's own roster notes prove the claim
+        roster = [nid for rel, _h, nid in graph.rheads(lkey)
+                  if rel in _SET_RELS]
+        if not roster:
+            return None          # label never anchors a release: unsound
+        for nid in roster:
+            n2 = graph.notes.get(nid, {})
+            support += [p for p in (n2.get("paragraph_idxs") or [])
+                        if p not in support]
+    return {"answer": "yes" if yes else "no", "support_idxs": support,
+            "method": "release_existence"}
+
+
+# "How many albums on the label L were released after W?" (v25 kind 85)
+# — threshold count whose cut year is HOP-RESOLVED from the anchor
+# member (solved threshold counts take a literal year/count from the
+# question)
+_COUNT_AFTER_RE = re.compile(
+    r"\bhow\s+many\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:was|were|got|came)\s+"
+    r"(?:released|out|put\s+out|issued|published)\s+"
+    r"(?P<dir>after|before)\s+(?P<anchor>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_count_after_anchor(question: str, graph: Optional[NoteGraph],
+                              candidates: Sequence[Dict[str, Any]]
+                              ) -> Optional[Dict[str, Any]]:
+    m = _COUNT_AFTER_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    anchor = m.group("anchor").strip()
+    if re.fullmatch(r"(?:1[0-9]{3}|20[0-9]{2})", anchor):
+        return None              # literal-year cut: the solved stages' case
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2 or any(y < 0 for _, y, _ in entries):
+        return None
+    abase = anchor.lower()
+    anchor_y = next((y for w, y, _ in entries if w.lower() == abase), None)
+    if anchor_y is None:
+        got = _year_from_graph(anchor, ("released_in",), graph)
+        if got is None:
+            return None
+        anchor_y = got[0]
+    after = m.group("dir").lower() == "after"
+    hits = [e for e in entries
+            if e[0].lower() != abase
+            and ((e[1] > anchor_y) if after else (e[1] < anchor_y))]
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": str(len(hits)), "support_idxs": support,
+            "method": "count_after_anchor"}
+
+
 def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                       candidates: Sequence[Dict[str, Any]]
                       ) -> Optional[Dict[str, Any]]:
@@ -2582,6 +2753,7 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
     for fn in (answer_spouse_at_time,
                answer_superl_attr_difference, answer_attr_difference,
                answer_decade_attr_superlative, answer_attr_ordinal,
+               answer_attr_average,
                answer_attr_superlative, answer_attr_argmax_year,
                answer_member_born_join, answer_count_not_decade,
                answer_decade_mode, answer_superl_attr_yesno,
@@ -2594,7 +2766,7 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                answer_attr_equal_count,
                answer_superlative_hop_unnamed,
                answer_forall_attr, answer_superlative_attr,
-               answer_same_label, answer_yesno,
+               answer_same_label, answer_release_existence, answer_yesno,
                answer_superlative_span, answer_superlative_spouse,
                answer_year_range, answer_years_apart,
                answer_same_attribute,
@@ -2603,9 +2775,11 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                answer_superlative_hop2,
                answer_label_of_superlative, answer_attr_sum,
                answer_superlative_hop, answer_superlative, answer_ordinal,
+               answer_decade_enum,
                answer_decade, answer_interval, answer_label_intersection,
                answer_attr_threshold_which, answer_inverse_hop_attr,
                answer_dual_label,
+               answer_count_after_anchor,
                answer_count_comparative, answer_conjunctive,
                answer_count_conjunctive, answer_count_threshold,
                answer_count_filtered, answer_count_hop, answer_count):
