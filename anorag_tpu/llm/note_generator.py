@@ -484,6 +484,7 @@ class AtomicNoteGenerator:
                     and not self._llm_notes_verified(parsed, ch)):
                 self.stats["grounding_fallback"] += 1
                 parsed = None
+            from_rule = False
             if parsed is None:
                 if not self.enable_rule_fallback:
                     continue
@@ -492,9 +493,70 @@ class AtomicNoteGenerator:
                 parsed = self._rule_fallback(
                     text, ch.get("sentences") or split_sentences(text),
                     title=ch.get("title") or "")
+                from_rule = True
+            elif parsed is not _EMPTY:
+                parsed = self._merged_raw(parsed)
             if parsed:
-                notes.extend(self._post_process(parsed, ch))
+                notes.extend(self._post_process(parsed, ch,
+                                                lift_quota=from_rule))
         return notes
+
+    @staticmethod
+    def _clip_sentences(text: str, max_chars: int) -> str:
+        """Clip to max_chars at a SENTENCE boundary. A hard slice cuts
+        mid-sentence, the trailing fragment fails the quality filter's
+        sentence-terminal gate, and the whole merged note silently
+        vanishes (measured: 4-sentence paragraphs lost their merged
+        info-complete note and the per-paragraph quota kept one
+        arbitrary sentence fact)."""
+        text = text.strip()
+        if len(text) <= max_chars:
+            return text
+        sents = re.split(r"(?<=[.!?])\s+", text)
+        out = ""
+        for s in sents:
+            cand = f"{out} {s}".strip()
+            if out and len(cand) > max_chars:
+                break
+            out = cand
+        return out[:max_chars] if out else text[:max_chars]
+
+    def _merged_raw(self, parsed: List[Any]) -> List[Any]:
+        """Prepend a merged info-complete note to a multi-note LLM output.
+
+        The bucketed per-paragraph quota (notes_llm.limit, quota 1)
+        assumes one information-COMPLETE note per paragraph; the rule
+        fallback builds that merged note itself, but a multi-note LLM
+        output left the quota keeping only the single highest-salience
+        fact — measured on the synthetic KB: every release-year/label
+        fact vanished and LLM-notes mode answered from distractors. The
+        merged note carries the union of the notes' text (keys re-derived
+        per sentence by extract_all_note_keys, same as the rule path's
+        merged note) and outranks the parts under the quota."""
+        notes = [r for r in parsed if isinstance(r, dict)
+                 and str(r.get("text") or "").strip()]
+        if len(notes) <= 1:
+            return parsed
+        ents: List[str] = []
+        for r in notes:
+            for e in (r.get("entities") or []):
+                e = str(e)
+                if e and e not in ents:
+                    ents.append(e)
+        sal = max(float(r.get("salience", 0.5) or 0.5) for r in notes)
+        merged = {
+            "text": self._clip_sentences(
+                " ".join(str(r.get("text")).strip() for r in notes),
+                self.max_note_chars),
+            "entities": ents[:16],
+            "source_sent_ids": sorted(
+                {int(s) for r in notes
+                 for s in (r.get("source_sent_ids") or [])
+                 if str(s).lstrip("-").isdigit()}),
+            "salience": min(1.0, sal + 0.1),
+        }
+        self.stats["llm_merged_note"] += 1
+        return [merged] + list(parsed)
 
     # ------------------------------------------------------- grounding gate
     _GROUND_YEAR_RE = re.compile(r"\b(?:1[89]\d{2}|20\d{2})\b")
@@ -609,14 +671,18 @@ class AtomicNoteGenerator:
                 and not self._llm_notes_verified(parsed, chunk)):
             self.stats["grounding_fallback"] += 1
             parsed = None
+        from_rule = False
         if not isinstance(parsed, list):
             if self.enable_rule_fallback:
                 self.stats["rule_fallback"] += 1
                 parsed = self._rule_fallback(text, sentences,
                                              title=chunk.get("title") or "")
+                from_rule = True
             else:
                 return []
-        return self._post_process(parsed, chunk)
+        else:
+            parsed = self._merged_raw(parsed)
+        return self._post_process(parsed, chunk, lift_quota=from_rule)
 
     def _call(self, prompt: str) -> str:
         try:
@@ -717,7 +783,8 @@ class AtomicNoteGenerator:
                     if e not in merged_ents:
                         merged_ents.append(e)
             merged = {
-                "text": " ".join(n["text"] for n in out)[: self.max_note_chars],
+                "text": self._clip_sentences(
+                    " ".join(n["text"] for n in out), self.max_note_chars),
                 "entities": merged_ents[:16],
                 "source_sent_ids": sorted({s for n in out for s in n["source_sent_ids"]}),
                 "salience": 0.6,
@@ -726,7 +793,8 @@ class AtomicNoteGenerator:
         return out[: self.max_notes_per_chunk]
 
     # -------------------------------------------------------- post process
-    def _post_process(self, raw_notes: List[Any], chunk: Dict[str, Any]) -> List[Dict[str, Any]]:
+    def _post_process(self, raw_notes: List[Any], chunk: Dict[str, Any],
+                      lift_quota: bool = False) -> List[Dict[str, Any]]:
         doc_id = str(chunk.get("doc_id", "unknown"))
         chunk_index = int(chunk.get("chunk_index", 0))
         allowed = chunk.get("sentence_ids")
@@ -776,7 +844,7 @@ class AtomicNoteGenerator:
                 out.append(note)
             else:
                 self.stats["quality_filtered"] += 1
-        return self._apply_limits(out)
+        return self._apply_limits(out, lift_quota=lift_quota)
 
     @staticmethod
     def _paragraph_idxs(raw: Dict[str, Any], chunk: Dict[str, Any]) -> List[int]:
@@ -790,9 +858,18 @@ class AtomicNoteGenerator:
             cur = [pid] + [i for i in cur if i != pid]
         return cur
 
-    def _apply_limits(self, notes: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+    def _apply_limits(self, notes: List[Dict[str, Any]],
+                      lift_quota: bool = False) -> List[Dict[str, Any]]:
+        """lift_quota: rule-fallback notes are one-per-sentence atomic
+        facts — the per-paragraph quota's premise (one info-complete LLM
+        note per paragraph) does not hold for them, and capping drops
+        relation triples the note graph needs (the LLM-free path lifts
+        the quota the same way, doc/processor.py::_RuleNoteGenerator)."""
         if self.limit_strategy != "bucketed" or not notes:
             return notes
+        base_quota = self.quota_per_bucket
+        if lift_quota:
+            base_quota = max(base_quota, 8)
         buckets: Dict[Any, List[Dict[str, Any]]] = defaultdict(list)
         for n in notes:
             key = (n.get("paragraph_idxs") or [None])[0]
@@ -800,6 +877,6 @@ class AtomicNoteGenerator:
         out = []
         for key, group in buckets.items():
             group.sort(key=lambda n: -float(n.get("salience", 0.5)))
-            quota = self.quota_per_bucket if key is not None else len(group)
+            quota = base_quota if key is not None else len(group)
             out.extend(group[: max(quota, 1)])
         return out
