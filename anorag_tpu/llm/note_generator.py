@@ -834,12 +834,55 @@ class AtomicNoteGenerator:
                 "rel": normalize_predicate(raw.get("rel")),
                 "tail_key": str(raw.get("tail_key") or ""),
             })
+            # LLM-provided secondary triples (the distilled models emit
+            # them; dropping them loses edges)
+            extra_triples: List[Dict[str, str]] = []
+            for sk in (raw.get("secondary_keys") or []):
+                if not isinstance(sk, dict):
+                    continue
+                sh = str(sk.get("head_key") or "")
+                st = str(sk.get("tail_key") or "")
+                if sh and st:
+                    extra_triples.append(
+                        {"head_key": sh,
+                         "rel": normalize_predicate(sk.get("rel")),
+                         "tail_key": st})
             if not note["head_key"] or not note["tail_key"]:
                 keys = extract_all_note_keys(
                     text, entities, self.rel_lexicon,
                     self.fallback_splitters, self.default_rel)
                 if keys:
                     note.update(keys)
+            else:
+                # the model named ONE primary triple, but its note text
+                # may pack the whole paragraph's facts (the distilled
+                # one-note-per-paragraph format): harvest rule triples
+                # from the text too, or every fact past the first
+                # vanishes from the note graph (measured: LLM-notes KBs
+                # carried one edge per paragraph, EM 0.21 vs 1.00 rule)
+                keys = extract_all_note_keys(
+                    text, entities, self.rel_lexicon,
+                    self.fallback_splitters, self.default_rel)
+                if keys:
+                    extra_triples.append(
+                        {k: keys[k] for k in
+                         ("head_key", "rel", "tail_key")})
+                    extra_triples += list(keys.get("secondary_keys") or [])
+            if extra_triples:
+                prim = (note.get("head_key"), note.get("rel"),
+                        note.get("tail_key"))
+                sec = list(note.get("secondary_keys") or [])
+                seen_sigs = {prim} | {
+                    (d.get("head_key"), d.get("rel"), d.get("tail_key"))
+                    for d in sec}
+                for d in extra_triples:
+                    sig = (d.get("head_key"), d.get("rel"),
+                           d.get("tail_key"))
+                    if all(sig) and sig not in seen_sigs:
+                        seen_sigs.add(sig)
+                        sec.append(d)
+                if sec:
+                    note["secondary_keys"] = sec
             if self.filter.passes(note):
                 out.append(note)
             else:
