@@ -385,6 +385,19 @@ to 86:
     label L were released after W?" — the threshold year must be read
     off the anchor member, not the question.
 
+v26 (round 3, session 8; left OPEN for round 4): the cycle widens
+to 90:
+  * kind 86, reverse ordinal: "the second most recent album on L" —
+    rank DESCENDING by year;
+  * kind 87, performer intersection: "Which performer released albums
+    on both the labels L1 and L2?" — the answer is the PERSON spanning
+    both rosters (solved intersection goes works -> label);
+  * kind 88, anchor-relative window count: "released within N years of
+    W" — a two-sided hop-resolved interval;
+  * kind 89, option-resolved 2-hop selection: "Whose spouse was born
+    in C: P1 or P2?" — each option resolves spouse_of -> born_in
+    before the filter picks one.
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -425,9 +438,14 @@ def _name(rng) -> str:
     return f"{word()} {word()}"
 
 
-def _world(rng, work_suffix=None, work_first=None):
-    """One item's facts: performer, work, spouse, label chain, cities."""
-    first = work_first or "".join(rng.choice(_SYL, 2)).capitalize()
+def _world(rng, work_suffix=None, work_first=None, syl=2):
+    """One item's facts: performer, work, spouse, label chain, cities.
+
+    syl: first-word syllable count for the work and label names. The
+    2-syllable space holds 400 first words (2000 labels); large n
+    exhausts it and the fresh-name rejection loops spin — callers
+    escalate to syl=3 under collision pressure (capacity x20)."""
+    first = work_first or "".join(rng.choice(_SYL, syl)).capitalize()
     suffix = work_suffix or str(rng.choice(_WORK_W))
     return {
         "person": _name(rng),
@@ -439,7 +457,8 @@ def _world(rng, work_suffix=None, work_first=None):
         # v6: ~40% of releases carry a day-month date the year must be
         # lifted from; fixed per world so question aliases can cite it
         "date": str(rng.choice(_DATES)) if rng.random() < 0.4 else None,
-        "label": f"{''.join(rng.choice(_SYL, 2)).capitalize()} {rng.choice(_LABEL_W)}",
+        "label": f"{''.join(rng.choice(_SYL, syl)).capitalize()} "
+                 f"{rng.choice(_LABEL_W)}",
         "founder": _name(rng),
         "founder_spouse": _name(rng),
         "founder_spouse_city": str(rng.choice(_CITIES)),
@@ -641,8 +660,10 @@ def _unique_worlds(rng, count, seen, **kw):
     (kinds 11/13: superlative argmin and count assume L's works are
     exactly the generated ones)."""
     out = []
+    tries = 0
     while len(out) < count:
-        w = _world(rng, **kw)
+        tries += 1
+        w = _world(rng, syl=2 if tries <= 200 else 3, **kw)
         if w["work"] not in seen and w["label"] not in seen:
             seen.add(w["work"])
             seen.add(w["label"])
@@ -655,8 +676,11 @@ def _siblings(rng, w, seen, count=2):
     w's and each other (superlative/count golds need a unique argmin)."""
     sibs = []
     years = {w["year"]}
+    tries = 0
     while len(sibs) < count:
-        first = "".join(rng.choice(_SYL, 2)).capitalize()
+        tries += 1
+        first = "".join(rng.choice(_SYL, 2 if tries <= 200 else 3)
+                        ).capitalize()
         suffix = str(rng.choice(_WORK_W))
         title = f"{first} {suffix}"
         year = int(rng.integers(1950, 2020))
@@ -676,8 +700,10 @@ def _performer_works(rng, w, seen, count=2):
     extremum)."""
     out = []
     years = {w["year"]}
+    tries = 0
     while len(out) < count:
-        alt = _world(rng)
+        tries += 1
+        alt = _world(rng, syl=2 if tries <= 200 else 3)
         if (alt["work"] in seen or alt["label"] in seen
                 or alt["year"] in years):
             continue
@@ -715,19 +741,21 @@ def _sibling_paragraph(sib, label, rng):
 def _spouse_album(rng, seen_works):
     """A fresh (work, label, year) performed by the item's spouse — the
     inverse-hop target for the chain-END kinds (53/56)."""
-    first2 = "".join(rng.choice(_SYL, 2)).capitalize()
+    tries = 0
     while True:
+        tries += 1
+        first2 = "".join(rng.choice(_SYL, 2 if tries <= 200 else 3)
+                         ).capitalize()
         w2 = f"{first2} {rng.choice(_WORK_W)}"
         if w2 not in seen_works:
             seen_works.add(w2)
             break
-        first2 = "".join(rng.choice(_SYL, 2)).capitalize()
     l2 = f"{''.join(rng.choice(_SYL, 2)).capitalize()} " \
          f"{rng.choice(_LABEL_W)}"
     return w2, l2, int(rng.integers(1950, 2020))
 
 
-N_KINDS = 86  # question-kind cycle width
+N_KINDS = 90  # question-kind cycle width
 
 _NUM_WORDS = {2: "two", 3: "three", 4: "four", 5: "five", 6: "six",
               7: "seven", 8: "eight", 9: "nine", 10: "ten", 11: "eleven",
@@ -2219,7 +2247,7 @@ def make_items(n: int, distractors: int, seed: int):
                      f"{w2['work']} is an album by {w2['person']}. It "
                      f"was released in {w2['year']} on the label "
                      f"{w2['label']}.")]
-        else:
+        elif kind == 85:
             # v25 HOP-RESOLVED threshold count: "released after W" — the
             # threshold year is not written in the question; it must be
             # read off the anchor member first (solved threshold counts
@@ -2249,6 +2277,91 @@ def make_items(n: int, distractors: int, seed: int):
             support = {0}
             extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
+        elif kind == 86:
+            # v26 REVERSE ordinal: "second most recent" ranks DESCENDING
+            # by year (the solved ordinal stage counts from the first
+            # release)
+            sibs = _siblings(rng, w, seen_works, count=3)
+            works = sorted([(w["year"], w["work"])]
+                           + [(s["year"], s["work"]) for s in sibs],
+                           reverse=True)
+            q = (f"What was the second most recent album released on "
+                 f"the label {w['label']}?")
+            a = works[1][1]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 87:
+            # v26 performer INTERSECTION across labels: the answer is
+            # the PERSON whose membership spans both rosters (the solved
+            # label intersection goes the other way: works -> label)
+            sibs = _siblings(rng, w, seen_works, count=1)
+            w2 = _unique_worlds(rng, 1, seen_works)[0]
+            sibs2 = _siblings(rng, w2, seen_works, count=1)
+            extra = _performer_works(rng, w, seen_works, count=1)[0]
+            extra["label"] = w2["label"]
+            q = (f"Which performer released albums on both the labels "
+                 f"{w['label']} and {w2['label']}?")
+            a = w["person"]
+            support = {0}
+            extra_support_paras = [
+                _performer_paragraph(extra, w["person"])]
+            extra_foil_paras = (
+                [(f"{w2['work']} (album)",
+                  f"{w2['work']} is an album by {w2['person']}. It was "
+                  f"released in {w2['year']} on the label "
+                  f"{w2['label']}.")]
+                + [_sibling_paragraph(s, w["label"], rng) for s in sibs]
+                + [_sibling_paragraph(s, w2["label"], rng)
+                   for s in sibs2])
+        elif kind == 88:
+            # v26 anchor-relative WINDOW count: a two-sided hop-resolved
+            # interval |year - anchor| <= N (v25's after/before is
+            # one-sided)
+            sibs = _siblings(rng, w, seen_works, count=3)
+            if w["year"] < 1958 or w["year"] > 2011:
+                w["year"] = int(rng.integers(1965, 2005))
+            nwin = int(rng.integers(3, 8))
+            n_in = 1 + int(rng.integers(0, 3))          # 1..3 inside
+            used = {w["year"]}
+            for j, s in enumerate(sibs):
+                while True:
+                    if j < n_in:
+                        y = w["year"] + int(rng.integers(-nwin, nwin + 1))
+                    else:
+                        y = int(rng.integers(1950, 2020))
+                        if abs(y - w["year"]) <= nwin:
+                            continue
+                    if 1950 <= y < 2020 and y not in used:
+                        used.add(y)
+                        s["year"] = y
+                        break
+            q = (f"How many albums on the label {w['label']} were "
+                 f"released within {nwin} years of {w['work']}?")
+            a = str(n_in)
+            extra_aliases = [{1: "one"}.get(n_in, _NUM_WORDS.get(n_in))]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        else:
+            # v26 option-resolved 2-hop selection: "Whose spouse was
+            # born in C: P1 or P2?" — each OPTION resolves spouse_of ->
+            # born_in before the filter picks one (the solved same-city
+            # kind compares two resolved cities for a yes/no)
+            w2 = next((o for o in worlds[i + 1:] + worlds[:i]
+                       if o is not w
+                       and o["spouse_city"] != w["spouse_city"]
+                       and o["work"] != w["work"]), None)
+            if w2 is None:
+                w2 = worlds[(i + 5) % n]
+            p1, p2 = w["person"], w2["person"]
+            if rng.random() < 0.5:
+                p1, p2 = p2, p1
+            q = (f"Whose spouse was born in {w['spouse_city']}: "
+                 f"{p1} or {p2}?")
+            a = w["person"]
+            support = {1, 2}
+            extra_support_world = (w2, [1, 2])
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
@@ -2353,7 +2466,7 @@ def main() -> int:
                           38, 39, 40, 41, 42, 43, 44, 45, 47, 48,
                           51, 52))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-85 cycle) "
+          f"unanswerable, {n_agg} aggregation, kinds 0-89 cycle) "
           f"-> {args.out}")
     return 0
 
