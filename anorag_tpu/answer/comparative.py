@@ -2745,6 +2745,152 @@ def answer_count_after_anchor(question: str, graph: Optional[NoteGraph],
             "method": "count_after_anchor"}
 
 
+# "How many albums on the label L were released within N years of W?"
+# (v26 kind 88) — TWO-sided hop-resolved interval |year - anchor| <= N;
+# the anchor member itself is not counted (ref parity target:
+# main_musique.py answer scoring — exact numeric strings)
+_COUNT_WITHIN_RE = re.compile(
+    r"\bhow\s+many\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:was|were|got|came)\s+"
+    r"(?:released|out|put\s+out|issued|published)\s+"
+    r"within\s+(?P<n>\d{1,3})\s+years?\s+of\s+(?P<anchor>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_count_within_anchor(question: str, graph: Optional[NoteGraph],
+                               candidates: Sequence[Dict[str, Any]]
+                               ) -> Optional[Dict[str, Any]]:
+    m = _COUNT_WITHIN_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    anchor = m.group("anchor").strip()
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2 or any(y < 0 for _, y, _ in entries):
+        return None
+    abase = anchor.lower()
+    anchor_y = next((y for w, y, _ in entries if w.lower() == abase), None)
+    if anchor_y is None:
+        got = _year_from_graph(anchor, ("released_in",), graph)
+        if got is None:
+            return None
+        anchor_y = got[0]
+    nwin = int(m.group("n"))
+    hits = [e for e in entries
+            if e[0].lower() != abase and abs(e[1] - anchor_y) <= nwin]
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": str(len(hits)), "support_idxs": support,
+            "method": "count_within_anchor"}
+
+
+# "Which performer released albums on both the labels L1 and L2?" (v26
+# kind 87) — the intersection runs person -> {labels}: reverse each
+# label to its works, hop each work to its performer, intersect the
+# performer sets (answer_label_intersection goes works -> label)
+_PERF_BOTH_RE = re.compile(
+    r"\b(?:which|what)\s+(?:performer|artist|singer|musician)\s+"
+    r"(?:released|recorded|put\s+out|issued)\s+"
+    r"(?:album|work|record|song|release)s?\s+on\s+"
+    r"both\s+(?:the\s+labels?\s+)?(?P<a>.+?)\s+and\s+(?P<b>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def _performers_on(label: str, graph: NoteGraph) -> Dict[str, List[int]]:
+    """{performer: support paras} over a label's roster — each reverse
+    released_on_label work hopped through its performed_by edge."""
+    key = graph.resolve_tail(label)
+    if key is None:
+        return {}
+    out: Dict[str, List[int]] = {}
+    for rel, work, note_id in graph.rheads(key):
+        if rel not in _SET_RELS_WIDE:
+            continue
+        hop = _hop_tail(graph, str(work), ("performed_by",))
+        if hop is None:
+            continue
+        note = graph.notes.get(note_id, {})
+        paras = out.setdefault(hop[0], [])
+        paras += [p for p in (note.get("paragraph_idxs") or []) + hop[1]
+                  if p not in paras]
+    return out
+
+
+def answer_performer_intersection(question: str,
+                                  graph: Optional[NoteGraph],
+                                  candidates: Sequence[Dict[str, Any]]
+                                  ) -> Optional[Dict[str, Any]]:
+    m = _PERF_BOTH_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    pa = _performers_on(m.group("a").strip(), graph)
+    pb = _performers_on(m.group("b").strip(), graph)
+    common = [k for k in pa if k in pb]
+    if len(common) != 1:
+        return None
+    person = common[0]
+    support = list(dict.fromkeys(pa[person] + pb[person]))
+    return {"answer": person, "support_idxs": support,
+            "method": "performer_intersection"}
+
+
+# "Whose spouse was born in C: P1 or P2?" (v26 kind 89) — each OPTION
+# resolves spouse_of -> born_in before the filter picks the one whose
+# resolved city matches (the solved same-city kind compares two resolved
+# cities for a yes/no; here the comparison SELECTS an option)
+_OPTION_SPOUSE_RE = re.compile(
+    r"\bwhose\s+(?:spouse|wife|husband|partner)\s+was\s+born\s+in\s+"
+    r"(?P<c>.+?)\s*[:,]\s*(?P<p1>.+?)\s+or\s+(?P<p2>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def _spouse_birth_city(graph: NoteGraph, person: str
+                       ) -> Optional[Tuple[str, List[int]]]:
+    """(spouse's birth city, support paras): spouse_of then born_in."""
+    sp = _spouse_tail(graph, person)
+    if sp is None:
+        return None
+    skey = graph.resolve_head(sp[0])
+    if skey is None:
+        return None
+    for rel, city, nid, _w, _p in graph.neighbors(skey):
+        if rel != "born_in":
+            continue
+        note = graph.notes.get(nid, {})
+        paras = sp[1] + [p for p in (note.get("paragraph_idxs") or [])
+                         if p not in sp[1]]
+        return str(city), paras
+    return None
+
+
+def answer_option_spouse_born(question: str, graph: Optional[NoteGraph],
+                              candidates: Sequence[Dict[str, Any]]
+                              ) -> Optional[Dict[str, Any]]:
+    m = _OPTION_SPOUSE_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    want = m.group("c").split(",")[0].strip().lower()
+    opts = [m.group("p1").strip(), m.group("p2").strip()]
+    resolved = []
+    for p in opts:
+        got = _spouse_birth_city(graph, p)
+        if got is None:
+            return None
+        resolved.append(got)
+    hits = [i for i, (city, _) in enumerate(resolved)
+            if city.split(",")[0].strip().lower() == want]
+    if len(hits) != 1:
+        return None
+    # BOTH options' chains are evidence: the loser's resolved city is
+    # what rules it out
+    support: List[int] = []
+    for _, paras in resolved:
+        support += [p for p in paras if p not in support]
+    return {"answer": opts[hits[0]], "support_idxs": support,
+            "method": "option_spouse_born"}
+
+
 def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                       candidates: Sequence[Dict[str, Any]]
                       ) -> Optional[Dict[str, Any]]:
@@ -2777,6 +2923,8 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                answer_superlative_hop, answer_superlative, answer_ordinal,
                answer_decade_enum,
                answer_decade, answer_interval, answer_label_intersection,
+               answer_performer_intersection, answer_option_spouse_born,
+               answer_count_within_anchor,
                answer_attr_threshold_which, answer_inverse_hop_attr,
                answer_dual_label,
                answer_count_after_anchor,

@@ -150,7 +150,7 @@ def test_generated_musique_all_kinds(tmp_path):
     cfg.set("embedding.backend", "hash")
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
-    items = make_items(164, distractors=4, seed=9)  # 2 of each of 82 kinds
+    items = make_items(180, distractors=4, seed=9)  # 2 of each of 90 kinds
     preds = []
     for it in items:
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
@@ -202,6 +202,16 @@ def test_generated_musique_all_kinds(tmp_path):
     # across two labels) recorded floor EM 0.0 on the four new kinds;
     # closed by the attr_ordinal, decade_mode, superl_attr_yesno, and
     # count_union stages (EM 1.00, supF1 1.00 on all four).
+    # v25 (kinds 82-85: attribute average, decade enumeration, negative
+    # release existence, hop-resolved threshold count) closed by the
+    # attr_average, decade_enum, release_existence, and
+    # count_after_anchor stages (EM 1.00, supF1 1.00 on all four).
+    # v26 (kinds 86-89: reverse ordinal, performer intersection across
+    # labels, anchor-relative window count, option-resolved 2-hop
+    # selection) recorded floor EM 9/16 ~ 0.56 on the four new kinds;
+    # closed by the descending rank already in answer_ordinal plus the
+    # performer_intersection, count_within_anchor, and
+    # option_spouse_born stages (EM 20/20, supF1 1.00).
     # any individual miss outside `tolerated_kinds` is a regression.
     # When a vN adds unsolved kinds, list them here until closed.
     tolerated_kinds: set = set()
@@ -212,9 +222,9 @@ def test_generated_musique_all_kinds(tmp_path):
         if not it.get("answerable", True):
             continue
         i = int(p["id"].split("_")[1])
-        if i % 82 in tolerated_kinds:
+        if i % 90 in tolerated_kinds:
             continue
         assert answer_em(p.get("predicted_answer") or "",
                          gold_aliases(it)) == 1.0, \
-            (p["id"], i % 82, it["question"], it["answer"],
+            (p["id"], i % 90, it["question"], it["answer"],
              p.get("predicted_answer"))
