@@ -398,6 +398,20 @@ to 90:
     in C: P1 or P2?" — each option resolves spouse_of -> born_in
     before the filter picks one.
 
+v27 (round 3, session 8): the v26 kinds closed same session
+(performer_intersection, count_within_anchor, option_spouse_born
+stages; reverse ordinal fell to the existing descending rank), so the
+cycle widens to 94:
+  * kind 90, two-anchor interval count: "released between W1 and W2"
+    — BOTH bounds hop-resolved, exclusive of the anchors;
+  * kind 91, 4-step chain on the resolved extremum: "In which city was
+    the spouse of the performer of the most recent album on L born?";
+  * kind 92, distinct count over a hop-resolved attribute: "In how
+    many different cities were the performers of the albums on L
+    born?" — the tally deduplicates resolved cities;
+  * kind 93, same-year selection: the filter year is hop-resolved and
+    the equality needs the tied pair every solved stage refuses.
+
 Usage: gen_synth_musique.py out.jsonl [--n 200] [--distractors 12] [--seed 0]
 """
 from __future__ import annotations
@@ -755,7 +769,7 @@ def _spouse_album(rng, seen_works):
     return w2, l2, int(rng.integers(1950, 2020))
 
 
-N_KINDS = 90  # question-kind cycle width
+N_KINDS = 94  # question-kind cycle width
 
 _NUM_WORDS = {2: "two", 3: "three", 4: "four", 5: "five", 6: "six",
               7: "seven", 8: "eight", 9: "nine", 10: "ten", 11: "eleven",
@@ -2343,7 +2357,7 @@ def make_items(n: int, distractors: int, seed: int):
             support = {0}
             extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
-        else:
+        elif kind == 89:
             # v26 option-resolved 2-hop selection: "Whose spouse was
             # born in C: P1 or P2?" — each OPTION resolves spouse_of ->
             # born_in before the filter picks one (the solved same-city
@@ -2362,6 +2376,95 @@ def make_items(n: int, distractors: int, seed: int):
             a = w["person"]
             support = {1, 2}
             extra_support_world = (w2, [1, 2])
+        elif kind == 90:
+            # v27 two-anchor interval count: "released between W1 and
+            # W2" — BOTH bounds hop-resolved from anchor members
+            # (v17 interval takes literal years; v26 window takes one
+            # anchor + a literal width), exclusive of the anchors
+            sibs = _siblings(rng, w, seen_works, count=4)
+            if w["year"] > 1995:
+                w["year"] = int(rng.integers(1955, 1995))
+            gap = int(rng.integers(10, 24))
+            y1, y2 = w["year"], w["year"] + gap
+            anchor2 = sibs[0]
+            anchor2["year"] = y2
+            n_in = 1 + int(rng.integers(0, 2))          # 1..2 inside
+            used = {y1, y2}
+            for j, s in enumerate(sibs[1:]):
+                while True:
+                    if j < n_in:
+                        y = int(rng.integers(y1 + 1, y2))
+                    else:
+                        y = int(rng.integers(1950, 2020))
+                        if y1 <= y <= y2:
+                            continue
+                    if 1950 <= y < 2020 and y not in used:
+                        used.add(y)
+                        s["year"] = y
+                        break
+            q = (f"How many albums on the label {w['label']} were "
+                 f"released between {w['work']} and {anchor2['work']}?")
+            a = str(n_in)
+            extra_aliases = [{1: "one"}.get(n_in, _NUM_WORDS.get(n_in))]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 91:
+            # v27 FOUR-step chain on the resolved extremum: superlative
+            # -> performed_by -> spouse_of -> born_in (superlative_spouse
+            # stops at the marriage edge; this reads the spouse's city)
+            sibs = _siblings(rng, w, seen_works, count=3)
+            for s in sibs:
+                if s["year"] >= w["year"]:
+                    s["year"] = int(rng.integers(1950, w["year"]))
+                    while s["year"] in {x["year"] for x in sibs
+                                        if x is not s} | {w["year"]}:
+                        s["year"] = int(rng.integers(1950, w["year"]))
+            q = (f"In which city was the spouse of the performer of the "
+                 f"most recent album released on the label {w['label']} "
+                 f"born?")
+            a, akey = w["spouse_city"], "spouse_city"
+            support = {0, 1, 2}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 92:
+            # v27 DISTINCT count over a hop-resolved attribute: each
+            # member's performer resolves born_in, then the count
+            # deduplicates cities (solved counts tally members directly)
+            sibs = _siblings(rng, w, seen_works, count=3)
+            others = [c for c in _CITIES if c != w["city"]]
+            picks = rng.permutation(len(others))
+            n_extra = int(rng.integers(1, 3))           # 1..2 fresh cities
+            pool = [w["city"]] + [others[int(p)]
+                                  for p in picks[:n_extra]]
+            sib_cities = [pool[int(rng.integers(0, len(pool)))]
+                          for _ in sibs]
+            n_distinct = len(set([w["city"]] + sib_cities))
+            q = (f"In how many different cities were the performers of "
+                 f"the albums on the label {w['label']} born?")
+            a = str(n_distinct)
+            extra_aliases = [{1: "one"}.get(n_distinct,
+                                            _NUM_WORDS.get(n_distinct))]
+            support = {0, 1}
+            extra_support_paras = (
+                [_sibling_paragraph(s, w["label"], rng) for s in sibs]
+                + [(s["person"], f"{s['person']} was born in {c}.")
+                   for s, c in zip(sibs, sib_cities)])
+        else:
+            # v27 same-year selection: "Which album on the label L was
+            # released in the same year as W?" — the filter year is
+            # hop-resolved AND the equality must tolerate the tied pair
+            # (every solved superlative/ordinal refuses ties)
+            sibs = _siblings(rng, w, seen_works, count=3)
+            twin = sibs[0]
+            twin["year"] = w["year"]
+            twin["date"] = None
+            q = (f"Which album on the label {w['label']} was released "
+                 f"in the same year as {w['work']}?")
+            a = twin["work"]
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
@@ -2466,8 +2569,8 @@ def main() -> int:
                           38, 39, 40, 41, 42, 43, 44, 45, 47, 48,
                           51, 52))
     print(f"wrote {len(items)} items ({n_multi} multi-hop, {n_unans} "
-          f"unanswerable, {n_agg} aggregation, kinds 0-89 cycle) "
-          f"-> {args.out}")
+          f"unanswerable, {n_agg} aggregation, kinds 0-{N_KINDS - 1} "
+          f"cycle) -> {args.out}")
     return 0
 
 

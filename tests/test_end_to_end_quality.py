@@ -150,7 +150,7 @@ def test_generated_musique_all_kinds(tmp_path):
     cfg.set("embedding.backend", "hash")
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
-    items = make_items(180, distractors=4, seed=9)  # 2 of each of 90 kinds
+    items = make_items(188, distractors=4, seed=9)  # 2 of each of 94 kinds
     preds = []
     for it in items:
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
@@ -212,9 +212,14 @@ def test_generated_musique_all_kinds(tmp_path):
     # closed by the descending rank already in answer_ordinal plus the
     # performer_intersection, count_within_anchor, and
     # option_spouse_born stages (EM 20/20, supF1 1.00).
+    # v27 (kinds 90-93: two-anchor interval count, 4-step chain on the
+    # resolved extremum, distinct count over a hop-resolved attribute,
+    # same-year selection) recorded floor EM 0.967 / supF1 0.978 on the
+    # 188-item CLI sheet — kind 91 fell to existing machinery; kinds
+    # 90/92/93 at 0/2 each.
     # any individual miss outside `tolerated_kinds` is a regression.
     # When a vN adds unsolved kinds, list them here until closed.
-    tolerated_kinds: set = set()
+    tolerated_kinds: set = {90, 92, 93}
     from anorag_tpu.eval.musique import answer_em, gold_aliases
     by_id = {it["id"]: it for it in items}
     for p in preds:
@@ -222,9 +227,9 @@ def test_generated_musique_all_kinds(tmp_path):
         if not it.get("answerable", True):
             continue
         i = int(p["id"].split("_")[1])
-        if i % 90 in tolerated_kinds:
+        if i % 94 in tolerated_kinds:
             continue
         assert answer_em(p.get("predicted_answer") or "",
                          gold_aliases(it)) == 1.0, \
-            (p["id"], i % 90, it["question"], it["answer"],
+            (p["id"], i % 94, it["question"], it["answer"],
              p.get("predicted_answer"))
