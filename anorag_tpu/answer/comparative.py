@@ -31,7 +31,7 @@ from anorag_tpu.graph.note_graph import NoteGraph
 
 # superlative/ comparative ordinal -> pick min or max of the attribute
 _ORD_MIN = r"first|earliest|earlier|oldest"
-_ORD_MAX = r"last|latest|later|newest|most\s+recently"
+_ORD_MAX = r"last|latest|later|newest|most\s+recent(?:ly)?"
 
 # "Which (album|work|...) was released first, A or B?"  /
 # "Which was founded earlier: A or B?"
@@ -1924,6 +1924,65 @@ def answer_superlative_spouse(question: str, graph: Optional[NoteGraph],
             "method": "superlative_spouse"}
 
 
+# "In which city was the spouse of the performer of the most recent
+# album released on the label L born?" (v27 kind 91) — FOUR steps on the
+# resolved extremum: superlative -> performed_by -> spouse_of -> born_in
+# (superlative_spouse stops at the marriage edge)
+_SUPERL_SPOUSE_CITY_RE = re.compile(
+    r"\b(?:in\s+)?(?:which|what)\s+(?:city|town|place)\s+was\s+the\s+"
+    r"(?:spouse|wife|husband|partner)\s+of\s+the\s+"
+    r"(?P<role>performer|artist|singer)\s+of\s+the\s+"
+    r"(?P<ord>" + _ORD_MIN + r"|" + _ORD_MAX + r")\s+"
+    r"(?:album|work|record|song|release)\s+"
+    r"(?:released\s+|recorded\s+|put\s+out\s+)?"
+    r"(?:on|by|through|under)\s+(?:the\s+label\s+)?(?P<set>.+?)\s+"
+    r"born\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_superlative_spouse_city(question: str,
+                                   graph: Optional[NoteGraph],
+                                   candidates: Sequence[Dict[str, Any]]
+                                   ) -> Optional[Dict[str, Any]]:
+    m = _SUPERL_SPOUSE_CITY_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    if len(entries) < 2:
+        return None
+    ordinal = re.sub(r"\s+", " ", m.group("ord").lower())
+    best = min(entries, key=lambda t: t[1]) \
+        if re.fullmatch(_ORD_MIN, ordinal) else max(entries, key=lambda t: t[1])
+    if [y for _, y, _ in entries].count(best[1]) > 1:
+        return None                              # tied extremum: ambiguous
+    hop = _hop_tail(graph, best[0], ("performed_by",))
+    if hop is None:
+        return None
+    sp = _spouse_tail(graph, hop[0])
+    if sp is None:
+        return None
+    skey = graph.resolve_head(sp[0])
+    if skey is None:
+        return None
+    city = None
+    for rel, tail, nid, _w, _p in graph.neighbors(skey):
+        if rel == "born_in":
+            note = graph.notes.get(nid, {})
+            city = (str(tail), list(note.get("paragraph_idxs") or []))
+            break
+    if city is None:
+        return None
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    for p in hop[1] + sp[1] + city[1]:
+        if p not in support:
+            support.append(p)
+    return {"answer": city[0], "support_idxs": support,
+            "method": "superlative_spouse_city"}
+
+
 # "Were the performer of A and the performer of B born in the same city?"
 # (v9 kind 21) — two chains resolved independently, compared for identity.
 # v13 kind 35 asks same STATE: city surfaces may differ while the states
@@ -2785,6 +2844,148 @@ def answer_count_within_anchor(question: str, graph: Optional[NoteGraph],
             "method": "count_within_anchor"}
 
 
+# "How many albums on the label L were released between W1 and W2?"
+# (v27 kind 90) — BOTH interval bounds hop-resolved from anchor members,
+# exclusive of the anchors (the literal-year interval count and the
+# one-anchor window stages each resolve at most one bound)
+_COUNT_BETWEEN_RE = re.compile(
+    r"\bhow\s+many\s+(?:album|work|record|song|release)s?\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:was|were|got|came)\s+"
+    r"(?:released|out|put\s+out|issued|published)\s+"
+    r"between\s+(?P<a>.+?)\s+and\s+(?P<b>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+_LITERAL_YEAR = r"(?:1[0-9]{3}|20[0-9]{2})"
+
+
+def answer_count_between_anchors(question: str,
+                                 graph: Optional[NoteGraph],
+                                 candidates: Sequence[Dict[str, Any]]
+                                 ) -> Optional[Dict[str, Any]]:
+    m = _COUNT_BETWEEN_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    a, b = m.group("a").strip(), m.group("b").strip()
+    if re.fullmatch(_LITERAL_YEAR, a) or re.fullmatch(_LITERAL_YEAR, b):
+        return None              # literal bounds: the solved stages' case
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2 or any(y < 0 for _, y, _ in entries):
+        return None
+    bases = {a.lower(), b.lower()}
+    bounds = []
+    for surf in (a, b):
+        y = next((y for w, y, _ in entries
+                  if w.lower() == surf.lower()), None)
+        if y is None:
+            got = _year_from_graph(surf, ("released_in",), graph)
+            if got is None:
+                return None
+            y = got[0]
+        bounds.append(y)
+    lo, hi = min(bounds), max(bounds)
+    hits = [e for e in entries
+            if e[0].lower() not in bases and lo < e[1] < hi]
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": str(len(hits)), "support_idxs": support,
+            "method": "count_between_anchors"}
+
+
+# "In how many different cities were the performers of the albums on
+# the label L born?" (v27 kind 92) — the tally DEDUPLICATES the
+# hop-resolved attribute (solved counts tally members directly)
+_DISTINCT_CITY_RE = re.compile(
+    r"\b(?:in\s+)?how\s+many\s+(?:different|distinct)\s+"
+    r"(?:cities|towns|places)\s+(?:were|are)\s+the\s+"
+    r"(?:performer|artist|singer|musician)s\s+of\s+the\s+"
+    r"(?:album|work|record|song|release)s\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+born\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def _born_city(graph: NoteGraph, person: str
+               ) -> Optional[Tuple[str, List[int]]]:
+    """(birth city, note paras) off the person's born_in edge."""
+    key = graph.resolve_head(person)
+    if key is None:
+        return None
+    for rel, city, nid, _w, _p in graph.neighbors(key):
+        if rel == "born_in":
+            note = graph.notes.get(nid, {})
+            return str(city), list(note.get("paragraph_idxs") or [])
+    return None
+
+
+def answer_distinct_birth_cities(question: str,
+                                 graph: Optional[NoteGraph],
+                                 candidates: Sequence[Dict[str, Any]]
+                                 ) -> Optional[Dict[str, Any]]:
+    m = _DISTINCT_CITY_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2:
+        return None
+    cities = set()
+    support: List[int] = []
+    for work, _y, paras in entries:
+        hop = _hop_tail(graph, work, ("performed_by",))
+        if hop is None:
+            return None          # a member without a performer: bail
+        got = _born_city(graph, hop[0])
+        if got is None:
+            return None          # a performer without a birth fact
+        cities.add(got[0].split(",")[0].strip().lower())
+        for p in paras + hop[1] + got[1]:
+            if p not in support:
+                support.append(p)
+    return {"answer": str(len(cities)), "support_idxs": support,
+            "method": "distinct_birth_cities"}
+
+
+# "Which album on the label L was released in the same year as W?" (v27
+# kind 93) — the filter year is hop-resolved AND the selection needs the
+# tied pair every solved superlative/ordinal refuses
+_SAME_YEAR_RE = re.compile(
+    r"\b(?:which|what)\s+(?:album|work|record|song|release)\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:was|were|got|came)\s+"
+    r"(?:released|out|put\s+out|issued|published)\s+"
+    r"in\s+the\s+same\s+year\s+as\s+(?P<anchor>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_same_year_member(question: str, graph: Optional[NoteGraph],
+                            candidates: Sequence[Dict[str, Any]]
+                            ) -> Optional[Dict[str, Any]]:
+    m = _SAME_YEAR_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    anchor = m.group("anchor").strip()
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2:
+        return None
+    abase = anchor.lower()
+    anchor_y = next((y for w, y, _ in entries if w.lower() == abase), None)
+    if anchor_y is None:
+        got = _year_from_graph(anchor, ("released_in",), graph)
+        if got is None:
+            return None
+        anchor_y = got[0]
+    hits = [e for e in entries
+            if e[0].lower() != abase and e[1] == anchor_y]
+    if len(hits) != 1:
+        return None                        # zero or several: ambiguous
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    return {"answer": hits[0][0], "support_idxs": support,
+            "method": "same_year_member"}
+
+
 # "Which performer released albums on both the labels L1 and L2?" (v26
 # kind 87) — the intersection runs person -> {labels}: reverse each
 # label to its works, hop each work to its performer, intersect the
@@ -2913,7 +3114,8 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                answer_superlative_hop_unnamed,
                answer_forall_attr, answer_superlative_attr,
                answer_same_label, answer_release_existence, answer_yesno,
-               answer_superlative_span, answer_superlative_spouse,
+               answer_superlative_span, answer_superlative_spouse_city,
+               answer_superlative_spouse,
                answer_year_range, answer_years_apart,
                answer_same_attribute,
                answer_closest_release, answer_successor,
@@ -2924,7 +3126,8 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                answer_decade_enum,
                answer_decade, answer_interval, answer_label_intersection,
                answer_performer_intersection, answer_option_spouse_born,
-               answer_count_within_anchor,
+               answer_count_within_anchor, answer_count_between_anchors,
+               answer_distinct_birth_cities, answer_same_year_member,
                answer_attr_threshold_which, answer_inverse_hop_attr,
                answer_dual_label,
                answer_count_after_anchor,
