@@ -336,6 +336,14 @@ def answer_yesno(question: str, graph: Optional[NoteGraph],
             "method": "yesno"}
 
 
+def _note_paras(graph: NoteGraph, note_id: Any) -> List[int]:
+    """Support paragraphs of one note — used when an anchor resolves via
+    _year_from_graph (off-set anchor) so its evidence still lands in
+    support_idxs, matching what _label_set does for in-set members."""
+    note = graph.notes.get(note_id, {})
+    return list(note.get("paragraph_idxs") or [])
+
+
 def _label_set(set_surface: str, graph: Optional[NoteGraph]
                ) -> List[Tuple[str, int, List[int]]]:
     """All (work, year, support paras) anchored to set_surface — a label
@@ -2787,12 +2795,14 @@ def answer_count_after_anchor(question: str, graph: Optional[NoteGraph],
     if len(entries) < 2 or any(y < 0 for _, y, _ in entries):
         return None
     abase = anchor.lower()
+    anchor_paras: List[int] = []
     anchor_y = next((y for w, y, _ in entries if w.lower() == abase), None)
     if anchor_y is None:
         got = _year_from_graph(anchor, ("released_in",), graph)
         if got is None:
             return None
         anchor_y = got[0]
+        anchor_paras = _note_paras(graph, got[1])
     after = m.group("dir").lower() == "after"
     hits = [e for e in entries
             if e[0].lower() != abase
@@ -2800,6 +2810,7 @@ def answer_count_after_anchor(question: str, graph: Optional[NoteGraph],
     support: List[int] = []
     for _, _, paras in entries:
         support += [p for p in paras if p not in support]
+    support += [p for p in anchor_paras if p not in support]
     return {"answer": str(len(hits)), "support_idxs": support,
             "method": "count_after_anchor"}
 
@@ -2828,18 +2839,21 @@ def answer_count_within_anchor(question: str, graph: Optional[NoteGraph],
     if len(entries) < 2 or any(y < 0 for _, y, _ in entries):
         return None
     abase = anchor.lower()
+    anchor_paras: List[int] = []
     anchor_y = next((y for w, y, _ in entries if w.lower() == abase), None)
     if anchor_y is None:
         got = _year_from_graph(anchor, ("released_in",), graph)
         if got is None:
             return None
         anchor_y = got[0]
+        anchor_paras = _note_paras(graph, got[1])
     nwin = int(m.group("n"))
     hits = [e for e in entries
             if e[0].lower() != abase and abs(e[1] - anchor_y) <= nwin]
     support: List[int] = []
     for _, _, paras in entries:
         support += [p for p in paras if p not in support]
+    support += [p for p in anchor_paras if p not in support]
     return {"answer": str(len(hits)), "support_idxs": support,
             "method": "count_within_anchor"}
 
@@ -2874,6 +2888,7 @@ def answer_count_between_anchors(question: str,
         return None
     bases = {a.lower(), b.lower()}
     bounds = []
+    anchor_paras: List[int] = []
     for surf in (a, b):
         y = next((y for w, y, _ in entries
                   if w.lower() == surf.lower()), None)
@@ -2882,6 +2897,7 @@ def answer_count_between_anchors(question: str,
             if got is None:
                 return None
             y = got[0]
+            anchor_paras += _note_paras(graph, got[1])
         bounds.append(y)
     lo, hi = min(bounds), max(bounds)
     hits = [e for e in entries
@@ -2889,6 +2905,7 @@ def answer_count_between_anchors(question: str,
     support: List[int] = []
     for _, _, paras in entries:
         support += [p for p in paras if p not in support]
+    support += [p for p in anchor_paras if p not in support]
     return {"answer": str(len(hits)), "support_idxs": support,
             "method": "count_between_anchors"}
 
@@ -2938,7 +2955,9 @@ def answer_distinct_birth_cities(question: str,
         got = _born_city(graph, hop[0])
         if got is None:
             return None          # a performer without a birth fact
-        cities.add(got[0].split(",")[0].strip().lower())
+        # Dedupe on the FULL normalized city string: gold tallies raw
+        # distinct surfaces, so "Springfield, OH" != "Springfield, IL".
+        cities.add(got[0].strip().lower())
         for p in paras + hop[1] + got[1]:
             if p not in support:
                 support.append(p)
@@ -2969,12 +2988,14 @@ def answer_same_year_member(question: str, graph: Optional[NoteGraph],
     if len(entries) < 2:
         return None
     abase = anchor.lower()
+    anchor_paras: List[int] = []
     anchor_y = next((y for w, y, _ in entries if w.lower() == abase), None)
     if anchor_y is None:
         got = _year_from_graph(anchor, ("released_in",), graph)
         if got is None:
             return None
         anchor_y = got[0]
+        anchor_paras = _note_paras(graph, got[1])
     hits = [e for e in entries
             if e[0].lower() != abase and e[1] == anchor_y]
     if len(hits) != 1:
@@ -2982,6 +3003,7 @@ def answer_same_year_member(question: str, graph: Optional[NoteGraph],
     support: List[int] = []
     for _, _, paras in entries:
         support += [p for p in paras if p not in support]
+    support += [p for p in anchor_paras if p not in support]
     return {"answer": hits[0][0], "support_idxs": support,
             "method": "same_year_member"}
 

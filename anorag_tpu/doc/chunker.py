@@ -47,6 +47,33 @@ _RELATED_PAIRS = {
 }
 
 
+def _read_docx(path: Path) -> str:
+    """Minimal OOXML paragraph extraction — a .docx is a zip whose
+    word/document.xml holds <w:p> paragraphs of <w:t> text runs (ref
+    doc/chunker.py reads docx via python-docx; stdlib-only here).
+    Tabs and explicit line breaks become spaces; paragraphs join with
+    blank lines so split_paragraphs sees the document structure."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    ns = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+    with zipfile.ZipFile(path) as zf:
+        with zf.open("word/document.xml") as fh:
+            root = ET.parse(fh).getroot()
+    paras: List[str] = []
+    for p in root.iter(f"{ns}p"):
+        runs: List[str] = []
+        for node in p.iter():
+            if node.tag == f"{ns}t":
+                runs.append(node.text or "")
+            elif node.tag in (f"{ns}tab", f"{ns}br", f"{ns}cr"):
+                runs.append(" ")
+        text = "".join(runs).strip()
+        if text:
+            paras.append(text)
+    return "\n\n".join(paras)
+
+
 class DocumentChunker:
     def __init__(self, max_chunk_chars: int = 512, overlap_chars: int = 0,
                  min_chunk_chars: int = 20, strategy: str = "sentence"):
@@ -76,8 +103,8 @@ class DocumentChunker:
             text = path.read_text(encoding="utf-8")
             return [{"id": path.stem, "title": path.stem, "text": text}]
         if suffix == ".docx":
-            logger.warning("docx not supported without python-docx; skipping %s", path)
-            return []
+            text = _read_docx(path)
+            return [{"id": path.stem, "title": path.stem, "text": text}]
         raise ValueError(f"unsupported document type: {path}")
 
     # ----------------------------------------------------------- doc entry

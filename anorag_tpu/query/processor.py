@@ -70,6 +70,19 @@ from anorag_tpu.validators.note_validator import normalize_note
 
 logger = get_logger("anorag.query")
 
+# polar (yes/no) question shape: leads with an auxiliary and carries no
+# wh-word — such questions may only be answered yes/no/insufficient
+_POLAR_LEAD = re.compile(
+    r"^(?:does|do|did|is|are|was|were|has|have|had|can|could|will|would|"
+    r"should|must)\b", re.IGNORECASE)
+_WH_WORD = re.compile(
+    r"\b(?:who|whom|whose|what|which|where|when|why|how)\b", re.IGNORECASE)
+
+
+def _is_polar_question(q: str) -> bool:
+    q = (q or "").strip()
+    return bool(_POLAR_LEAD.match(q)) and not _WH_WORD.search(q)
+
 
 def filter_notes_by_namespace(candidates: List[Dict[str, Any]],
                               namespace: Optional[str]) -> List[Dict[str, Any]]:
@@ -853,6 +866,15 @@ class QueryProcessor:
                 comp["answer"], selected, existing_idxs=[], query=query)
             return {"answer": comp["answer"], "support_idxs": sup,
                     "answerable": True, "method": comp["method"],
+                    "context": context}
+        # polar-question guard: a yes/no-shaped question whose exact-math
+        # stage declined (tied extremum, missing facts) must NEVER be
+        # answered with an entity span by the selector/EFSA below — an
+        # album title is always wrong for "Does X have more tracks than
+        # Y?" (seed-9 synth_174 regression, VERDICT r3 weak #1)
+        if _is_polar_question(query):
+            return {"answer": "insufficient information", "support_idxs": [],
+                    "answerable": False, "method": "polar_gate",
                     "context": context}
         # (a) relation-chain selector
         if self.answer_selector_enabled and self.answer_selector_before_llm:

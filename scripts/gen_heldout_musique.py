@@ -1,0 +1,187 @@
+"""Held-out paraphrase sheet: the solver-blind eval protocol.
+
+Takes the standard synthetic items (scripts/gen_synth_musique.py — the
+94-kind cycle the solver WAS tuned on) and rewrites question and evidence
+SURFACES with paraphrase rules authored in this file only. The rules are
+deliberately kept out of the solver's sight: nothing in anorag_tpu/ may
+import this module or mirror its phrase bank, and the measured floor is
+recorded WITHOUT same-session solver patches (VERDICT r3 next-step #1 —
+the reference's protocol is an external dataset + fixed official scorer,
+/root/reference/run_evaluation.py:29-60; this is the in-image stand-in).
+
+Semantics are preserved exactly: rewrites touch template words only, never
+entity names, years, dates, or number words, so every gold answer, alias
+list, and support label of the source item remains valid verbatim.
+
+Usage:
+    python scripts/gen_heldout_musique.py out.jsonl --n 188 --seed 77
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+# --------------------------------------------------------------- evidence
+# Each rule: (compiled pattern over one PARAGRAPH, list of replacement
+# templates). Replacements reuse the captured entity/number groups, so the
+# facts survive; only the connective tissue changes. Patterns anchor on
+# the generator's sentence templates (generator-aware is fair game — the
+# protocol is blind to the SOLVER, not the data-maker).
+_E = [
+    # perform: "P recorded the album W."
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) recorded the album ([^.]+)\."),
+     [r"The album \2 was laid down by \1.",
+      r"\2 is a recording by \1."]),
+    # perform: "W is an album performed by P." / "... by P." / "a record by P."
+    (re.compile(r"([^.]+?) is an album performed by ([^.]+)\."),
+     [r"\1 is an album; the performing artist is \2.",
+      r"On \1, the performance is by \2."]),
+    (re.compile(r"([^.]+?) is an (album|record) by ([^.]+)\."),
+     [r"\1 is a \2 whose credited artist is \3.",
+      r"\1 — a \2 from \3."]),
+    # release (year form): "It was released in Y on the label L."
+    (re.compile(r"It was released in ([^.]+?) on the label ([^.]+)\."),
+     [r"The label \2 released it in \1.",
+      r"Its release, in \1, came via the label \2."]),
+    (re.compile(r"It came out in ([^.]+?) on the label ([^.]+)\."),
+     [r"The label \2 brought it out in \1."]),
+    (re.compile(r"It was put out in ([^.]+?) by the label ([^.]+)\."),
+     [r"The label \2 put it out in \1."]),
+    # release (dated form): "It was released on D Y on the label L."
+    (re.compile(r"It was released on ([^.]+?) on the label ([^.]+)\."),
+     [r"The label \2 released it on \1."]),
+    (re.compile(r"It came out on ([^.]+?) through the label ([^.]+)\."),
+     [r"The label \2 issued it on \1."]),
+    # appositive: "W, an album by P, was released R on the label L."
+    (re.compile(r"([^.]+?), an album by ([^.]+?), was released "
+                r"(in [^.]+?|on [^.]+?) on the label ([^.]+)\."),
+     [r"Released \3 on the label \4, \1 is an album by \2."]),
+    (re.compile(r"([^.]+?), a record by ([^.]+?), came out "
+                r"(in [^.]+?|on [^.]+?) on the label ([^.]+)\."),
+     [r"Out \3 on the label \4, \1 is a record by \2."]),
+    # spouse: "X married Y." / "X wed Y." / "X's spouse is Y."
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) married ([^.]+)\."),
+     [r"\1 and \2 married."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) wed ([^.]+)\."),
+     [r"\1 and \2 wed."]),
+    (re.compile(r"The spouse of ([^.]+?) is ([^.]+)\."),
+     [r"\2 is the spouse of \1."]),
+    (re.compile(r"([\w' ]+?)'s spouse is ([^.]+)\."),
+     [r"\2 is \1's spouse."]),
+    # born: "X was born in C." / "X is a native of C." / "X hails from C."
+    (re.compile(r"([\w' ]+?) was born in ([^.]+)\."),
+     [r"\2 is the birthplace of \1.",
+      r"\1's place of birth is \2."]),
+    (re.compile(r"([\w' ]+?) is a native of ([^.]+)\."),
+     [r"\1's home town is \2."]),
+    (re.compile(r"([\w' ]+?) hails from ([^.]+)\."),
+     [r"\1 comes from \2."]),
+    # founded: "L was founded by F." / "F established L." / "F founded L."
+    (re.compile(r"([^.]+?) was founded by ([^.]+)\."),
+     [r"\2 set up \1."]),
+    (re.compile(r"([^.]+?) was started by ([^.]+)\."),
+     [r"\2 got \1 off the ground."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) established ([^.]+)\."),
+     [r"\2 was established by \1."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) founded ([^.]+)\."),
+     [r"\2 was founded by \1."]),
+    # tracks: "It features N tracks."
+    (re.compile(r"It features ([\w-]+) tracks\."),
+     [r"There are \1 tracks on it.",
+      r"The track count is \1."]),
+    # marriage restatement: "X is married to Y."
+    (re.compile(r"([\w' ]+?) is married to ([^.]+)\."),
+     [r"\1's marriage is to \2."]),
+]
+
+# --------------------------------------------------------------- question
+_Q = [
+    (re.compile(r"\breleased on the label ([A-Z][\w' ]+)"),
+     [r"that the label \1 put out",
+      r"released on \1"]),
+    (re.compile(r"\bIn which city was ([^?]+?) born\?"),
+     [r"What city is the birthplace of \1?",
+      r"Which city was \1 born in?"]),
+    (re.compile(r"\bHow many (albums|works|records|songs)\b"),
+     [r"What is the number of \1 that",
+      r"Count the \1:? how many"]),
+    (re.compile(r"\bhave more tracks than\b"),
+     [r"carry a greater number of tracks than",
+      r"have a higher track count than"]),
+    (re.compile(r"\bhave fewer tracks than\b"),
+     [r"carry a smaller number of tracks than"]),
+    (re.compile(r"\balbum\b"),
+     [r"LP", r"full-length release"]),
+    (re.compile(r"^"),
+     [r"According to these paragraphs, ",
+      r"Based on the passages: "]),
+]
+
+
+def _apply(text: str, rules, rng, p: float) -> str:
+    for pat, reps in rules:
+        if rng.random() >= p:
+            continue
+        rep = reps[int(rng.integers(0, len(reps)))]
+        text = pat.sub(rep, text)
+    return text
+
+
+def paraphrase_item(item: dict, rng, p_evidence: float = 0.8,
+                    p_question: float = 0.6) -> dict:
+    out = dict(item)
+    q = _apply(item["question"], _Q, rng, p_question)
+    # keep the leading capital sane after a prepend rule fires
+    out["question"] = q[0].upper() + q[1:] if q else q
+    paras = []
+    for para in item["paragraphs"]:
+        np_ = dict(para)
+        np_["paragraph_text"] = _apply(
+            para["paragraph_text"], _E, rng, p_evidence)
+        paras.append(np_)
+    out["paragraphs"] = paras
+    out["id"] = item["id"].replace("synth_", "heldout_")
+    return out
+
+
+def make_heldout(n: int, distractors: int, seed: int,
+                 p_evidence: float = 0.8, p_question: float = 0.6):
+    from gen_synth_musique import make_items
+    rng = np.random.default_rng(seed + 104729)   # distinct stream
+    return [paraphrase_item(it, rng, p_evidence, p_question)
+            for it in make_items(n, distractors=distractors, seed=seed)]
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("out")
+    ap.add_argument("--n", type=int, default=188)
+    ap.add_argument("--distractors", type=int, default=4)
+    ap.add_argument("--seed", type=int, default=77)
+    ap.add_argument("--p-evidence", type=float, default=0.8)
+    ap.add_argument("--p-question", type=float, default=0.6)
+    args = ap.parse_args()
+    items = make_heldout(args.n, args.distractors, args.seed,
+                         args.p_evidence, args.p_question)
+    with open(args.out, "w") as fh:
+        for it in items:
+            fh.write(json.dumps(it) + "\n")
+    changed_q = sum(1 for a, b in zip(
+        items, make_heldout(args.n, args.distractors, args.seed, 0.0, 0.0))
+        if a["question"] != b["question"])
+    print(f"wrote {len(items)} items to {args.out} "
+          f"({changed_q} questions rewritten)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

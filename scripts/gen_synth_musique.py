@@ -2145,9 +2145,16 @@ def make_items(n: int, distractors: int, seed: int):
             # comparison (the solved yesno compares release YEARS of
             # named options)
             sibs = _siblings(rng, w, seen_works)
+            used_years = {w["year"]}
             for s in sibs:
+                # distinct years: a tied max leaves "the last album"
+                # ill-defined (seed-9 synth_174 drew 1974 twice)
                 s["year"] = int(rng.integers(w["year"] + 1,
                                              w["year"] + 40))
+                while s["year"] in used_years:
+                    s["year"] = int(rng.integers(w["year"] + 1,
+                                                 w["year"] + 40))
+                used_years.add(s["year"])
             last = max(sibs, key=lambda s: s["year"])
             other = sibs[0] if last is sibs[1] else sibs[1]
             cs = [int(c) for c in rng.permutation(np.arange(2, 20))[:3]]
@@ -2414,6 +2421,11 @@ def make_items(n: int, distractors: int, seed: int):
             # -> performed_by -> spouse_of -> born_in (superlative_spouse
             # stops at the marriage edge; this reads the spouse's city)
             sibs = _siblings(rng, w, seen_works, count=3)
+            # Clamp the anchor year upward so >=3 free years exist below
+            # it (rng.integers(1950, 1950) raises; 1951-1952 leaves fewer
+            # free years than siblings -> the collision loop never exits).
+            if w["year"] < 1956:
+                w["year"] = int(rng.integers(1956, 2020))
             for s in sibs:
                 if s["year"] >= w["year"]:
                     s["year"] = int(rng.integers(1950, w["year"]))

@@ -138,6 +138,31 @@ def test_chunk_file_roundtrip(tmp_path):
     assert ch.chunk_file(t)
 
 
+def test_chunk_file_docx(tmp_path):
+    """A minimal hand-built OOXML docx round-trips through _read_docx:
+    paragraphs extracted in order, tabs/breaks become spaces."""
+    import zipfile
+
+    ns = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+    doc_xml = (
+        f'<?xml version="1.0"?><w:document xmlns:w="{ns}"><w:body>'
+        '<w:p><w:r><w:t>First paragraph about the album.</w:t></w:r></w:p>'
+        '<w:p><w:r><w:t>Second</w:t></w:r><w:r><w:tab/></w:r>'
+        '<w:r><w:t>paragraph with a tab and enough words here.</w:t></w:r></w:p>'
+        '<w:p><w:r><w:t xml:space="preserve"> </w:t></w:r></w:p>'  # blank: dropped
+        '</w:body></w:document>')
+    p = tmp_path / "doc.docx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("word/document.xml", doc_xml)
+        zf.writestr("[Content_Types].xml", "<Types/>")
+    chunks = DocumentChunker().chunk_file(p)
+    assert chunks, "docx produced no chunks"
+    joined = " ".join(c["text"] for c in chunks)
+    assert "First paragraph about the album." in joined
+    assert "Second paragraph with a tab" in joined
+    assert {c["paragraph_idx"] for c in chunks} == {0, 1}
+
+
 def test_clustering_pools(notes):
     emb = HashEmbedder(dim=64).encode([n["content"] for n in notes])
     tc = TopicClustering(n_clusters=4)
