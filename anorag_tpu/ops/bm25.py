@@ -753,14 +753,20 @@ def sparse_topm_from_sorted(
         valid_end = is_end & (doc_rows < n_docs)
         masked = jnp.where(valid_end, totals, _NEG_INF)
         mx = jnp.max(jnp.where(valid_end, totals, 0.0), axis=1, keepdims=True)
+    k_eff = min(m, l)          # rows narrower than m: clamp then pad
     if jax.default_backend() == "tpu" and l > 4 * m:
-        top_vals, top_pos = jax.lax.approx_max_k(masked, m, recall_target=0.98)
+        top_vals, top_pos = jax.lax.approx_max_k(masked, k_eff,
+                                                 recall_target=0.98)
     else:
-        top_vals, top_pos = jax.lax.top_k(masked, m)
+        top_vals, top_pos = jax.lax.top_k(masked, k_eff)
     top_docs = jnp.take_along_axis(doc_rows, top_pos, axis=1)
     live = top_vals > _NEG_INF / 2
     top_docs = jnp.where(live, top_docs, -1)
     top_vals = jnp.where(live, top_vals, 0.0)
+    if k_eff < m:
+        pad = ((0, 0), (0, m - k_eff))
+        top_vals = jnp.pad(top_vals, pad)
+        top_docs = jnp.pad(top_docs, pad, constant_values=-1)
     return masked, top_vals, top_docs, mx
 
 

@@ -67,7 +67,7 @@ _E = [
      [r"Released \3 on the label \4, \1 is an album by \2."]),
     (re.compile(r"([^.]+?), a record by ([^.]+?), came out "
                 r"(in [^.]+?|on [^.]+?) on the label ([^.]+)\."),
-     [r"Out \3 on the label \4, \1 is a record by \2."]),
+     [r"Issued \3 on the label \4, \1 is a record by \2."]),
     # spouse: "X married Y." / "X wed Y." / "X's spouse is Y."
     (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) married ([^.]+)\."),
      [r"\1 and \2 married."]),
@@ -112,8 +112,8 @@ _Q = [
      [r"What city is the birthplace of \1?",
       r"Which city was \1 born in?"]),
     (re.compile(r"\bHow many (albums|works|records|songs)\b"),
-     [r"What is the number of \1 that",
-      r"Count the \1:? how many"]),
+     [r"In total, how many \1",
+      r"Count the \1: how many"]),
     (re.compile(r"\bhave more tracks than\b"),
      [r"carry a greater number of tracks than",
       r"have a higher track count than"]),

@@ -517,3 +517,104 @@ def test_hybrid_bucketed_tiled_matches_unbucketed():
                                         jnp.asarray(inv), b_valids=bvs, **kw)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-5)
+
+
+def _sparse_case(rng, n_docs, b, l, max_seg):
+    """Random sorted posting rows with per-doc segments <= max_seg."""
+    rows = []
+    for _ in range(b):
+        nv = int(rng.integers(0, l + 1))
+        ids = np.sort(rng.integers(0, n_docs, nv)) if nv else np.empty(0, np.int64)
+        if nv:
+            v, c = np.unique(ids, return_counts=True)
+            ids = np.repeat(v, np.minimum(c, max_seg))
+        ids = np.concatenate([ids, np.full(max(l - len(ids), 0), n_docs)])
+        rows.append(ids[:l].astype(np.int32))
+    a = np.stack(rows)
+    w = np.where(a < n_docs,
+                 rng.random((b, l)).astype(np.float32) + 0.01, 0.0)
+    return a, w
+
+
+def test_window_winners_odd_shapes_parity():
+    """Interpret-mode parity for the windowed winners kernel at shapes
+    nothing rounds nicely at: B=1, B=3, L<lane width, L prime, n_docs
+    tiny, max_seg larger than any real segment (VERDICT r3 weak #7 —
+    odd-shape Mosaic parity belongs in the default suite, not behind
+    ANORAG_TPU_TESTS)."""
+    import jax.numpy as jnp
+    from anorag_tpu.ops.bm25 import sparse_topm_from_sorted, sparse_topm_winners
+
+    rng = np.random.default_rng(11)
+    for n_docs, b, l, max_seg in [(17, 1, 7, 4), (257, 3, 113, 8),
+                                  (64, 5, 640, 3), (1000, 2, 1021, 16),
+                                  (5, 4, 40, 32)]:
+        a, w = _sparse_case(rng, n_docs, b, l, max_seg)
+        ad, wd_ = jnp.asarray(a), jnp.asarray(w)
+        m = min(8, n_docs)
+        _, tv, td, mx = sparse_topm_from_sorted(ad, wd_, m, n_docs, impl="xla")
+        tv1, td1, mx1 = sparse_topm_winners(ad, wd_, m, n_docs, max_seg=max_seg)
+        np.testing.assert_allclose(np.asarray(mx1), np.asarray(mx),
+                                   rtol=1e-3, err_msg=f"{(n_docs, b, l, max_seg)}")
+        tv, td, tv1, td1 = map(np.asarray, (tv, td, tv1, td1))
+        for bi in range(b):
+            gold = {d: v for d, v in zip(td[bi], tv[bi]) if d >= 0}
+            got = {d: v for d, v in zip(td1[bi], tv1[bi]) if d >= 0}
+            for d in set(gold) & set(got):
+                np.testing.assert_allclose(
+                    got[d], gold[d], rtol=1e-3, atol=1e-5,
+                    err_msg=f"{(n_docs, b, l, max_seg)} doc {d}")
+
+
+def test_segment_scan_winners_odd_shapes_parity():
+    """Same odd-shape sweep for the general scan winners kernel
+    (max_seg=0 path) — duplicate-heavy rows exercise the segment scan."""
+    import jax.numpy as jnp
+    from anorag_tpu.ops.bm25 import sparse_topm_from_sorted, sparse_topm_winners
+
+    rng = np.random.default_rng(13)
+    for n_docs, b, l in [(29, 1, 19), (300, 3, 257), (9, 6, 90)]:
+        a, w = _sparse_case(rng, n_docs, b, l, max_seg=64)
+        ad, wd_ = jnp.asarray(a), jnp.asarray(w)
+        m = min(8, n_docs)
+        _, tv, td, mx = sparse_topm_from_sorted(ad, wd_, m, n_docs, impl="xla")
+        tv1, td1, mx1 = sparse_topm_winners(ad, wd_, m, n_docs, max_seg=0)
+        np.testing.assert_allclose(np.asarray(mx1), np.asarray(mx),
+                                   rtol=1e-3, err_msg=f"{(n_docs, b, l)}")
+        tv, td, tv1, td1 = map(np.asarray, (tv, td, tv1, td1))
+        for bi in range(b):
+            gold = {d: v for d, v in zip(td[bi], tv[bi]) if d >= 0}
+            got = {d: v for d, v in zip(td1[bi], tv1[bi]) if d >= 0}
+            for d in set(gold) & set(got):
+                np.testing.assert_allclose(
+                    got[d], gold[d], rtol=1e-3, atol=1e-5,
+                    err_msg=f"{(n_docs, b, l)} doc {d}")
+
+
+def test_bucket_topk_odd_shapes_parity():
+    """bucket_topk interpret-mode at odd shapes: n < w (exact regime),
+    n prime, D not a lane multiple, B=1, tiles>1 with ragged last tile."""
+    import jax.numpy as jnp
+    from anorag_tpu.ops.topk import bucket_topk
+
+    rng = np.random.default_rng(17)
+    for n, d, b, w, tiles in [(37, 48, 1, 64, 1), (1009, 100, 3, 256, 2),
+                              (513, 64, 2, 1024, 1), (130, 33, 4, 128, 3)]:
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        k = min(10, n)
+        v, i = bucket_topk(jnp.asarray(emb), jnp.asarray(q), k, w=w,
+                           tiles=tiles)
+        scores = q @ emb.T
+        oracle = np.sort(scores, axis=1)[:, ::-1][:, :k]
+        if n <= w:   # exact regime: values must match the oracle exactly
+            np.testing.assert_allclose(np.asarray(v), oracle, rtol=1e-4,
+                                       err_msg=f"{(n, d, b, w, tiles)}")
+        # returned (value, index) pairs must be internally consistent
+        got_v, got_i = np.asarray(v), np.asarray(i)
+        for bi in range(b):
+            np.testing.assert_allclose(got_v[bi], scores[bi, got_i[bi]],
+                                       rtol=1e-4, atol=1e-5,
+                                       err_msg=f"{(n, d, b, w, tiles)}")
