@@ -439,7 +439,14 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         "max_notes_per_chunk": 12,
         "max_note_chars": 200,
         "enable_rule_fallback": True,
-        "grounding": {"enabled": True, "min_entity_len": 3},
+        "grounding": {
+            "enabled": True, "min_entity_len": 3,
+            # repair-and-retry instead of reject-to-rule-notes: snap
+            # corrupted surfaces to source, regenerate once, patch
+            # coverage holes extractively (note_generator._repair_notes)
+            "repair": {"enabled": True, "min_ratio": 0.66,
+                       "augment_uncovered": True, "retry": True},
+        },
         "entities_fallback": {
             "enabled": True,
             "min_len": 2,

@@ -408,6 +408,11 @@ class AtomicNoteGenerator:
         gr = nl.get("grounding") or {}
         self.grounding_enabled = gr.get("enabled", True)
         self.grounding_min_len = int(gr.get("min_entity_len", 3))
+        rp = gr.get("repair") or {}
+        self.repair_enabled = rp.get("enabled", True)
+        self.repair_min_ratio = float(rp.get("min_ratio", 0.66))
+        self.repair_augment = rp.get("augment_uncovered", True)
+        self.repair_retry = rp.get("retry", True)
         self.early_stop = StreamingEarlyStop(self.sentinel)
         self.stats = defaultdict(int)
 
@@ -477,13 +482,61 @@ class AtomicNoteGenerator:
                     parsed_map[i] = parsed
                 else:
                     parsed_map[i] = None
+        # grounding: verify -> snap-repair -> one regeneration round ->
+        # extractive augment -> only then rule fallback (VERDICT r3 #2:
+        # the round-3 gate rejected whole chunks back to rule notes on
+        # any slip; repair keeps the model's output in the KB)
+        need_fix: List[int] = []
+        for i, ch in enumerate(chunks):
+            parsed = parsed_map.get(i, _EMPTY)
+            if parsed is None or parsed is _EMPTY:
+                continue
+            if self._llm_notes_verified(parsed, ch):
+                continue
+            if self.repair_enabled:
+                fixed = self._repair_notes(parsed, ch, augment=False)
+                if fixed is not None and self._grounding_ok(fixed, ch):
+                    parsed_map[i] = fixed
+                    self.stats["grounding_repair_ok"] += 1
+                    continue
+            need_fix.append(i)
+        if need_fix and self.repair_enabled and self.repair_retry:
+            self.stats["grounding_retry"] += len(need_fix)
+            g_prompts = []
+            for i in need_fix:
+                short = (chunks[i].get("text") or "")[: self.shorten_chars]
+                g_prompts.append(build_atomic_note_prompt(
+                    short, split_sentences(short),
+                    chunks[i].get("entity_cards") or []))
+            still: List[int] = []
+            for i, raw in zip(need_fix, self._call_batch(g_prompts)):
+                p2 = extract_json(raw)
+                if isinstance(p2, list) and p2:
+                    if self._grounding_ok(p2, chunks[i]):
+                        parsed_map[i] = p2
+                        self.stats["grounding_retry_ok"] += 1
+                        continue
+                    f2 = self._repair_notes(p2, chunks[i], augment=False)
+                    if f2 is not None and self._grounding_ok(f2, chunks[i]):
+                        parsed_map[i] = f2
+                        self.stats["grounding_retry_ok"] += 1
+                        continue
+                still.append(i)
+            need_fix = still
+        for i in need_fix:
+            fixed = (self._repair_notes(parsed_map[i], chunks[i],
+                                        augment=True)
+                     if self.repair_enabled and self.repair_augment
+                     else None)
+            if fixed is not None and self._grounding_ok(fixed, chunks[i]):
+                parsed_map[i] = fixed
+                self.stats["grounding_augment_ok"] += 1
+            else:
+                self.stats["grounding_fallback"] += 1
+                parsed_map[i] = None
         notes: List[Dict[str, Any]] = []
         for i, ch in enumerate(chunks):
             parsed = parsed_map.get(i, _EMPTY)
-            if (parsed is not None and parsed is not _EMPTY
-                    and not self._llm_notes_verified(parsed, ch)):
-                self.stats["grounding_fallback"] += 1
-                parsed = None
             from_rule = False
             if parsed is None:
                 if not self.enable_rule_fallback:
@@ -578,16 +631,29 @@ class AtomicNoteGenerator:
         ungrounded_note / uncovered_fact -> grounding_fallback)."""
         if not self.grounding_enabled:
             return True
+        ungrounded, uncovered = self._grounding_failures(parsed, chunk)
+        if ungrounded:
+            self.stats["ungrounded_note"] += 1
+            return False
+        if uncovered:
+            self.stats["uncovered_fact"] += 1
+            return False
+        return True
+
+    def _present(self, surface: str, blob: str) -> bool:
+        s = (surface or "").strip().casefold()
+        if len(s) < self.grounding_min_len and not s.isdigit():
+            return True
+        return re.search(r"(?<!\w)" + re.escape(s) + r"(?!\w)",
+                         blob) is not None
+
+    def _grounding_failures(self, parsed: List[Any],
+                            chunk: Dict[str, Any]):
+        """Both gate directions WITHOUT short-circuiting: repair needs the
+        full failure lists, not the first offender."""
         src = ((chunk.get("text") or "") + " " +
                (chunk.get("title") or "")).casefold()
-
-        def present(surface: str, blob: str) -> bool:
-            s = (surface or "").strip().casefold()
-            if len(s) < self.grounding_min_len and not s.isdigit():
-                return True
-            return re.search(r"(?<!\w)" + re.escape(s) + r"(?!\w)",
-                             blob) is not None
-
+        ungrounded: List[str] = []
         note_blob_parts: List[str] = []
         for raw in parsed:
             if not isinstance(raw, dict):
@@ -597,19 +663,123 @@ class AtomicNoteGenerator:
             surfaces = [str(e) for e in (raw.get("entities") or [])]
             surfaces += self._GROUND_YEAR_RE.findall(ntext)
             for s in surfaces:
-                if s and not present(s, src):
-                    self.stats["ungrounded_note"] += 1
-                    return False
+                if s and not self._present(s, src):
+                    ungrounded.append(s)
         blob = " ".join(note_blob_parts).casefold()
         text = chunk.get("text") or ""
         required = set(self._GROUND_YEAR_RE.findall(text))
         required.update(e for e in extract_entities_fallback(text)
                         if len(e) >= self.grounding_min_len)
-        for s in required:
-            if not present(s, blob):
-                self.stats["uncovered_fact"] += 1
-                return False
-        return True
+        uncovered = [s for s in required if not self._present(s, blob)]
+        return ungrounded, uncovered
+
+    def _grounding_ok(self, parsed: List[Any],
+                      chunk: Dict[str, Any]) -> bool:
+        """Stat-free re-verification (repair passes call this repeatedly;
+        only the FIRST failure should count in stats)."""
+        if not self.grounding_enabled:
+            return True
+        u, c = self._grounding_failures(parsed, chunk)
+        return not u and not c
+
+    def _repair_notes(self, parsed: List[Any], chunk: Dict[str, Any],
+                      augment: bool) -> Optional[List[Any]]:
+        """Repair LLM notes instead of rejecting the chunk wholesale.
+
+        Autoregressive byte-level note models mostly fail by SMALL
+        corruption — an entity off by a character, a year off by a
+        digit, one fact dropped — and rejecting the whole chunk output
+        (the round-3 gate) routed the pipeline back to rule notes on
+        every such slip. Repair keeps the model in the loop: (1) snap
+        each ungrounded entity to its closest source surface (difflib
+        ratio >= notes_llm.grounding.repair.min_ratio) in both the
+        entities list and the note text; (2) snap off-by-one-digit years
+        to the unique close source year; (3) drop notes whose surfaces
+        have no close source match (confabulation, not corruption); and
+        optionally (4, augment=True) patch remaining coverage holes with
+        extractive notes built from the exact source sentences that
+        carry the missing surfaces. Returns the repaired list, or None
+        when nothing survives."""
+        import difflib
+
+        text = chunk.get("text") or ""
+        title = chunk.get("title") or ""
+        src = (text + " " + title).casefold()
+        src_entities = extract_entities_fallback(text + " " + title)
+        if title and title not in src_entities:
+            src_entities.append(title)
+        src_years = list(dict.fromkeys(self._GROUND_YEAR_RE.findall(text)))
+        out: List[Dict[str, Any]] = []
+        for raw in parsed:
+            if not isinstance(raw, dict):
+                continue
+            ntext = str(raw.get("text") or "")
+            ents = [str(e) for e in (raw.get("entities") or [])]
+            ok = True
+            for j, e in enumerate(ents):
+                if self._present(e, src):
+                    continue
+                best, best_r = None, 0.0
+                for c in src_entities:
+                    r = difflib.SequenceMatcher(
+                        None, e.casefold(), c.casefold()).ratio()
+                    if r > best_r:
+                        best, best_r = c, r
+                if best is not None and best_r >= self.repair_min_ratio:
+                    ents[j] = best
+                    ntext = re.sub(
+                        r"(?<!\w)" + re.escape(e) + r"(?!\w)",
+                        best.replace("\\", r"\\"), ntext,
+                        flags=re.IGNORECASE)
+                    self.stats["repaired_entity"] += 1
+                else:
+                    self.stats["dropped_ungrounded_note"] += 1
+                    ok = False
+                    break
+            if not ok:
+                continue
+            for y in set(self._GROUND_YEAR_RE.findall(ntext)):
+                if self._present(y, src):
+                    continue
+                close = [c for c in src_years if len(c) == len(y)
+                         and sum(a != b for a, b in zip(y, c)) <= 1]
+                if len(close) == 1:
+                    ntext = re.sub(r"(?<!\w)" + y + r"(?!\w)", close[0],
+                                   ntext)
+                    self.stats["repaired_year"] += 1
+                else:
+                    self.stats["dropped_ungrounded_note"] += 1
+                    ok = False
+                    break
+            if not ok:
+                continue
+            fixed = dict(raw)
+            fixed["text"] = ntext
+            fixed["entities"] = ents
+            out.append(fixed)
+        if augment:
+            sentences = chunk.get("sentences") or split_sentences(text)
+            blob = " ".join(str(r.get("text") or "")
+                            for r in out).casefold()
+            required = set(self._GROUND_YEAR_RE.findall(text))
+            required.update(e for e in extract_entities_fallback(text)
+                            if len(e) >= self.grounding_min_len)
+            add_sids: List[int] = []
+            for s in required:
+                if self._present(s, blob):
+                    continue
+                for i, sent in enumerate(sentences):
+                    if i not in add_sids and self._present(
+                            s, sent.casefold()):
+                        add_sids.append(i)
+                        break
+            for i in sorted(add_sids):
+                sent = sentences[i].strip()
+                out.append({"text": sent[: self.max_note_chars],
+                            "entities": extract_entities_fallback(sent),
+                            "source_sent_ids": [i], "salience": 0.45})
+                self.stats["augmented_note"] += 1
+        return out or None
 
     def _call_batch(self, prompts: List[str]) -> List[str]:
         if not prompts:
@@ -669,8 +839,41 @@ class AtomicNoteGenerator:
                     self.stats["parse_retry_ok"] += 1
         if (isinstance(parsed, list) and parsed
                 and not self._llm_notes_verified(parsed, chunk)):
-            self.stats["grounding_fallback"] += 1
-            parsed = None
+            # repair -> retry -> augment -> fallback (mirror of the
+            # batched path; see _generate_batched)
+            fixed = (self._repair_notes(parsed, chunk, augment=False)
+                     if self.repair_enabled else None)
+            if fixed is not None and self._grounding_ok(fixed, chunk):
+                self.stats["grounding_repair_ok"] += 1
+                parsed = fixed
+            else:
+                if self.repair_enabled and self.repair_retry:
+                    self.stats["grounding_retry"] += 1
+                    short = text[: self.shorten_chars]
+                    p2 = extract_json(self._call(build_atomic_note_prompt(
+                        short, split_sentences(short),
+                        chunk.get("entity_cards") or [])))
+                    if isinstance(p2, list) and p2:
+                        if self._grounding_ok(p2, chunk):
+                            self.stats["grounding_retry_ok"] += 1
+                            parsed, fixed = p2, p2
+                        else:
+                            f2 = self._repair_notes(p2, chunk,
+                                                    augment=False)
+                            if f2 is not None and \
+                                    self._grounding_ok(f2, chunk):
+                                self.stats["grounding_retry_ok"] += 1
+                                parsed, fixed = f2, f2
+                if fixed is None or not self._grounding_ok(fixed, chunk):
+                    aug = (self._repair_notes(parsed, chunk, augment=True)
+                           if self.repair_enabled and self.repair_augment
+                           else None)
+                    if aug is not None and self._grounding_ok(aug, chunk):
+                        self.stats["grounding_augment_ok"] += 1
+                        parsed = aug
+                    else:
+                        self.stats["grounding_fallback"] += 1
+                        parsed = None
         from_rule = False
         if not isinstance(parsed, list):
             if self.enable_rule_fallback:

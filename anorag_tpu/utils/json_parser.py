@@ -23,6 +23,14 @@ def _candidates(text: str) -> List[str]:
     for m in _FENCE_RE.finditer(text):
         cands.append(m.group(1).strip())
     cands.append(text)
+    # A truncated top-level list outranks any balanced inner object: the
+    # first balanced {...} of a cut-off note list is ONE note, and
+    # returning it as a dict silently drops the rest (see _salvage_list).
+    lb, ob = text.find("["), text.find("{")
+    if lb >= 0 and (ob < 0 or lb < ob):
+        salvaged = _salvage_list(text)
+        if salvaged is not None:
+            cands.append(salvaged)
     # First balanced {...} or [...] span — whichever opener appears first.
     openers = [(text.find(o), o, c) for o, c in (("{", "}"), ("[", "]")) if text.find(o) >= 0]
     for start, opener, closer in sorted(openers):
@@ -57,6 +65,51 @@ def _repair(blob: str) -> str:
     return blob
 
 
+def _salvage_list(text: str) -> Optional[str]:
+    """Salvage complete leading objects from a TRUNCATED JSON list.
+
+    A bounded generation budget (serve_llm --max-new, jax provider
+    max_new) cuts long note lists mid-object; the complete leading
+    objects — including the merged info-complete note that leads every
+    distilled note list — are still valid. Returns a re-closed list
+    literal, or None when the list closed properly (not a truncation)
+    or no object completed."""
+    start = text.find("[")
+    if start < 0:
+        return None
+    objs: List[str] = []
+    depth = 0
+    in_str = False
+    esc = False
+    obj_start = -1
+    for i in range(start + 1, len(text)):
+        ch = text[i]
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch == "{":
+            if depth == 0:
+                obj_start = i
+            depth += 1
+        elif ch == "}":
+            depth -= 1
+            if depth == 0 and obj_start >= 0:
+                objs.append(text[obj_start : i + 1])
+                obj_start = -1
+        elif ch == "]" and depth == 0:
+            return None
+    if not objs:
+        return None
+    return "[" + ",".join(objs) + "]"
+
+
 def extract_json(text: str) -> Optional[Any]:
     """Best-effort parse of the first JSON value in `text`."""
     for cand in _candidates(text):
@@ -65,6 +118,12 @@ def extract_json(text: str) -> Optional[Any]:
                 return json.loads(attempt)
             except Exception:
                 continue
+    salvaged = _salvage_list(text or "")
+    if salvaged is not None:
+        try:
+            return json.loads(_repair(salvaged))
+        except Exception:
+            pass
     return None
 
 

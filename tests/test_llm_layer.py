@@ -198,9 +198,10 @@ def test_note_generator_sent_id_violation():
     assert gen.stats["sent_id_violation"] == 1
 
 
-def test_note_generator_grounding_rejects_confabulated_entity():
-    # Note asserts an entity absent from the chunk -> whole LLM output
-    # rejected, rule fallback takes over.
+def test_note_generator_grounding_drops_confabulated_entity():
+    # Note asserts an entity with no close source surface -> that NOTE is
+    # dropped (confabulation, not corruption); coverage holes are patched
+    # extractively, so the chunk never falls back to rule notes.
     reply = json.dumps([{
         "text": "Crimson Dawn performed the song Blue Horizon.",
         "entities": ["Crimson Dawn", "Blue Horizon"],
@@ -209,22 +210,84 @@ def test_note_generator_grounding_rejects_confabulated_entity():
     gen = AtomicNoteGenerator(_note_llm(reply), ConfigLoader(auto_load=False))
     notes = gen.generate_atomic_notes([_chunk()])
     assert gen.stats["ungrounded_note"] == 1
+    assert gen.stats["dropped_ungrounded_note"] >= 1
+    assert gen.stats["augmented_note"] >= 1
+    assert gen.stats["grounding_fallback"] == 0
+    assert gen.stats["rule_fallback"] == 0
+    assert notes and all("Crimson Dawn" not in n["content"] for n in notes)
+
+
+def test_note_generator_grounding_reject_when_repair_disabled():
+    # Round-3 behavior is still reachable: repair off -> whole chunk
+    # output rejected, rule fallback takes over.
+    reply = json.dumps([{
+        "text": "Crimson Dawn performed the song Blue Horizon.",
+        "entities": ["Crimson Dawn", "Blue Horizon"],
+        "source_sent_ids": [0], "salience": 0.9,
+    }])
+    cfg = ConfigLoader(auto_load=False)
+    cfg.set("notes_llm.grounding.repair.enabled", False)
+    gen = AtomicNoteGenerator(_note_llm(reply), cfg)
+    notes = gen.generate_atomic_notes([_chunk()])
     assert gen.stats["grounding_fallback"] == 1
     assert gen.stats["rule_fallback"] == 1
     assert notes and all("Crimson Dawn" not in n["content"] for n in notes)
 
 
-def test_note_generator_grounding_rejects_dropped_fact():
-    # Notes ground OK but silently drop a chunk entity -> coverage fails.
+def test_note_generator_grounding_snaps_corrupted_entity():
+    # Byte-corrupted entity ("Aurora Lan") snaps to the source surface in
+    # both the entities list and the note text — the dominant failure mode
+    # of the byte-level distilled model.
+    reply = json.dumps([{
+        "text": "Aurora Lan performed the song Blue Horizon.",
+        "entities": ["Aurora Lan", "Blue Horizon"],
+        "source_sent_ids": [0], "salience": 0.9,
+    }, {
+        "text": "The album sold a million copies.",
+        "entities": [], "source_sent_ids": [1], "salience": 0.5,
+    }])
+    gen = AtomicNoteGenerator(_note_llm(reply), ConfigLoader(auto_load=False))
+    notes = gen.generate_atomic_notes([_chunk()])
+    assert gen.stats["repaired_entity"] == 1
+    assert gen.stats["grounding_repair_ok"] == 1
+    assert gen.stats["grounding_fallback"] == 0
+    assert any("Aurora Lane performed" in n["content"] for n in notes)
+    assert all("Aurora Lan " not in n["content"] for n in notes)
+
+
+def test_note_generator_grounding_augments_dropped_fact():
+    # Notes ground OK but silently drop a chunk entity -> the missing
+    # source sentence is added back as an extractive note.
     reply = json.dumps([{
         "text": "The album sold a million copies.",
         "entities": [],
         "source_sent_ids": [1], "salience": 0.5,
     }])
     gen = AtomicNoteGenerator(_note_llm(reply), ConfigLoader(auto_load=False))
-    gen.generate_atomic_notes([_chunk()])
+    notes = gen.generate_atomic_notes([_chunk()])
     assert gen.stats["uncovered_fact"] >= 1
-    assert gen.stats["grounding_fallback"] == 1
+    assert gen.stats["augmented_note"] >= 1
+    assert gen.stats["grounding_fallback"] == 0
+    assert any("Aurora Lane" in " ".join(n.get("entities") or [])
+               for n in notes)
+
+
+def test_note_generator_grounding_snaps_off_by_one_year():
+    reply = json.dumps([{
+        "text": "Blue Horizon was released in 1984.",
+        "entities": ["Blue Horizon"],
+        "source_sent_ids": [0], "salience": 0.8,
+    }])
+    chunk = dict(_chunk(), text="Blue Horizon was released in 1983. "
+                 "The album sold a million copies.",
+                 sentences=["Blue Horizon was released in 1983.",
+                            "The album sold a million copies."])
+    gen = AtomicNoteGenerator(_note_llm(reply), ConfigLoader(auto_load=False))
+    notes = gen.generate_atomic_notes([chunk])
+    assert gen.stats["repaired_year"] == 1
+    assert gen.stats["grounding_fallback"] == 0
+    assert any("1983" in n["content"] for n in notes)
+    assert all("1984" not in n["content"] for n in notes)
 
 
 def test_note_generator_grounding_accepts_complete_notes():

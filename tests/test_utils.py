@@ -51,6 +51,26 @@ def test_json_extraction_embedded_list():
     assert out == [{"x": "y"}]
 
 
+def test_json_extraction_salvages_truncated_list():
+    # A bounded generation budget cuts note lists mid-object; complete
+    # leading objects must survive (llm_notes mode: 163/1150 generations
+    # were lost to exactly this truncation at max_new=512).
+    out = json_parser.extract_json(
+        '[{"text": "A did B.", "entities": ["A"]},'
+        '{"text": "C did D.", "entities": ["C"]},'
+        '{"text": "E did')
+    assert out == [{"text": "A did B.", "entities": ["A"]},
+                   {"text": "C did D.", "entities": ["C"]}]
+    # truncated INSIDE a string (escape state must not leak)
+    out = json_parser.extract_json(
+        '[{"a": 1}, {"b": "unterminated \\" str')
+    assert out == [{"a": 1}]
+    # a properly closed list is not "salvaged" differently
+    assert json_parser.extract_json('[{"a": 1}]') == [{"a": 1}]
+    # no complete object -> still None
+    assert json_parser.extract_json('[{"a": ') is None
+
+
 def test_json_retry():
     calls = []
 
