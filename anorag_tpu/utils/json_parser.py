@@ -110,6 +110,61 @@ def _salvage_list(text: str) -> Optional[str]:
     return "[" + ",".join(objs) + "]"
 
 
+def _close_truncated(text: str) -> Optional[str]:
+    """Close a JSON value truncated MID-VALUE at its last stable point.
+
+    _salvage_list needs one complete object; when the generation budget
+    cuts inside the FIRST object (e.g. a merged note whose
+    secondary_keys overflow max_new), the complete leading fields are
+    still recoverable: trim back to the last comma/closer outside a
+    string, drop the dangling fragment, and close the open
+    bracket/brace stack. Returns the completed literal or None."""
+    start_candidates = [i for i in (text.find("["), text.find("{"))
+                        if i >= 0]
+    if not start_candidates:
+        return None
+    start = min(start_candidates)
+    # single pass: record the opener stack at every cut candidate
+    stack: List[str] = []
+    in_str = False
+    esc = False
+    cuts: List[tuple] = []           # (index AFTER the char, stack copy)
+    for i in range(start, len(text)):
+        ch = text[i]
+        if in_str:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_str = False
+                cuts.append((i + 1, tuple(stack)))
+            continue
+        if ch == '"':
+            in_str = True
+        elif ch in "[{":
+            stack.append(ch)
+        elif ch in "]}":
+            if not stack:
+                return None
+            stack.pop()
+            if not stack:
+                return None          # closed cleanly — not a truncation
+            cuts.append((i + 1, tuple(stack)))
+        elif ch == ",":
+            cuts.append((i, tuple(stack)))
+    closer = {"[": "]", "{": "}"}
+    for pos, st in reversed(cuts[-64:]):
+        cand = text[start:pos].rstrip().rstrip(",")
+        cand += "".join(closer[o] for o in reversed(st))
+        try:
+            json.loads(cand)
+            return cand
+        except Exception:
+            continue
+    return None
+
+
 def extract_json(text: str) -> Optional[Any]:
     """Best-effort parse of the first JSON value in `text`."""
     for cand in _candidates(text):
@@ -118,12 +173,13 @@ def extract_json(text: str) -> Optional[Any]:
                 return json.loads(attempt)
             except Exception:
                 continue
-    salvaged = _salvage_list(text or "")
-    if salvaged is not None:
-        try:
-            return json.loads(_repair(salvaged))
-        except Exception:
-            pass
+    for salvage in (_salvage_list, _close_truncated):
+        salvaged = salvage(text or "")
+        if salvaged is not None:
+            try:
+                return json.loads(_repair(salvaged))
+            except Exception:
+                pass
     return None
 
 

@@ -148,7 +148,8 @@ def build_copy_pairs(rng, count: int, max_total: int):
 
 def build_pairs(n_items: int, seeds, max_prompt: int, max_total: int,
                 merged_only: bool = True, tasks=("notes", "answer"),
-                answer_boost: int = 4, copy_pairs: int = 0):
+                answer_boost: int = 4, copy_pairs: int = 0,
+                target_keys: bool = False):
     """(rendered prompt, completion JSON) pairs from synthetic worlds."""
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from gen_synth_musique import make_items
@@ -206,12 +207,22 @@ def build_pairs(n_items: int, seeds, max_prompt: int, max_total: int,
                         # — the merged info-complete one; distilling just
                         # it halves target bytes with no pipeline effect
                         notes = notes[:1]
-                    for n in notes:
-                        keys = extract_all_note_keys(
-                            n["text"], n["entities"], teacher.rel_lexicon,
-                            teacher.fallback_splitters, teacher.default_rel)
-                        if keys:
-                            n.update(keys)
+                    # key triples in targets are pure overhead unless
+                    # explicitly requested: _post_process re-extracts
+                    # the SAME triples from the note text with the SAME
+                    # rule extractor whether or not the model emits
+                    # them, and secondary_keys were measured to blow the
+                    # merged note past max_new=512 (every parse_fail in
+                    # the round-4 LLM-notes eval was that truncation)
+                    if target_keys:
+                        for n in notes:
+                            keys = extract_all_note_keys(
+                                n["text"], n["entities"],
+                                teacher.rel_lexicon,
+                                teacher.fallback_splitters,
+                                teacher.default_rel)
+                            if keys:
+                                n.update(keys)
                     prompt = render_prompt(
                         build_atomic_note_prompt(ch["text"], ch["sentences"]),
                         ATOMIC_NOTE_SYSTEM)
@@ -343,6 +354,10 @@ def main() -> int:
     ap.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     ap.add_argument("--tasks", nargs="+", default=["notes", "answer"],
                     choices=["notes", "answer"])
+    ap.add_argument("--target-keys", action="store_true",
+                    help="emit head/rel/tail + secondary_keys in note "
+                         "targets (off: shorter targets, keys re-derived "
+                         "from text downstream)")
     ap.add_argument("--copy-pairs", type=int, default=0,
                     help="extra pure-copy curriculum pairs (induction "
                          "bootstrap)")
@@ -367,7 +382,8 @@ def main() -> int:
                                 max_total=args.seq,
                                 tasks=tuple(args.tasks),
                                 answer_boost=args.answer_boost,
-                                copy_pairs=args.copy_pairs)
+                                copy_pairs=args.copy_pairs,
+                                target_keys=args.target_keys)
     lens = sorted(len(p) + len(c) for p, c in pairs)
     print(f"pairs: {len(pairs)} (dropped {n_long} over budget) "
           f"len p50={lens[len(lens)//2]} p95={lens[int(len(lens)*.95)]} "

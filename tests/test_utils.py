@@ -71,6 +71,33 @@ def test_json_extraction_salvages_truncated_list():
     assert json_parser.extract_json('[{"a": ') is None
 
 
+def test_json_extraction_closes_object_truncated_mid_value():
+    # Generation budget cut INSIDE the first object (the measured failure
+    # of the distilled note LM at max_new=512: merged note + secondary
+    # keys overflow): complete leading fields must survive.
+    out = json_parser.extract_json(
+        '[{"text":"M is an album by G. Released in 1960 on F.",'
+        '"entities":["M","G","F","1960"],"source_sent_ids":[0,1,2],'
+        '"salience":0.6,"head_key":"M","rel":"performed_by",'
+        '"tail_key":"G","secondary_keys":[{"head_key":"M",'
+        '"rel":"released_on_label","tail_key":"F"},'
+        '{"head_key":"M","rel":"released_in","tail_key":"19')
+    assert isinstance(out, list) and len(out) == 1
+    note = out[0]
+    assert note["text"] == "M is an album by G. Released in 1960 on F."
+    assert note["entities"] == ["M", "G", "F", "1960"]
+    assert note["head_key"] == "M"
+    assert note["secondary_keys"][0]["tail_key"] == "F"
+    # truncated mid-number
+    out = json_parser.extract_json('[{"text":"ok fact.","salience":0.')
+    assert isinstance(out, list) and out[0]["text"] == "ok fact."
+    # dict truncated mid-string (answer task)
+    out = json_parser.extract_json(
+        '{"answer":"Boston","evidence_spans":["A was born in Bos')
+    assert out == {"answer": "Boston"} or out == {
+        "answer": "Boston", "evidence_spans": []}
+
+
 def test_json_retry():
     calls = []
 
