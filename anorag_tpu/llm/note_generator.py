@@ -179,6 +179,28 @@ def extract_note_keys(
             if 0 <= p < best_pos and not _negated(low, p):
                 best_rel, best_pos, best_cue = rel, p, cue.lower()
     if best_rel is None:
+        # lemma-cued fallback BEFORE the generic splitters: open phrasings
+        # ("W is a recording by P", "the imprint behind W") carry the
+        # relation in a content word the exact-cue pass missed; a stemmed
+        # lemma hit recovers the typed edge instead of a junk default_rel
+        from anorag_tpu.utils.lexnorm import lemma_extract
+        lemma_triples = lemma_extract(text, ents_in_text, positions, lexicon)
+        if lemma_triples:
+            if priority is not None:
+                # the priority (label) triple keys the note, lemma triples
+                # ride as secondary edges — same convention as the exact
+                # cue path below
+                result = dict(priority)
+                result["secondary_keys"] = [
+                    t for t in lemma_triples if t["rel"] != result["rel"]]
+                if not result["secondary_keys"]:
+                    result.pop("secondary_keys")
+            else:
+                result = dict(lemma_triples[0])
+                if len(lemma_triples) > 1:
+                    result["secondary_keys"] = lemma_triples[1:]
+            return _with_offset(result)
+    if best_rel is None:
         for sp in (fallback_splitters or _DEFAULT_SPLITTERS):
             p = low.find(sp)
             if p >= 0:
@@ -194,7 +216,14 @@ def extract_note_keys(
         tail = next((e for e in ents_in_text if e != head), None)
     if tail is None:
         return _with_offset(priority or {})
-    if (best_cue in _ACTIVE_INVERT_CUES
+    if (best_rel == "born_in"
+            and low[best_pos + len(best_cue):].lstrip().startswith("of")
+            and positions.get(head, -1) < best_pos
+            and positions.get(tail, len(low)) > best_pos):
+        # relational-noun inversion: "<place> is the birthplace of <person>"
+        # possesses the relation through "of" — the person is the head
+        head, tail = tail, head
+    elif (best_cue in _ACTIVE_INVERT_CUES
             and not low[best_pos + len(best_cue):].lstrip().startswith("by")):
         # active voice: "X founded Y" -> Y founded_by X
         head, tail = tail, head
@@ -214,6 +243,34 @@ def extract_note_keys(
 # entity-shaped subject + two commas: "W, an album by P, was released ..."
 _APPOS_RE = re.compile(
     r"^([A-Z][\w'&-]*(?:\s+[A-Z][\w'&-]*)*),\s+(an?|the)\s+([^,]+),\s+(.+)$")
+
+# fronted participial clause: "Released in 1987 on the label L, W is an
+# album by P." — the grammatical subject lives AFTER the comma; raw cue
+# extraction keys the participle (or whatever precedes the comma) as head
+_FRONTED_RE = re.compile(
+    r"^([A-Z][a-z]+(?:ed|en|ing))\s+([^,]{3,120}),\s+([A-Z].+)$")
+_SUBJ_RE = re.compile(r"^[A-Z][\w'&-]*(?:\s+[A-Z][\w'&-]*)*")
+
+
+def expand_fronted_participle(sent: str) -> List[str]:
+    """Rewrite a fronted-participial sentence as its two clauses.
+
+    "Released in 1987 on the label L, W is an album by P." asserts the
+    main-clause fact AND "W released in 1987 on the label L" — with W,
+    the main clause's subject, as head of both."""
+    m = _FRONTED_RE.match(sent.strip())
+    if not m:
+        return [sent]
+    part, front, main = m.groups()
+    from anorag_tpu.utils.lexnorm import lemma_relation_hits
+    if not lemma_relation_hits(part):      # opener isn't a relation verb
+        return [sent]
+    sm = _SUBJ_RE.match(main)
+    if not sm:
+        return [sent]
+    subj = sm.group(0)
+    return [main if main.endswith((".", "!", "?")) else main + ".",
+            f"{subj} was {part.lower()} {front}."]
 
 
 def expand_appositive(sent: str) -> List[str]:
@@ -249,7 +306,9 @@ def extract_all_note_keys(
     priority cue takes its head from the first entity of the TEXT, which
     in a merged note belongs to a different sentence (persons were being
     keyed as released_on_label heads, corrupting set aggregation)."""
-    sents = [s for s in re.split(r"(?<=[.!?])\s+", text or "") if s.strip()]
+    sents = [s for s in re.split(r"(?<=[.!?])\s+|(?<=[a-z][.!?])(?=[A-Z])",
+                                 text or "") if s.strip()]
+    sents = [v for s in sents for v in expand_fronted_participle(s)]
     sents = [v for s in sents for v in expand_appositive(s)]
     if len(sents) <= 1:
         return extract_note_keys(text, entities, rel_lexicon,
@@ -260,6 +319,8 @@ def extract_all_note_keys(
 
     def _add(k: Dict[str, str]) -> None:
         sig = (k.get("head_key"), k.get("rel"), k.get("tail_key"))
+        if sig[0] == sig[2]:     # self-edges corrupt set aggregation
+            return
         if all(sig) and sig not in seen:
             seen.add(sig)
             triples.append({"head_key": sig[0], "rel": sig[1],
@@ -326,11 +387,21 @@ def resolve_note_abbreviations(
             v = n.get(key)
             if v in alias:
                 n[key] = alias[v]
+        if n.get("head_key") and n.get("head_key") == n.get("tail_key"):
+            # aliasing collapsed a forged intro-sentence triple ("X (XA)
+            # is a record label" -> X rel X) into a self-edge; neutralize
+            # the relation so set aggregations never see it
+            n["rel"] = "related_to"
+        sks = []
         for sk in n.get("secondary_keys") or ():
             for key in ("head_key", "tail_key"):
                 v = sk.get(key)
                 if v in alias:
                     sk[key] = alias[v]
+            if sk.get("head_key") != sk.get("tail_key"):
+                sks.append(sk)
+        if n.get("secondary_keys") is not None:
+            n["secondary_keys"] = sks
         ents = n.get("entities")
         if ents:
             extra = [alias[e] for e in ents if e in alias]

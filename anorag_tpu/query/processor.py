@@ -318,6 +318,11 @@ class QueryProcessor:
 
     def process(self, query: str, dataset: Optional[str] = None,
                 qid: Optional[str] = None) -> Dict[str, Any]:
+        # canonicalize paraphrased surfaces (meta preambles, synonym
+        # vocabulary) before ANY stage parses the question — entity spans
+        # are never rewritten so retrieval keys stay intact
+        from anorag_tpu.utils.lexnorm import normalize_question
+        query = normalize_question(query)
         if self.cfg.get("query.use_subquestion_decomposition", False):
             return self._process_with_subquestion_decomposition(query, dataset, qid)
         return self._process_traditional(query, dataset, qid)

@@ -11,7 +11,12 @@ import re
 from typing import Dict, Iterable, List, Optional
 
 _WORD_RE = re.compile(r"\b\w+\b", re.UNICODE)
-_SENT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9\"'(])|(?<=[。！？])")
+# also split when the space after [.!?] is MISSING ("married.Denver is"):
+# unsplit boundaries let one sentence's cue steal the next one's entities.
+# The no-space branch requires a lowercase letter before the period so
+# initials ("J.R.R.Tolkien") and org dots stay intact.
+_SENT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9\"'(])|(?<=[。！？])"
+                      r"|(?<=[a-z][.!?])(?=[A-Z])")
 # connectors are infix-only (must be followed by a capitalized word) so an
 # entity never ends on a connector or on a prefix of a lowercase word
 # ("Gustave Eiffel designed" must not yield "Gustave Eiffel de")
@@ -103,6 +108,30 @@ def extract_entities_fallback(text: str, min_len: int = 2, max_entities: int = 1
     return list(_extract_entities_cached(text or "", min_len, max_entities))
 
 
+# A SINGLE capitalized token that opens a sentence and is an ordinary
+# English predicate/connective is capitalized by position, not by being a
+# name: "Released in 1987 on the label L, W is ..." must not make
+# "Released" an entity (it then becomes the sentence SUBJECT and corrupts
+# every triple). Stems cover participle/gerund variants.
+_SENT_OPENER_STEMS = frozenset({
+    "releas", "recor", "record", "found", "establish", "issu", "born",
+    "marri", "marry", "direct", "base", "accord", "form", "creat",
+    "launch", "produc", "written", "wrote", "sign", "original", "initial",
+    "later", "today", "currently", "although", "while", "when", "where",
+    "there", "during", "after", "before", "following", "starting",
+    "beginning", "perform", "debut", "appear", "nam", "locat", "situat"})
+
+
+def _is_positional_capital(text: str, start: int, span: str) -> bool:
+    if " " in span:
+        return False
+    prefix = text[:start].rstrip()
+    if prefix and prefix[-1] not in ".!?。":
+        return False
+    from anorag_tpu.utils.lexnorm import stem
+    return stem(span.lower()) in _SENT_OPENER_STEMS
+
+
 @functools.lru_cache(maxsize=32768)
 def _extract_entities_cached(text: str, min_len: int, max_entities: int) -> tuple:
     seen: Dict[str, None] = {}
@@ -114,7 +143,8 @@ def _extract_entities_cached(text: str, min_len: int, max_entities: int) -> tupl
         ent = normalize_entity(m.group(0))
         low = ent.lower()
         if (len(ent) >= min_len and low not in STOPWORDS
-                and not all(w in _MONTHS for w in low.split())):
+                and not all(w in _MONTHS for w in low.split())
+                and not _is_positional_capital(text, m.start(), ent)):
             seen.setdefault(ent)
     for m in _YEAR_RE.finditer(text or ""):
         seen.setdefault(m.group(0))

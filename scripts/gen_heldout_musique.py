@@ -103,6 +103,98 @@ _E = [
      [r"\1's marriage is to \2."]),
 ]
 
+# ----------------------------------------------------------- bank v2
+# Authored AFTER the v1 bank's phrasings leaked into the solver's general
+# lexical layer (utils/lexnorm.py, round 4) — per the protocol in
+# HELDOUT.md, a contaminated bank is demoted to a dev sheet and a fresh
+# one is authored and measured without same-session solver patches.
+# These rules are written as fluent-human paraphrases; they neither copy
+# v1's replacement surfaces nor aim at/away from the solver's lemma
+# tables.
+_E2 = [
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) recorded the album ([^.]+)\."),
+     [r"The album \2 was cut in the studio by \1.",
+      r"\2 is the work of \1, who made the album."]),
+    (re.compile(r"([^.]+?) is an album performed by ([^.]+)\."),
+     [r"\1, an album, carries \2 as its credited artist.",
+      r"The voice on the album \1 belongs to \2."]),
+    (re.compile(r"([^.]+?) is an (album|record) by ([^.]+)\."),
+     [r"\1 is \3's \2.",
+      r"Among \3's output is the \2 \1."]),
+    (re.compile(r"It was released in ([^.]+?) on the label ([^.]+)\."),
+     [r"\1 was the year the label \2 brought it to market.",
+      r"Its arrival, via the label \2, dates to \1."]),
+    (re.compile(r"It came out in ([^.]+?) on the label ([^.]+)\."),
+     [r"Its debut came in \1 under the label \2."]),
+    (re.compile(r"It was put out in ([^.]+?) by the label ([^.]+)\."),
+     [r"The label \2 delivered it to shelves in \1."]),
+    (re.compile(r"It was released on ([^.]+?) on the label ([^.]+)\."),
+     [r"The label \2 shipped it on \1."]),
+    (re.compile(r"It came out on ([^.]+?) through the label ([^.]+)\."),
+     [r"On \1, the label \2 sent it into the world."]),
+    (re.compile(r"([^.]+?), an album by ([^.]+?), was released "
+                r"(in [^.]+?|on [^.]+?) on the label ([^.]+)\."),
+     [r"\1 — \2's album — reached the public \3 via the label \4."]),
+    (re.compile(r"([^.]+?), a record by ([^.]+?), came out "
+                r"(in [^.]+?|on [^.]+?) on the label ([^.]+)\."),
+     [r"\1, which \2 made, arrived \3 on the label \4."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) married ([^.]+)\."),
+     [r"\1 entered into marriage with \2."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) wed ([^.]+)\."),
+     [r"\1 took \2 as a spouse."]),
+    (re.compile(r"The spouse of ([^.]+?) is ([^.]+)\."),
+     [r"\1's partner in marriage is \2."]),
+    (re.compile(r"([\w' ]+?)'s spouse is ([^.]+)\."),
+     [r"In marriage, \1 is joined to \2."]),
+    (re.compile(r"([\w' ]+?) was born in ([^.]+)\."),
+     [r"\1's life began in \2.",
+      r"\2 is where \1 was born."]),
+    (re.compile(r"([\w' ]+?) is a native of ([^.]+)\."),
+     [r"\1 originally comes from \2."]),
+    (re.compile(r"([\w' ]+?) hails from ([^.]+)\."),
+     [r"\1's origins lie in \2."]),
+    (re.compile(r"([^.]+?) was founded by ([^.]+)\."),
+     [r"\1 owes its existence to \2, its founder."]),
+    (re.compile(r"([^.]+?) was started by ([^.]+)\."),
+     [r"Behind \1 stands \2, who started it."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) established ([^.]+)\."),
+     [r"It was \1 who set \2 in motion."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) founded ([^.]+)\."),
+     [r"\2 exists because \1 founded it."]),
+    (re.compile(r"It features ([\w-]+) tracks\."),
+     [r"\1 tracks appear on it.",
+      r"Its running order spans \1 tracks."]),
+    (re.compile(r"([\w' ]+?) is married to ([^.]+)\."),
+     [r"\1 and \2 are husband and wife."]),
+]
+
+_Q2 = [
+    (re.compile(r"\breleased on the label ([A-Z][\w' ]+)"),
+     [r"brought out on the label \1",
+      r"in the catalog of the label \1"]),
+    (re.compile(r"\bIn which city was ([^?]+?) born\?"),
+     [r"Name the city where \1 was born.",
+      r"\1 was born in what city?"]),
+    (re.compile(r"\bWho performed ([^?]+?)\?"),
+     [r"\1 was performed by whom?"]),
+    (re.compile(r"\bWho is the spouse of ([^?]+?)\?"),
+     [r"To whom is \1 married?"]),
+    (re.compile(r"\bWhen was ([^?]+?) released\?"),
+     [r"In what year did \1 reach the public?"]),
+    (re.compile(r"\bWhich was released first, ([^?]+?) or ([^?]+?)\?"),
+     [r"Of \1 and \2, which one came earlier?"]),
+    (re.compile(r"\bHow many (albums|works|records|songs)\b"),
+     [r"What is the total count of \1:",
+      r"Tally the \1: how many"]),
+    (re.compile(r"\bhave more tracks than\b"),
+     [r"boast more tracks than"]),
+    (re.compile(r"\bhave fewer tracks than\b"),
+     [r"fall short, in tracks, of"]),
+    (re.compile(r"^"),
+     [r"Per the text above: ",
+      r"Drawing on the given paragraphs, "]),
+]
+
 # --------------------------------------------------------------- question
 _Q = [
     (re.compile(r"\breleased on the label ([A-Z][\w' ]+)"),
@@ -127,6 +219,9 @@ _Q = [
 ]
 
 
+_BANKS = {"v1": (_E, _Q), "v2": (_E2, _Q2)}
+
+
 def _apply(text: str, rules, rng, p: float) -> str:
     for pat, reps in rules:
         if rng.random() >= p:
@@ -137,16 +232,17 @@ def _apply(text: str, rules, rng, p: float) -> str:
 
 
 def paraphrase_item(item: dict, rng, p_evidence: float = 0.8,
-                    p_question: float = 0.6) -> dict:
+                    p_question: float = 0.6, bank: str = "v1") -> dict:
+    e_rules, q_rules = _BANKS[bank]
     out = dict(item)
-    q = _apply(item["question"], _Q, rng, p_question)
+    q = _apply(item["question"], q_rules, rng, p_question)
     # keep the leading capital sane after a prepend rule fires
     out["question"] = q[0].upper() + q[1:] if q else q
     paras = []
     for para in item["paragraphs"]:
         np_ = dict(para)
         np_["paragraph_text"] = _apply(
-            para["paragraph_text"], _E, rng, p_evidence)
+            para["paragraph_text"], e_rules, rng, p_evidence)
         paras.append(np_)
     out["paragraphs"] = paras
     out["id"] = item["id"].replace("synth_", "heldout_")
@@ -154,10 +250,11 @@ def paraphrase_item(item: dict, rng, p_evidence: float = 0.8,
 
 
 def make_heldout(n: int, distractors: int, seed: int,
-                 p_evidence: float = 0.8, p_question: float = 0.6):
+                 p_evidence: float = 0.8, p_question: float = 0.6,
+                 bank: str = "v1"):
     from gen_synth_musique import make_items
     rng = np.random.default_rng(seed + 104729)   # distinct stream
-    return [paraphrase_item(it, rng, p_evidence, p_question)
+    return [paraphrase_item(it, rng, p_evidence, p_question, bank)
             for it in make_items(n, distractors=distractors, seed=seed)]
 
 
@@ -169,9 +266,10 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=77)
     ap.add_argument("--p-evidence", type=float, default=0.8)
     ap.add_argument("--p-question", type=float, default=0.6)
+    ap.add_argument("--bank", choices=sorted(_BANKS), default="v1")
     args = ap.parse_args()
     items = make_heldout(args.n, args.distractors, args.seed,
-                         args.p_evidence, args.p_question)
+                         args.p_evidence, args.p_question, args.bank)
     with open(args.out, "w") as fh:
         for it in items:
             fh.write(json.dumps(it) + "\n")

@@ -30,6 +30,9 @@ def main() -> int:
     ap.add_argument("--p-evidence", type=float, default=0.8)
     ap.add_argument("--p-question", type=float, default=0.6)
     ap.add_argument("--report", default="docs/heldout_report.json")
+    ap.add_argument("--bank", default="v1",
+                    help="paraphrase bank (v1 = dev since round 4; v2 = "
+                         "the held-out test bank)")
     ap.add_argument("--verbose", action="store_true",
                     help="print each miss (question/gold/pred)")
     args = ap.parse_args()
@@ -50,7 +53,7 @@ def main() -> int:
     cfg.set("vector_store.index_type", "Flat")
 
     items = make_heldout(args.n, args.distractors, args.seed,
-                         args.p_evidence, args.p_question)
+                         args.p_evidence, args.p_question, args.bank)
     preds = []
     kind_hits: dict = defaultdict(lambda: [0, 0])
     with tempfile.TemporaryDirectory() as td:
@@ -75,6 +78,7 @@ def main() -> int:
     report = {
         "protocol": "heldout paraphrase sheet (solver-blind bank, "
                     "gen_heldout_musique.py)",
+        "bank": args.bank,
         "n_items": args.n, "seed": args.seed,
         "p_evidence": args.p_evidence, "p_question": args.p_question,
         "metrics": {k: round(v, 4) for k, v in metrics.items()},
@@ -83,7 +87,7 @@ def main() -> int:
     out = Path(args.report)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(report, indent=2))
-    print(json.dumps({"heldout_em": report["metrics"].get("answer_em"),
+    print(json.dumps({"bank": args.bank, "heldout_em": report["metrics"].get("answer_em"),
                       "heldout_f1": report["metrics"].get("answer_f1"),
                       "heldout_sup_f1": report["metrics"].get("support_f1"),
                       "n": args.n, "kinds_with_misses": len(missed)}))
