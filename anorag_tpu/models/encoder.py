@@ -38,6 +38,7 @@ class EncoderConfig:
     pooling: str = "cls"          # cls | mean
     dtype: Any = jnp.bfloat16
     normalize: bool = True
+    remat: bool = False           # checkpoint each block (training big configs)
 
     @property
     def head_dim(self) -> int:
@@ -152,8 +153,14 @@ def encode(params: Params, token_ids: jnp.ndarray, mask: jnp.ndarray,
     b, s = token_ids.shape
     x = params["tok_emb"][token_ids] + params["pos_emb"][:s][None, :, :]
     x = _layer_norm(x.astype(cfg.dtype), params["emb_ln"])
+    # remat: save only block inputs, recompute activations in backward —
+    # a 24L/1024h train step would otherwise hold ~26GB of activations
+    # (attn probs + ffn intermediates x 24 layers x 2 encode passes) vs
+    # ~1.6GB with per-layer checkpointing; v5e HBM is 16GB.
+    blk = (jax.checkpoint(lambda h, m, lp: _block(h, m, lp, cfg))
+           if cfg.remat else (lambda h, m, lp: _block(h, m, lp, cfg)))
     for lp in params["layers"]:
-        x = _block(x, mask, lp, cfg)
+        x = blk(x, mask, lp)
     if cfg.pooling == "mean":
         m = mask[:, :, None].astype(jnp.float32)
         pooled = jnp.sum(x.astype(jnp.float32) * m, axis=1) / jnp.maximum(m.sum(axis=1), 1.0)

@@ -601,7 +601,8 @@ def hybrid_topk(
                               and doc_rows.shape[1] >= 2048):
         sp_vals_all, sp_docs_all, sp_max = sparse_topm_winners(
             doc_rows, weight_rows, sparse_m, n_docs, max_seg=max_seg,
-            b_valid=queries.shape[0])
+            b_valid=queries.shape[0],
+            select_approx=jax.default_backend() == "tpu")
     else:
         _, sp_vals_all, sp_docs_all, sp_max = sparse_topm_from_sorted(
             doc_rows, weight_rows, sparse_m, n_docs)

@@ -789,18 +789,33 @@ class QueryProcessor:
         texts = [f"{n.get('title','')} {n.get('content','')}".lower()
                  for n in selected]
         blob = " \n ".join(texts)
+        # partial-token coverage is judged against single ENTITY surfaces,
+        # not raw text: "Gorden Origins" once counted as covered because
+        # "gorden" (from person Gorden Vellin) and "origins" (from album
+        # Bagor Origins) both appear in the evidence text — two different
+        # entities' fragments answered an unanswerable spouse-of-performer
+        # chain with a distractor-world fact
+        surfaces = set()
+        for n in selected:
+            if n.get("title"):
+                surfaces.add(str(n["title"]).lower())
+            for s in (n.get("entities") or []):
+                surfaces.add(str(s).lower())
         for e in ents:
             el = e.lower()
             if re.search(r"\b" + re.escape(el) + r"\b", blob):
                 return True
             toks = [t for t in el.split() if len(t) >= 3]
             if toks:
-                hits = sum(1 for t in toks
-                           if re.search(r"\b" + re.escape(t) + r"\b", blob))
-                # strict majority: a shared suffix word alone ("... Horizon")
-                # must not count a 2-token ghost entity as covered
-                if hits * 2 > len(toks) or hits == len(toks):
-                    return True
+                for surf in surfaces:
+                    hits = sum(1 for t in toks
+                               if re.search(r"\b" + re.escape(t) + r"\b",
+                                            surf))
+                    # strict majority within ONE entity surface: a shared
+                    # suffix word alone ("... Horizon") must not count a
+                    # 2-token ghost entity as covered
+                    if hits * 2 > len(toks) or hits == len(toks):
+                        return True
         return False
 
     # verb stems (first 6 chars) that some relation lexicon or paraphrase

@@ -13,6 +13,7 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from anorag_tpu.utils.lexnorm import stem as _stem
 from anorag_tpu.utils.text import extract_entities_fallback, split_sentences, tokenize_no_stop
 
 _WH_TYPES = {
@@ -62,11 +63,30 @@ class QACoverageScorer:
             "time": bool(_TIME_RE.search(sentence)),
             "place": bool(_PLACE_CUES.search(sentence)),
         }.get(qt, True)
+        # answer-bearing evidence: a sentence that merely ECHOES question
+        # entities ("Critics were divided over <work>") shares tokens and
+        # entities with the question yet answers nothing — the signal is a
+        # NEW span of the expected answer type. Token overlap is also
+        # re-measured on stems (lexnorm) so inflectional paraphrases
+        # ("released" / "release of") don't zero the overlap feature.
+        new_ents = s_ents - q_ents
+        if qt == "time":
+            new_typed = any(m.group(0).lower() not in q_toks
+                            for m in _TIME_RE.finditer(sentence))
+        elif qt == "person":
+            new_typed = any(m.group(0).lower() not in q_ents
+                            for m in _PERSON_RE.finditer(sentence))
+        else:
+            new_typed = bool(new_ents)
+        q_stems = frozenset(_stem(t) for t in q_toks)
+        s_stems = frozenset(_stem(t) for t in s_toks)
         return [
             len(q_toks & s_toks) / max(len(q_toks), 1),
             len(q_ents & s_ents) / max(len(q_ents), 1) if q_ents else 0.0,
             float(type_hit),
             min(len(s_toks) / 20.0, 1.0),
+            float(bool(new_ents) or new_typed),
+            len(q_stems & s_stems) / max(len(q_stems), 1),
         ]
 
     def features(self, question: str, sentence: str) -> np.ndarray:
@@ -76,11 +96,14 @@ class QACoverageScorer:
     def score(self, question: str, sentence: str) -> float:
         f = self._feature_list(question, sentence)
         if self.w is not None:
-            z = float(f[0] * self.w[0] + f[1] * self.w[1]
-                      + f[2] * self.w[2] + f[3] * self.w[3] + self.b)
+            # tolerate calibrations trained before the feature set grew:
+            # absent feature weights score 0
+            n = min(len(f), len(self.w))
+            z = float(np.dot(f[:n], self.w[:n]) + self.b)
             return 1.0 / (1.0 + np.exp(-z))
         # heuristic fallback weights
-        return 0.5 * f[0] + 0.3 * f[1] + 0.15 * f[2] + 0.05 * f[3]
+        return (0.45 * f[0] + 0.25 * f[1] + 0.15 * f[2] + 0.05 * f[3]
+                + 0.10 * f[4])
 
     def best_sentence(self, question: str, text: str) -> Tuple[str, float]:
         sents = split_sentences(text)

@@ -57,6 +57,69 @@ def _rows(rng, people, works, places, years) -> List[Dict[str, str]]:
     return rows
 
 
+def _rows_train_alt(rng, people, works, places, years) -> List[Dict[str, str]]:
+    """Second TRAINING template family (distinct from _rows and from the
+    validation family): surface diversity in training is what buys
+    transfer — single-template training left qa_coverage at 0.778 val."""
+    rows = []
+    for person in people:
+        for work in works:
+            role = ROLES[rng.integers(len(ROLES))]
+            place = places[rng.integers(len(places))]
+            year = years[rng.integers(len(years))]
+            rows += [
+                {"q": f"Who worked as the {role} on {work}?",
+                 "span": person, "stype": "entity",
+                 "sent": f"On {work}, {person} worked as the {role}.",
+                 "offtopic": f"{work} toured several festivals."},
+                {"q": f"What year saw the release of {work}?", "span": year,
+                 "stype": "time",
+                 "sent": f"The release of {work} happened in {year}.",
+                 "offtopic": f"{work} inspired several imitators."},
+                {"q": f"Which city was {person} born in?", "span": place,
+                 "stype": "entity",
+                 "sent": f"Born in {place}, {person} grew up by the sea.",
+                 "offtopic": f"{person} kept a private life."},
+            ]
+    return rows
+
+
+def _rows_paraphrased(rng, people, works, places, years) -> List[Dict[str, str]]:
+    """Validation rows: same fact schema as _rows, DISJOINT surface
+    templates for both question and evidence (VERDICT r3 weak #5 — heads
+    trained and evaluated on the same templates are circular). These
+    phrasings never feed training; val_acc measures surface transfer."""
+    rows = []
+    for person in people:
+        for work in works:
+            role = ROLES[rng.integers(len(ROLES))]
+            place = places[rng.integers(len(places))]
+            year = years[rng.integers(len(years))]
+            rows += [
+                {"q": f"Which person served as {work}'s {role}?",
+                 "span": person, "stype": "entity",
+                 "sent": f"The {role} behind {work} is {person}.",
+                 "offtopic": f"Critics were divided over {work}."},
+                {"q": f"In what year did {work} come out?", "span": year,
+                 "stype": "time",
+                 "sent": f"{work} first came out in {year}.",
+                 "offtopic": f"Fans still celebrate {work} today."},
+                {"q": f"What city is {person}'s birthplace?", "span": place,
+                 "stype": "entity",
+                 "sent": f"{person}'s birthplace is {place}.",
+                 "offtopic": f"{person} rarely spoke to the press."},
+            ]
+    return rows
+
+
+def _logistic_acc(head, feats_fn, examples) -> float:
+    """Accuracy of a trained logistic head on held-out examples."""
+    x = np.stack([feats_fn(*e[:-1]) for e in examples])
+    y = np.array([e[-1] for e in examples], np.float32)
+    p = 1.0 / (1.0 + np.exp(-(x @ head.w + head.b)))
+    return float(np.mean((p > 0.5) == (y > 0.5)))
+
+
 def synthetic_span_examples(rows, rng) -> List[Tuple[str, str, str, str, float, float]]:
     """(question, span, stype, sentence, position, label) — positives are
     gold spans in answer sentences; negatives are question-echo spans
@@ -112,14 +175,24 @@ def train_answer_models(seed: int = 0,
     rng = np.random.default_rng(seed)
     rows = _rows(rng, list(people) or PEOPLE[:8], list(works) or WORKS[:6],
                  PLACES, YEARS)
+    rows += _rows_train_alt(rng, list(people) or PEOPLE[:8],
+                            list(works) or WORKS[:6], PLACES, YEARS)
+    # validation: disjoint surface templates AND disjoint entities
+    val_rows = _rows_paraphrased(rng, PEOPLE[8:], WORKS[6:], PLACES, YEARS)
     sp = SpanPicker()
     sp_acc = sp.train(synthetic_span_examples(rows, rng))
+    sp_val = _logistic_acc(sp, sp.features, synthetic_span_examples(val_rows, rng))
     qc = QACoverageScorer()
     qc_acc = qc.train(synthetic_coverage_pairs(rows, rng))
+    qc_val = _logistic_acc(qc, qc.features, synthetic_coverage_pairs(val_rows, rng))
     vf = AnswerVerifier()
     vf_acc = vf.train(synthetic_verifier_examples(rows, rng))
+    vf_val = _logistic_acc(vf, vf.features, synthetic_verifier_examples(val_rows, rng))
     return {
-        "span_picker": {"w": sp.w.tolist(), "b": float(sp.b), "train_acc": sp_acc},
-        "qa_coverage": {"w": qc.w.tolist(), "b": float(qc.b), "train_acc": qc_acc},
-        "verifier": {"w": vf.w.tolist(), "b": float(vf.b), "train_acc": vf_acc},
+        "span_picker": {"w": sp.w.tolist(), "b": float(sp.b),
+                        "train_acc": sp_acc, "val_paraphrase_acc": sp_val},
+        "qa_coverage": {"w": qc.w.tolist(), "b": float(qc.b),
+                        "train_acc": qc_acc, "val_paraphrase_acc": qc_val},
+        "verifier": {"w": vf.w.tolist(), "b": float(vf.b),
+                     "train_acc": vf_acc, "val_paraphrase_acc": vf_val},
     }

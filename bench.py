@@ -32,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -289,7 +290,48 @@ def bench_encoder(ctx: dict | None, b: int = 256, seq: int = 128,
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = EncoderConfig(max_position=max(seq, q_seq))
-    params = jax.jit(lambda key: init_params(key, cfg))(jax.random.PRNGKey(0))
+    # prefer the in-image TRAINED full-config checkpoint (VERDICT r3 #5:
+    # bench trained weights, not random-init). Compute is identical; the
+    # label records which one this run measured.
+    ckpt = Path(__file__).parent / "checkpoints" / "encoder_synth_full"
+    params = None
+    label = "bge-m3-class 24L/1024h (random-init, in-image)"
+    if ckpt.exists():
+        try:
+            import orbax.checkpoint as ocp
+            report = {}
+            rp = ckpt.parent / "encoder_synth_full_report.json"
+            if rp.exists():
+                report = json.loads(rp.read_text())
+            tcfg = report.get("config", {})
+            if (tcfg.get("hidden") == cfg.hidden_size
+                    and tcfg.get("layers") == cfg.num_layers):
+                # the compute dims (24L/1024h/ffn) are the bge-m3-class
+                # geometry; vocab/pooling come from the in-image trained
+                # checkpoint (hash tokenizer — no sentencepiece in image).
+                cfg = EncoderConfig(
+                    vocab_size=tcfg.get("vocab", cfg.vocab_size),
+                    hidden_size=cfg.hidden_size, num_layers=cfg.num_layers,
+                    num_heads=tcfg.get("heads", cfg.num_heads),
+                    intermediate_size=tcfg.get("ffn", cfg.intermediate_size),
+                    max_position=cfg.max_position,
+                    pooling=tcfg.get("pooling", cfg.pooling))
+                abstract = jax.eval_shape(
+                    lambda key: init_params(key, cfg), jax.random.PRNGKey(0))
+                params = ocp.StandardCheckpointer().restore(
+                    ckpt.resolve(), abstract)
+                params = jax.device_put(params)
+                label = (f"bge-m3-class 24L/1024h (TRAINED in-image, "
+                         f"step {report.get('steps', '?')}, "
+                         f"loss {report.get('loss_last', '?')}, "
+                         f"vocab {cfg.vocab_size} hash-tok)")
+        except Exception as e:
+            print(f"# encoder checkpoint load failed ({e}); random-init",
+                  flush=True)
+            params = None
+    if params is None:
+        params = jax.jit(lambda key: init_params(key, cfg))(
+            jax.random.PRNGKey(0))
     jax.block_until_ready(params)
 
     enc = jax.jit(lambda p, ids, m: encode(p, ids, m, cfg))
@@ -313,7 +355,7 @@ def bench_encoder(ctx: dict | None, b: int = 256, seq: int = 128,
     flops = tokens * flops_tok
     peak = peak_tflops(jax.devices()[0].device_kind) if on_tpu else 1e12
     res = {
-        "config": "bge-m3-class 24L/1024h (random-init, in-image)",
+        "config": label,
         "batch": b, "seq_len": seq,
         "tokens_per_s": round(tokens / lat, 1),
         "latency_ms_per_batch": round(lat * 1e3, 2),

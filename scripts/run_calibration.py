@@ -70,6 +70,13 @@ def main() -> int:
     ap.add_argument("out_dir")
     ap.add_argument("--dev-n", type=int, default=24)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--paraphrase-bank", default=None,
+                    help="calibrate against a paraphrased dev sheet "
+                         "(gen_heldout_musique bank, e.g. v1 — the dev "
+                         "bank). The saturated sheet scores EM 1.00 for "
+                         "every candidate (delta 0.0 regardless of "
+                         "params, VERDICT r3 weak #5); the paraphrased "
+                         "sheet discriminates.")
     args = ap.parse_args()
     out = Path(args.out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -80,7 +87,12 @@ def main() -> int:
 
     apply_device_config(make_cfg())
 
-    dev = make_items(args.dev_n, distractors=8, seed=args.seed)
+    if args.paraphrase_bank:
+        from gen_heldout_musique import make_heldout
+        dev = make_heldout(args.dev_n, 8, args.seed,
+                           bank=args.paraphrase_bank)
+    else:
+        dev = make_items(args.dev_n, distractors=8, seed=args.seed)
     # calibrate on answerable items (the unanswerable kind scores a flag,
     # not params); keep them for the final delta report
     dev_ans = [it for it in dev if it.get("answerable", True)]
@@ -115,6 +127,8 @@ def main() -> int:
           f"score={score(cal_metrics):.4f}", flush=True)
     delta = score(cal_metrics) - score(base_metrics)
     report = {
+        "dev_sheet": (f"paraphrase bank {args.paraphrase_bank}"
+                      if args.paraphrase_bank else "saturated synth"),
         "dev_n": len(dev_ans),
         "n_pipeline_evals": n_evals[0],
         "uncalibrated": base_metrics,

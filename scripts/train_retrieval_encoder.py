@@ -74,6 +74,14 @@ def main() -> int:
     ap.add_argument("--eval-worlds", type=int, default=500)
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--hidden", type=int, default=256)
+    ap.add_argument("--layers", type=int, default=4)
+    ap.add_argument("--heads", type=int, default=8)
+    ap.add_argument("--ffn", type=int, default=1024)
+    ap.add_argument("--vocab", type=int, default=8192)
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--remat", action="store_true",
+                    help="per-layer activation checkpointing (big configs)")
     args = ap.parse_args()
 
     import jax
@@ -84,8 +92,10 @@ def main() -> int:
     from anorag_tpu.models.train import EncoderTrainer
 
     cfg = enc.EncoderConfig(
-        vocab_size=8192, hidden_size=256, num_layers=4, num_heads=8,
-        intermediate_size=1024, max_position=128, pooling="mean")
+        vocab_size=args.vocab, hidden_size=args.hidden,
+        num_layers=args.layers, num_heads=args.heads,
+        intermediate_size=args.ffn, max_position=128, pooling="mean",
+        remat=args.remat)
     train_pairs, _ = make_world_pairs(args.train_worlds, seed=0)
     eval_pairs, eval_corpus = make_world_pairs(args.eval_worlds, seed=99)
     print(f"train pairs: {len(train_pairs)}, eval queries: {len(eval_pairs)}, "
@@ -117,7 +127,7 @@ def main() -> int:
     hash_emb = HashEmbedder(dim=cfg.hidden_size)
     r_hash = recall_at_k(hash_emb.encode(queries), hash_emb.encode(eval_corpus), gold)
 
-    trainer = EncoderTrainer(cfg=cfg, learning_rate=3e-4)
+    trainer = EncoderTrainer(cfg=cfg, learning_rate=args.lr)
     r_random = recall_at_k(embed(trainer.params, queries),
                            embed(trainer.params, eval_corpus), gold)
     print(f"recall@10 random-init encoder: {r_random:.4f}", flush=True)
@@ -144,7 +154,8 @@ def main() -> int:
     ok = trainer.save_checkpoint(out.resolve())
     report = {
         "config": {"vocab": cfg.vocab_size, "hidden": cfg.hidden_size,
-                   "layers": cfg.num_layers, "pooling": cfg.pooling},
+                   "layers": cfg.num_layers, "heads": cfg.num_heads,
+                   "ffn": cfg.intermediate_size, "pooling": cfg.pooling},
         "train_pairs": len(pairs2), "steps": len(hist),
         "loss_first": round(hist[0], 4), "loss_last": round(hist[-1], 4),
         "eval_corpus": len(eval_corpus), "eval_queries": len(queries),
