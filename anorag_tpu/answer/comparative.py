@@ -358,6 +358,17 @@ def _label_set(set_surface: str, graph: Optional[NoteGraph]
     for rel, head, note_id in graph.rheads(key):
         if rel not in _SET_RELS_WIDE:
             continue
+        # a member the graph types as a PERSON (born_in/spouse_of edges as
+        # head and NO work-shaped edges) is a corrupt extraction, not a
+        # work: one year-less person member otherwise vetoes every
+        # count/superlative over the set ("every member must have a
+        # resolvable year"). A work polluted by one junk born_in edge
+        # still carries release/performer edges and must stay.
+        out_rels = {r for r, *_ in graph.neighbors(head)}
+        if (out_rels & {"born_in", "spouse_of"}
+                and not out_rels & {"released_in", "released_on_label",
+                                    "performed_by"}):
+            continue
         got = _year_from_graph(head, ("released_in",), graph)
         note = graph.notes.get(note_id, {})
         paras = list(note.get("paragraph_idxs") or [])

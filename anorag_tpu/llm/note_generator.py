@@ -17,6 +17,7 @@ from typing import Any, Dict, List, Optional, Sequence
 from anorag_tpu.llm.early_stop import StreamingEarlyStop
 from anorag_tpu.llm.prompts import ATOMIC_NOTE_SENTINEL, build_atomic_note_prompt
 from anorag_tpu.utils.json_parser import extract_json
+from anorag_tpu.utils.lexnorm import normalize_sentence
 from anorag_tpu.utils.logging import get_logger
 from anorag_tpu.utils.text import extract_entities_fallback, split_sentences
 from anorag_tpu.validators.note_validator import normalize_note
@@ -1023,9 +1024,23 @@ class AtomicNoteGenerator:
         _learn_fulls([n for n in (subject, title_subject) if n])
         out = []
         for i, s in enumerate(sentences):
-            s = s.strip()
+            s = normalize_sentence(s.strip())
             if len(s) < self.filter.min_chars:
                 continue
+            if title_subject:
+                # object/possessive neuter pronouns also refer to the
+                # paragraph TOPIC: "The label L released it in 1974" /
+                # "Its release came via the label L" otherwise key the
+                # label or the year as the work's head and the work's
+                # release facts vanish from the graph
+                s2 = re.sub(r"\breleased (?:it|them)\b",
+                            f"released {title_subject}", s)
+                if s2.startswith("Its "):
+                    s2 = f"{title_subject}'s " + s2[len("Its "):]
+                if s2 != s:
+                    # re-canonicalize: the resolved object may now match
+                    # an active-voice rewrite (idempotent pass)
+                    s = normalize_sentence(s2)
             ents = extract_entities_fallback(s)
             if ents and " " not in ents[0] and s.startswith(ents[0]):
                 full = surname_to_full.get(ents[0])

@@ -39,6 +39,13 @@ class EncoderConfig:
     dtype: Any = jnp.bfloat16
     normalize: bool = True
     remat: bool = False           # checkpoint each block (training big configs)
+    # master-parameter dtype. None -> dtype (bf16 weights: fine for
+    # inference and for SMALL-config training). Training big configs needs
+    # f32 masters: at 24L/1024h adamw updates are ~1e-3 of the weight and
+    # bf16's ~3 significant digits round most of them to zero — the 24L
+    # run plateaued at chance loss until masters went f32 (compute stays
+    # bf16: encode() casts weight matrices to `dtype` in the forward).
+    param_dtype: Any = None
 
     @property
     def head_dim(self) -> int:
@@ -67,9 +74,17 @@ def init_params(key: jax.Array, cfg: EncoderConfig) -> Params:
     keys = jax.random.split(key, 4 + cfg.num_layers)
     h, i_sz = cfg.hidden_size, cfg.intermediate_size
     scale = 0.02
+    # residual-branch projections are down-scaled by 1/sqrt(2L) (GPT-2
+    # scheme): a deep post-LN stack at uniform 0.02 init washes every
+    # input apart — the 24L/1024h encoder produced near-identical pooled
+    # embeddings for ALL sequences (random-init recall@10 0.28, InfoNCE
+    # pinned at ln(B) with vanishing gradients). Shape-compatible with
+    # XLM-R checkpoints (hf_loader overwrites values).
+    res_scale = scale / max(1.0, (2.0 * cfg.num_layers) ** 0.5)
+    pdtype = cfg.param_dtype or cfg.dtype
 
-    def dense(k, shape):
-        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(cfg.dtype)
+    def dense(k, shape, s=scale):
+        return (jax.random.normal(k, shape, jnp.float32) * s).astype(pdtype)
 
     params: Params = {
         "tok_emb": dense(keys[0], (cfg.vocab_size, h)),
@@ -82,14 +97,15 @@ def init_params(key: jax.Array, cfg: EncoderConfig) -> Params:
         params["layers"].append(
             {
                 "qkv": dense(k[0], (h, 3, cfg.num_heads, cfg.head_dim)),
-                "qkv_b": jnp.zeros((3, cfg.num_heads, cfg.head_dim), cfg.dtype),
-                "attn_out": dense(k[1], (cfg.num_heads, cfg.head_dim, h)),
-                "attn_out_b": jnp.zeros((h,), cfg.dtype),
+                "qkv_b": jnp.zeros((3, cfg.num_heads, cfg.head_dim), pdtype),
+                "attn_out": dense(k[1], (cfg.num_heads, cfg.head_dim, h),
+                                  res_scale),
+                "attn_out_b": jnp.zeros((h,), pdtype),
                 "ln1": {"scale": jnp.ones((h,), jnp.float32), "bias": jnp.zeros((h,), jnp.float32)},
                 "ffn_in": dense(k[2], (h, i_sz)),
-                "ffn_in_b": jnp.zeros((i_sz,), cfg.dtype),
-                "ffn_out": dense(k[3], (i_sz, h)),
-                "ffn_out_b": jnp.zeros((h,), cfg.dtype),
+                "ffn_in_b": jnp.zeros((i_sz,), pdtype),
+                "ffn_out": dense(k[3], (i_sz, h), res_scale),
+                "ffn_out_b": jnp.zeros((h,), pdtype),
                 "ln2": {"scale": jnp.ones((h,), jnp.float32), "bias": jnp.zeros((h,), jnp.float32)},
             }
         )
@@ -150,6 +166,12 @@ def _block(x: jnp.ndarray, mask: jnp.ndarray, lp: Params, cfg: EncoderConfig) ->
 def encode(params: Params, token_ids: jnp.ndarray, mask: jnp.ndarray,
            cfg: EncoderConfig) -> jnp.ndarray:
     """(B, L) ids + mask -> (B, H) f32 (L2-normalized) embeddings."""
+    pdtype = cfg.param_dtype or cfg.dtype
+    if pdtype != cfg.dtype:
+        # f32 masters, bf16 compute: cast weights once at entry (XLA fuses
+        # the casts into the consuming matmuls; layernorm re-upcasts to
+        # f32 internally as before)
+        params = jax.tree.map(lambda a: a.astype(cfg.dtype), params)
     b, s = token_ids.shape
     x = params["tok_emb"][token_ids] + params["pos_emb"][:s][None, :, :]
     x = _layer_norm(x.astype(cfg.dtype), params["emb_ln"])

@@ -67,8 +67,8 @@ def stems(text: str) -> List[Tuple[str, int]]:
 GENERAL_REL_LEMMAS: Dict[str, frozenset] = {
     "performed_by": frozenset({"perform", "sing", "sang", "sung",
                                "record", "vocal", "artist", "band"}),
-    "released_in": frozenset({"releas", "issu", "publish", "debut",
-                              "appear", "drop", "unveil"}),
+    "released_in": frozenset({"releas", "release", "issu", "publish",
+                              "debut", "appear", "drop", "unveil"}),
     "released_on_label": frozenset({"label", "imprint"}),
     "born_in": frozenset({"born", "birth", "nativ"}),
     "spouse_of": frozenset({"spous", "marri", "marry", "wife", "husband",
@@ -97,7 +97,11 @@ def lemma_relation_hits(text: str,
         # only CONTENT words of the cues become lemmas — "came out in"
         # must not make "in"/"out" a released_in signal
         skip = {"the", "a", "an", "is", "was", "were", "by", "in", "on",
-                "out", "to", "of", "came", "put", "and", "or"}
+                "out", "to", "of", "came", "put", "and", "or",
+                # prepositions from multiword cues ("hails from") must not
+                # become standalone lemmas — every "X — an album from P"
+                # otherwise keys born_in
+                "from", "at", "with", "via", "under", "through"}
         for rel, cues in extra.items():
             lemmas = {stem(t) for cue in cues
                       for t in _TOKEN_RE.findall(str(cue).lower())
@@ -156,10 +160,20 @@ def lemma_extract(
     non_years = [e for e in ents_in_text if not _YEAR_RE.fullmatch(e)]
     reedition = bool(_REEDITION_RE.search(low))
     out: List[Dict[str, str]] = []
-    for rel, pos in lemma_relation_hits(text, extra_lexicon):
+    rel_hits = lemma_relation_hits(text, extra_lexicon)
+    hit_rels = {r for r, _ in rel_hits}
+    for rel, pos in rel_hits:
         if _NEG_RE.search(low[max(0, pos - 40):pos]):
             continue
         if reedition and rel in ("released_in", "released_on_label"):
+            continue
+        if rel == "released_on_label" and "released_in" not in hit_rels:
+            # the bare "label"/"imprint" noun in a TYPE statement ("X is
+            # a record label. F founded X.") is not release evidence; a
+            # label edge needs a release lemma in the same sentence/note,
+            # else the next entity after the noun (the founder!) becomes
+            # the label's released_on_label tail and poisons every
+            # label-set aggregation with a year-less person member
             continue
         if rel == "released_in":
             tail = years[0] if years else None
@@ -247,6 +261,25 @@ _Q_REWRITES: List[Tuple[re.Pattern, str]] = [
     (re.compile(r"\bset up by\b"), "founded by"),
     (re.compile(r"\bestablished by\b"), "founded by"),
     (re.compile(r"\bcity of birth\b"), "birth city"),
+    (re.compile(r"^(?:What|Which) city is the birthplace of (.+?)\s*\?"),
+     r"Where was \1 born?"),
+    (re.compile(r"^Which city was (.+?) born in\s*\?"),
+     r"Where was \1 born?"),
+    # fronted count directives: "In total, how many X ..." and
+    # "Count/Tally the X: how many ..." (the noun moved into the
+    # directive) onto the canonical "How many X ..."
+    (re.compile(r"^In (?:total|all), how many\b"), "How many"),
+    (re.compile(r"^Count the (\w+): how many\b"), r"How many \1"),
+    # relative release clause onto the participial canonical: "the album
+    # that the label L released (in Y)" -> "the album released (in Y) on
+    # the label L" (runs after put out/issued -> released). The lazy
+    # entity span tolerates trailing question words a sloppy rewrite
+    # swept into the clause.
+    (re.compile(r"\b(was |were )?(?:not )?that the label ([A-Z][\w' ]+?)"
+                r"( in \d{4})? released\b"),
+     lambda m: (f"{m.group(1) or ''}"
+                f"{'not ' if 'not' in m.group(0) else ''}"
+                f"released{m.group(3) or ''} on the label {m.group(2)}")),
 ]
 
 
@@ -264,3 +297,78 @@ def normalize_question(q: str) -> str:
     for pat, rep in _Q_REWRITES:
         s = pat.sub(rep, s)
     return s
+
+
+# ------------------------------------------------------------- evidence
+# Sentence canonicalization BEFORE rule extraction: the same idea as
+# normalize_question, applied to evidence surfaces. Every rewrite maps an
+# open English phrasing onto the cue vocabulary the extractor parses;
+# entity spans survive verbatim (patterns capture them whole). Authored
+# from general English + the DEV paraphrase sheet only (the v2 held-out
+# bank stays solver-blind per HELDOUT.md).
+_ENT = r"[A-Z][\w'&. -]*?"           # a capitalized entity span, lazy
+_S_REWRITES: List[Tuple[re.Pattern, str]] = [
+    # perform — copular appositions naming the artist late: orient the
+    # triple as (work, performed_by, person) regardless of clause order
+    (re.compile(r"; the performing artist is ([^.;]+)\."),
+     r" performed by \1."),
+    (re.compile(r"\bwhose credited artist is\b"), "performed by"),
+    (re.compile(r"\bthe performance is by\b"), "performed by"),
+    (re.compile(r"\b(?:was|were) laid down by\b"), "was recorded by"),
+    (re.compile(r"\bis a recording by\b"), "is an album by"),
+    (re.compile(r"\b(an?) (album|record) from\b"), r"\1 \2 by"),
+    # release — split verb phrases around an object ("put it out",
+    # "brought W out") and synonyms
+    (re.compile(r"\b(?:put|brought) (it|them|" + _ENT + r") out\b"),
+     r"released \1"),
+    (re.compile(r"\bput out\b"), "released"),
+    (re.compile(r"\bbrought out\b"), "released"),
+    (re.compile(r"\bcame out\b"), "was released"),
+    (re.compile(r"\bissued\b"), "released"),
+    # founded
+    (re.compile(r"\bset up by\b"), "founded by"),
+    (re.compile(r"^(" + _ENT + r") set up (" + _ENT + r")\.", re.M),
+     r"\1 founded \2."),
+    (re.compile(r"^(" + _ENT + r") got (" + _ENT + r") off the ground\.",
+                re.M),
+     r"\1 founded \2."),
+    # spouse — conjoined subject and nominal statements
+    (re.compile(r"^(" + _ENT + r") and (" + _ENT + r") (?:married|wed)\.",
+                re.M),
+     r"\1 married \2."),
+    (re.compile(r"(" + _ENT + r")'s marriage is to ([^.]+)\."),
+     r"\1 married \2."),
+    # born — nominal birthplace statements
+    (re.compile(r"([\w'. -]+?)'s home ?town is ([^.]+)\."),
+     r"\1 was born in \2."),
+    (re.compile(r"([\w'. -]+?)'s place of birth is ([^.]+)\."),
+     r"\1 was born in \2."),
+    (re.compile(r"\bcomes from\b"), "hails from"),
+    # tracks — nominal count statements onto the "features N tracks" cue
+    (re.compile(r"^The track (?:count|total|listing) is ([\w-]+)\.", re.M),
+     r"It features \1 tracks."),
+    (re.compile(r"^There are ([\w-]+) tracks on it\.", re.M),
+     r"It features \1 tracks."),
+    (re.compile(r"^There are ([\w-]+) tracks on ([^.]+)\.", re.M),
+     r"\2 features \1 tracks."),
+    # active label-release clause onto the passive canonical shape the
+    # extractor keys (work subject; label cue after the year): applied
+    # AFTER pronoun-object coref, so the object may be an entity
+    (re.compile(r"^The label (" + _ENT + r") released (" + _ENT
+                + r") (in|on) ([\w ,]+)\.", re.M),
+     r"\2 was released \3 \4 on the label \1."),
+]
+
+
+def normalize_sentence(s: str) -> str:
+    """Canonical cue surface for a paraphrased evidence sentence.
+
+    Idempotent. Applied by the rule note generator before entity/triple
+    extraction; a rewrite never adds or removes an entity span."""
+    # collapse doubled spaces first: an upstream rewrite that captured a
+    # leading space leaves "got  Nehol Audio off the ground", which no
+    # single-space pattern matches
+    t = re.sub(r"  +", " ", s or "")
+    for pat, rep in _S_REWRITES:
+        t = pat.sub(rep, t)
+    return t

@@ -93,7 +93,12 @@ def normalize_entity(ent: str) -> str:
     # sentence-final punctuation is never part of an entity; keep internal
     # dots (e.g. "Dr. Who") but drop trailing ones so the same entity
     # extracted mid-sentence and sentence-finally compares equal
-    return ent.rstrip(".,;:!?")
+    ent = ent.rstrip(".,;:!?")
+    # possessive marker is never part of an entity: "Migor Tolin's place
+    # of birth ..." must key the same graph node as "Migor Tolin"
+    if ent.endswith("'s") or ent.endswith("’s"):
+        ent = ent[:-2].rstrip()
+    return ent
 
 
 def extract_entities_fallback(text: str, min_len: int = 2, max_entities: int = 16) -> List[str]:
@@ -140,7 +145,17 @@ def _extract_entities_cached(text: str, min_len: int, max_entities: int) -> tupl
         if len(ent) >= min_len:
             seen.setdefault(ent)
     for m in _CAP_SPAN_RE.finditer(text or ""):
-        ent = normalize_entity(m.group(0))
+        raw = m.group(0)
+        # a sentence-initial preposition is capitalized by position and
+        # glues onto the entity span behind it: "On Kesti River, the
+        # performance ..." must yield "Kesti River", not "On Kesti River"
+        first, _, rest = raw.partition(" ")
+        if rest and first in ("On", "In", "At", "From", "With", "By",
+                              "After", "Before", "During", "Under"):
+            prefix = (text or "")[:m.start()].rstrip()
+            if not prefix or prefix[-1] in ".!?。":
+                raw = rest
+        ent = normalize_entity(raw)
         low = ent.lower()
         if (len(ent) >= min_len and low not in STOPWORDS
                 and not all(w in _MONTHS for w in low.split())

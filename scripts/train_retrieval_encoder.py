@@ -82,6 +82,11 @@ def main() -> int:
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--remat", action="store_true",
                     help="per-layer activation checkpointing (big configs)")
+    ap.add_argument("--f32-params", action="store_true",
+                    help="f32 master weights, bf16 compute — REQUIRED for "
+                         "big configs: bf16 masters round adamw updates to "
+                         "zero (24L run plateaued at chance loss)")
+    ap.add_argument("--warmup", type=int, default=100)
     args = ap.parse_args()
 
     import jax
@@ -95,7 +100,8 @@ def main() -> int:
         vocab_size=args.vocab, hidden_size=args.hidden,
         num_layers=args.layers, num_heads=args.heads,
         intermediate_size=args.ffn, max_position=128, pooling="mean",
-        remat=args.remat)
+        remat=args.remat,
+        param_dtype=jax.numpy.float32 if args.f32_params else None)
     train_pairs, _ = make_world_pairs(args.train_worlds, seed=0)
     eval_pairs, eval_corpus = make_world_pairs(args.eval_worlds, seed=99)
     print(f"train pairs: {len(train_pairs)}, eval queries: {len(eval_pairs)}, "
@@ -127,7 +133,9 @@ def main() -> int:
     hash_emb = HashEmbedder(dim=cfg.hidden_size)
     r_hash = recall_at_k(hash_emb.encode(queries), hash_emb.encode(eval_corpus), gold)
 
-    trainer = EncoderTrainer(cfg=cfg, learning_rate=args.lr)
+    import optax
+    lr_sched = optax.linear_schedule(0.0, args.lr, max(args.warmup, 1))
+    trainer = EncoderTrainer(cfg=cfg, learning_rate=lr_sched)
     r_random = recall_at_k(embed(trainer.params, queries),
                            embed(trainer.params, eval_corpus), gold)
     print(f"recall@10 random-init encoder: {r_random:.4f}", flush=True)
@@ -151,6 +159,21 @@ def main() -> int:
     out = Path(args.out)
     if out.exists():
         shutil.rmtree(out)
+    if args.f32_params:
+        # ship the checkpoint at the INFERENCE dtypes (bf16 dense weights,
+        # f32 layernorms): half the bytes, and bench.py's restore abstract
+        # is built from a default (param_dtype=None) init
+        import jax.numpy as jnp
+
+        ref_cfg = enc.EncoderConfig(
+            vocab_size=cfg.vocab_size, hidden_size=cfg.hidden_size,
+            num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+            intermediate_size=cfg.intermediate_size,
+            max_position=cfg.max_position, pooling=cfg.pooling)
+        ref = jax.eval_shape(lambda k: enc.init_params(k, ref_cfg),
+                             jax.random.PRNGKey(0))
+        trainer.params = jax.tree.map(
+            lambda a, r: a.astype(r.dtype), trainer.params, ref)
     ok = trainer.save_checkpoint(out.resolve())
     report = {
         "config": {"vocab": cfg.vocab_size, "hidden": cfg.hidden_size,
