@@ -224,6 +224,20 @@ def extract_note_keys(
         # relational-noun inversion: "<place> is the birthplace of <person>"
         # possesses the relation through "of" — the person is the head
         head, tail = tail, head
+        # "Tucson, Arizona is the birthplace of P": the place is the
+        # comma-run's FIRST member (the city), not the nearest entity
+        # before the cue (the state)
+        changed = True
+        while changed:
+            changed = False
+            for e in ents_in_text:
+                gap = low[positions[e] + len(e):positions.get(tail, 0)]
+                if (e != tail and e != head
+                        and 0 <= positions[e] < positions.get(tail, 0)
+                        and gap.strip() == ","):
+                    tail = e
+                    changed = True
+                    break
     elif (best_cue in _ACTIVE_INVERT_CUES
             and not low[best_pos + len(best_cue):].lstrip().startswith("by")):
         # active voice: "X founded Y" -> Y founded_by X
@@ -1051,7 +1065,16 @@ class AtomicNoteGenerator:
             if m and (subject or title_subject):
                 neuter = m.group(1) in ("It", "This") or \
                     m.group(1).startswith("The ")
-                ref = (title_subject if neuter and title_subject
+                # He/She on a PERSON page (plain title, no "(album)"-style
+                # type suffix) refers to the page topic, wiki-style — the
+                # running subject may be a spouse the previous sentence
+                # introduced first ("Lutofen is Netosha's spouse. She's
+                # place of birth is Atlanta." — She is Netosha)
+                person_page = (m.group(1) in ("He", "She")
+                               and title_subject
+                               and "(" not in (title or ""))
+                ref = (title_subject if (neuter or person_page)
+                       and title_subject
                        else subject or title_subject)
                 s = ref + s[m.end():]
                 if ref not in ents:

@@ -279,7 +279,7 @@ _Q_REWRITES: List[Tuple[re.Pattern, str]] = [
                 r"( in \d{4})? released\b"),
      lambda m: (f"{m.group(1) or ''}"
                 f"{'not ' if 'not' in m.group(0) else ''}"
-                f"released{m.group(3) or ''} on the label {m.group(2)}")),
+                f"released on the label {m.group(2)}{m.group(3) or ''}")),
 ]
 
 
@@ -306,7 +306,11 @@ def normalize_question(q: str) -> str:
 # entity spans survive verbatim (patterns capture them whole). Authored
 # from general English + the DEV paraphrase sheet only (the v2 held-out
 # bank stays solver-blind per HELDOUT.md).
-_ENT = r"[A-Z][\w'&. -]*?"           # a capitalized entity span, lazy
+# a capitalized entity span: capitalized words only — permitting dots or
+# lowercase words lets a rule span sentence boundaries and merge two
+# different facts ("A and B divorced in 1947.A and C in 1950 married."
+# once rewrote into a single wrong marriage)
+_ENT = r"[A-Z][\w'&-]*(?: [A-Z0-9][\w'&-]*)*"
 _S_REWRITES: List[Tuple[re.Pattern, str]] = [
     # perform — copular appositions naming the artist late: orient the
     # triple as (work, performed_by, person) regardless of clause order
@@ -333,9 +337,10 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
                 re.M),
      r"\1 founded \2."),
     # spouse — conjoined subject and nominal statements
-    (re.compile(r"^(" + _ENT + r") and (" + _ENT + r") (?:married|wed)\.",
-                re.M),
-     r"\1 married \2."),
+    (re.compile(r"^(" + _ENT + r") and (" + _ENT + r")(?: in (\d{4}))?"
+                r" (?:married|wed)\.", re.M),
+     lambda m: (f"{m.group(1)} married {m.group(2)}"
+                + (f" in {m.group(3)}" if m.group(3) else "") + ".")),
     (re.compile(r"(" + _ENT + r")'s marriage is to ([^.]+)\."),
      r"\1 married \2."),
     # born — nominal birthplace statements

@@ -13,10 +13,11 @@ from typing import Dict, Iterable, List, Optional
 _WORD_RE = re.compile(r"\b\w+\b", re.UNICODE)
 # also split when the space after [.!?] is MISSING ("married.Denver is"):
 # unsplit boundaries let one sentence's cue steal the next one's entities.
-# The no-space branch requires a lowercase letter before the period so
-# initials ("J.R.R.Tolkien") and org dots stay intact.
+# The no-space branch requires a lowercase letter OR digit before the
+# period ("married.Denver", "1947.Zagor") so initials ("J.R.R.Tolkien")
+# and org dots stay intact.
 _SENT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z0-9\"'(])|(?<=[。！？])"
-                      r"|(?<=[a-z][.!?])(?=[A-Z])")
+                      r"|(?<=[a-z0-9][.!?])(?=[A-Z])")
 # connectors are infix-only (must be followed by a capitalized word) so an
 # entity never ends on a connector or on a prefix of a lowercase word
 # ("Gustave Eiffel designed" must not yield "Gustave Eiffel de")
