@@ -77,29 +77,29 @@ def main(n=200_000, b=512, d=1024, dense_k=128, m=64, k=100,
         out[kname] = val
         print(json.dumps({kname: val}), flush=True)
 
-    def mm_approx(qq):
-        s = jnp.dot(qq, emb.T, preferred_element_type=jnp.float32)
+    def mm_approx(e, qq):
+        s = jnp.dot(qq, e.T, preferred_element_type=jnp.float32)
         return jax.lax.approx_max_k(s, dense_k, recall_target=rt)
 
     # A) dense only
     fA = jax.jit(lambda e, qq: chained(
-        lambda x: mm_approx(x)[0])(qq))
+        lambda x: mm_approx(e, x)[0])(qq))
     emit("A_dense_only", timed_loop(lambda: fA(emb, qd)))
 
     # B) dense + sparse-candidate gather+einsum
-    def fuseB(qq):
-        d_vals, _ = mm_approx(qq)
-        sp_emb = emb[jnp.maximum(sp_docs, 0)]
+    def fuseB(e, qq):
+        d_vals, _ = mm_approx(e, qq)
+        sp_emb = e[jnp.maximum(sp_docs, 0)]
         sp_dense = jnp.einsum("bmd,bd->bm", sp_emb.astype(jnp.float32),
                               qq.astype(jnp.float32))
         return d_vals[:, :1] + sp_dense[:, :1]
-    fB = jax.jit(lambda e, qq: chained(fuseB)(qq))
+    fB = jax.jit(lambda e, qq: chained(lambda x: fuseB(e, x))(qq))
     emit("B_plus_gather_einsum", timed_loop(lambda: fB(emb, qd)))
 
     # C) everything except the final top_k
-    def fuseC(qq):
-        d_vals, d_idx = mm_approx(qq)
-        sp_emb = emb[jnp.maximum(sp_docs, 0)]
+    def fuseC(e, qq):
+        d_vals, d_idx = mm_approx(e, qq)
+        sp_emb = e[jnp.maximum(sp_docs, 0)]
         sp_dense = jnp.einsum("bmd,bd->bm", sp_emb.astype(jnp.float32),
                               qq.astype(jnp.float32))
         inv_max = jnp.where(sp_max > 0, 1.0 / jnp.maximum(sp_max, 1e-30), 0.0)
@@ -111,31 +111,31 @@ def main(n=200_000, b=512, d=1024, dense_k=128, m=64, k=100,
         fused_s = jnp.where((sp_docs >= 0) & ~dup, fused_s, NEG_INF)
         return jnp.concatenate([fused_d, fused_s], axis=1)
     fC = jax.jit(lambda e, qq: chained(
-        lambda x: fuseC(x)[:, :1])(qq))
+        lambda x: fuseC(e, x)[:, :1])(qq))
     emit("C_all_but_final_topk", timed_loop(lambda: fC(emb, qd)))
 
     # D) full glue, final lax.top_k
-    def fuseD(qq):
-        av = fuseC(qq)
+    def fuseD(e, qq):
+        av = fuseC(e, qq)
         tv, _ = jax.lax.top_k(av, k)
         return tv
-    fD = jax.jit(lambda e, qq: chained(fuseD)(qq))
+    fD = jax.jit(lambda e, qq: chained(lambda x: fuseD(e, x))(qq))
     emit("D_full_topk", timed_loop(lambda: fD(emb, qd)))
 
     # E) full glue, final = descending sort slice
-    def fuseE(qq):
-        av = fuseC(qq)
+    def fuseE(e, qq):
+        av = fuseC(e, qq)
         return jax.lax.sort(av, dimension=1)[:, -k:]
-    fE = jax.jit(lambda e, qq: chained(fuseE)(qq))
+    fE = jax.jit(lambda e, qq: chained(lambda x: fuseE(e, x))(qq))
     emit("E_full_sortslice", timed_loop(lambda: fE(emb, qd)))
 
     # F) raw matmul + full materialize + top_k dense (the anti-pattern,
     #    for scale)
-    def fuseF(qq):
-        s = jnp.dot(qq, emb.T, preferred_element_type=jnp.float32)
+    def fuseF(e, qq):
+        s = jnp.dot(qq, e.T, preferred_element_type=jnp.float32)
         v, _ = jax.lax.approx_max_k(s, dense_k, recall_target=rt)
         return v + jnp.sum(s[:, :1]) * 1e-20   # second consumer: breaks fusion
-    fF = jax.jit(lambda e, qq: chained(fuseF)(qq))
+    fF = jax.jit(lambda e, qq: chained(lambda x: fuseF(e, x))(qq))
     emit("F_dense_fusion_broken", timed_loop(lambda: fF(emb, qd)))
 
     dense_flops = 2.0 * b * n * d
