@@ -89,14 +89,9 @@ def main(n=200_000, b=512, d=1024, dense_k=128, rt=0.95):
                 kk, recall_target=rt)[0])(qq))
         emit(f"A_fused_k{kk}", timed_loop(lambda: f(emb, qd)))
 
-    # Ar: reduction_input_size_override sweep (default -1)
-    for ov in (4096, 16384, 65536):
-        f = jax.jit(lambda e, qq, ov=ov: chained(
-            lambda x: jax.lax.approx_max_k(
-                jnp.dot(x, e.T, preferred_element_type=jnp.float32),
-                dense_k, recall_target=rt,
-                reduction_input_size_override=ov)[0])(qq))
-        emit(f"Ar_override_{ov}", timed_loop(lambda: f(emb, qd)))
+    # Ar: reduction_input_size_override — REJECTED by the TPU lowering
+    # ('reduction_input_size_override out of range' for values < N); the
+    # knob only widens the assumed input, it cannot cheapen the reduce.
 
     # B: chunked approx_scan over N
     for chunk in (65536, 32768):
