@@ -557,7 +557,8 @@ def _pad_k(vals, idx, k, k_eff):
 
 @functools.partial(jax.jit, static_argnames=("k", "dense_k", "sparse_m",
                                               "sparse_weight", "recall_target", "n_docs",
-                                              "materialize_bytes", "max_seg"))
+                                              "materialize_bytes", "max_seg",
+                                              "select_approx"))
 def hybrid_topk(
     emb: jax.Array,          # (N, D)
     queries: jax.Array,      # (B, D)
@@ -571,6 +572,7 @@ def hybrid_topk(
     recall_target: float = 0.95,
     materialize_bytes: int = 8 * 1024**3,
     max_seg: int = 0,        # max term instances per query (plan builder knows)
+    select_approx: bool = False,
 ):
     """Hybrid v2 top-k via candidate-union fusion — fully scatter-free.
 
@@ -599,10 +601,14 @@ def hybrid_topk(
     # contiguous-DMA layout; always routed to the winners kernel.
     if doc_rows.ndim == 3 or (jax.default_backend() == "tpu"
                               and doc_rows.shape[1] >= 2048):
+        # select_approx trades the exact winners-select (lax.top_k over the
+        # winners table) for lax.approx_max_k. It is caller-opt-in (default
+        # EXACT): r4 silently enabled it on TPU and recall@10 regressed
+        # 0.9832 -> 0.9828 despite rt 0.95 -> 0.97 (ADVICE r4 #2).
         sp_vals_all, sp_docs_all, sp_max = sparse_topm_winners(
             doc_rows, weight_rows, sparse_m, n_docs, max_seg=max_seg,
             b_valid=queries.shape[0],
-            select_approx=jax.default_backend() == "tpu")
+            select_approx=select_approx)
     else:
         _, sp_vals_all, sp_docs_all, sp_max = sparse_topm_from_sorted(
             doc_rows, weight_rows, sparse_m, n_docs)
@@ -794,6 +800,39 @@ def hybrid_fuse(
     ids = jnp.take_along_axis(all_ids, tp, axis=1)
     ids = jnp.where(tv > NEG_INF / 2, ids, -1)
     return tv, ids
+
+
+RT_LADDER = (0.95, 0.97, 0.99, 0.998)
+
+
+def autotune_recall_target(
+    search_fn,
+    oracle_idx: np.ndarray,
+    target: float,
+    k: int = 10,
+    ladder: Tuple[float, ...] = RT_LADDER,
+) -> Tuple[float, float]:
+    """Pick the cheapest approx_max_k recall_target meeting `target`.
+
+    The TPU analogue of the reference's nprobe autotune
+    (/root/reference/vector_store/vector_index.py:428-470): walk the rt
+    ladder on a sampled query batch, measure recall@k against the exact
+    oracle, return (rt, measured_recall) for the first rung that clears
+    `target` (or the best rung if none does).
+
+    search_fn(rt) -> (B, >=k) candidate doc-id array for the sample batch.
+    """
+    best = (float(ladder[-1]), -1.0)
+    for rt in ladder:
+        idx = np.asarray(search_fn(float(rt)))[:, :k]
+        rec = float(np.mean([
+            len(set(idx[j]) & set(oracle_idx[j, :k])) / k
+            for j in range(len(idx))]))
+        if rec > best[1]:
+            best = (float(rt), rec)
+        if rec >= target:
+            return float(rt), rec
+    return best
 
 
 def dense_topk_np(emb: np.ndarray, queries: np.ndarray, k: int,

@@ -39,9 +39,13 @@ import numpy as np
 # approx_max_k recall_target for the headline hybrid path. r3 shipped 0.95
 # (recall@10 0.9832); the gate below pins >= RECALL_GATE so any future
 # speed-for-recall trade fails loud (VERDICT r3 weak #3). Overridable for
-# on-chip operating-point sweeps.
+# on-chip operating-point sweeps. If the measured recall misses the gate at
+# RECALL_TARGET, main() autotunes up the rt ladder (the reference autotunes
+# nprobe the same way, /root/reference/vector_store/vector_index.py:428-470)
+# instead of dying before printing its JSON line (ADVICE r4 #1).
 RECALL_TARGET = float(os.environ.get("ANORAG_BENCH_RT", "0.97"))
 RECALL_GATE = 0.985
+RT_LADDER = (0.99, 0.998)
 
 
 def peak_tflops(device_kind: str) -> float:
@@ -139,15 +143,23 @@ def kernel_parity() -> dict:
     rec_win = _winner_check(
         *sparse_topm_winners(ad, wd, 16, n_docs, max_seg=min(max_run, 32)),
         "window_winners")
+    # approx winners-select (opt-in path, ADVICE r4 #2): pinned recall bound
+    # so enabling it anywhere has compiled coverage, not just the e2e gate
+    rec_approx = _winner_check(
+        *sparse_topm_winners(ad, wd, 16, n_docs, select_approx=True),
+        "winners_select_approx")
     return {"bucket_topk": "exact", "segment_winners": rec_scan,
-            "window_winners": rec_win, "backend": jax.default_backend()}
+            "window_winners": rec_win,
+            "winners_select_approx": rec_approx,
+            "backend": jax.default_backend()}
 
 
 def bench_hybrid(n_docs: int, b: int = 512, dim: int = 1024, vocab: int = 30_000,
                  doc_len: int = 40, q_len: int = 8, k: int = 100,
                  topk_eval: int = 10, rounds: int = 20,
                  cpu_baseline: bool = True, oracle_queries: int = 0,
-                 seed: int = 0, keep_ctx: bool = False) -> dict:
+                 seed: int = 0, keep_ctx: bool = False,
+                 recall_target: float | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -156,6 +168,7 @@ def bench_hybrid(n_docs: int, b: int = 512, dim: int = 1024, vocab: int = 30_000
     from anorag_tpu.ops.topk import hybrid_topk
 
     on_tpu = jax.default_backend() == "tpu"
+    rt = RECALL_TARGET if recall_target is None else recall_target
     rng = np.random.default_rng(seed)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
@@ -184,7 +197,7 @@ def bench_hybrid(n_docs: int, b: int = 512, dim: int = 1024, vocab: int = 30_000
     def hybrid_dev():
         return hybrid_topk(emb_dev, q_dev, dr_dev, wr_dev, k, n_docs=n_docs,
                            dense_k=128, sparse_m=64, sparse_weight=0.6,
-                           recall_target=RECALL_TARGET, max_seg=q_len)
+                           recall_target=rt, max_seg=q_len)
 
     # warm up / compile. NOTE: timing forces a value read — on tunneled
     # devices block_until_ready can return before the work drains. Device
@@ -223,6 +236,7 @@ def bench_hybrid(n_docs: int, b: int = 512, dim: int = 1024, vocab: int = 30_000
     peak = peak_tflops(jax.devices()[0].device_kind) if on_tpu else 1e12
     out = {
         "n_docs": n_docs, "batch": b,
+        "recall_target": rt,
         "qps": round(qps, 1),
         "latency_ms_per_batch": round(1000.0 * lat_s, 2),
         "achieved_tflops": round(dense_flops / lat_s / 1e12, 1),
@@ -269,8 +283,70 @@ def bench_hybrid(n_docs: int, b: int = 512, dim: int = 1024, vocab: int = 30_000
         out["recall_oracle_queries"] = nq
     if keep_ctx:
         out["_ctx"] = {"emb_dev": emb_dev, "dr_dev": dr_dev, "wr_dev": wr_dev,
-                       "k": k, "n_docs": n_docs, "batch": b}
+                       "k": k, "n_docs": n_docs, "batch": b,
+                       "q_dev": q_dev, "max_seg": q_len}
     return out
+
+
+def bench_true_device(ctx: dict, recall_target: float,
+                      iters=(2, 10)) -> dict:
+    """Tunnel-free per-step latency of the FULL hybrid step via a chained
+    fori_loop: run the step `iters` times inside ONE dispatch (each
+    iteration's output perturbs the next query so XLA can't hoist it), then
+    linear-fit total time vs iters — the slope is the true on-device step
+    time with host/tunnel round-trip (22-30 ms here) subtracted out.
+    Methodology from scripts/bench_dispatch_anatomy.py (r4 probes: dense
+    kernel alone measured 73% MFU true-device vs 0.20 tunnel-inclusive)."""
+    import jax
+    import jax.numpy as jnp
+
+    from anorag_tpu.ops.topk import hybrid_topk
+
+    emb, q0 = ctx["emb_dev"], ctx["q_dev"]
+    dr, wr = ctx["dr_dev"], ctx["wr_dev"]
+    n_docs, b, k = ctx["n_docs"], ctx["batch"], ctx["k"]
+    max_seg = ctx["max_seg"]
+
+    def chained(it):
+        @jax.jit
+        def run(e, q):
+            def step(_, carry):
+                acc, qq = carry
+                tv, _ = hybrid_topk(e, qq, dr, wr, k, n_docs=n_docs,
+                                    dense_k=128, sparse_m=64,
+                                    sparse_weight=0.6,
+                                    recall_target=recall_target,
+                                    max_seg=max_seg)
+                s = tv[0, 0].astype(jnp.float32)
+                return acc + s, qq + (s * 1e-12).astype(qq.dtype)
+            acc, _ = jax.lax.fori_loop(0, it, step, (jnp.float32(0.0), q))
+            return acc
+        return run
+
+    totals = {}
+    for it in iters:
+        f = chained(it)
+        _ = float(np.asarray(f(emb, q0)))          # compile + warm
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            _ = float(np.asarray(f(emb, q0)))      # value read = drain
+            best = min(best, time.perf_counter() - t0)
+        totals[it] = best
+    per_iter = (totals[iters[1]] - totals[iters[0]]) / (iters[1] - iters[0])
+    per_iter = max(per_iter, 1e-9)
+    dim = emb.shape[1]
+    dense_flops = 2.0 * b * n_docs * dim
+    on_tpu = jax.default_backend() == "tpu"
+    peak = peak_tflops(jax.devices()[0].device_kind) if on_tpu else 1e12
+    return {
+        "latency_ms_true_device": round(1e3 * per_iter, 3),
+        "qps_true_device": round(b / per_iter, 1),
+        "mfu_true_device": round(dense_flops / per_iter / peak, 4),
+        "chain_iters": list(iters),
+        "chain_totals_ms": {str(i): round(1e3 * t, 2)
+                            for i, t in totals.items()},
+    }
 
 
 def bench_encoder(ctx: dict | None, b: int = 256, seq: int = 128,
@@ -446,16 +522,39 @@ def main() -> int:
 
     parity = kernel_parity()
 
+    # recall gate + autotune — the fused path must not silently trade
+    # recall@10 for QPS (r2 0.9871 -> r3 0.9832 went unflagged). If the
+    # default rt misses the gate, walk the rt ladder up (the reference
+    # autotunes nprobe to a recall target the same way,
+    # /root/reference/vector_store/vector_index.py:428-470). Whatever
+    # happens, the ONE JSON line is printed (ADVICE r4 #1): a gate failure
+    # becomes a field + rc 1, never an assert before output.
+    autotune_history = []
     headline = bench_hybrid(200_000, cpu_baseline=True, keep_ctx=True)
-    # recall gate — unskippable, like kernel_parity: the fused path must
-    # not silently trade recall@10 for QPS (r2 0.9871 -> r3 0.9832 went
-    # unflagged; this pins the operating point)
+    autotune_history.append({"rt": headline["recall_target"],
+                             "recall": headline["recall_at_10_vs_exact_f32"],
+                             "qps": headline["qps"]})
+    for rt_next in RT_LADDER:
+        if headline["recall_at_10_vs_exact_f32"] >= RECALL_GATE:
+            break
+        if rt_next <= headline["recall_target"]:
+            continue
+        headline = bench_hybrid(200_000, cpu_baseline=True, keep_ctx=True,
+                                recall_target=rt_next)
+        autotune_history.append(
+            {"rt": rt_next,
+             "recall": headline["recall_at_10_vs_exact_f32"],
+             "qps": headline["qps"]})
     rec = headline["recall_at_10_vs_exact_f32"]
-    assert rec >= RECALL_GATE, (
-        f"recall gate: recall@10 {rec} < {RECALL_GATE} at 200k "
-        f"(recall_target={RECALL_TARGET}); raise ANORAG_BENCH_RT or fix "
-        "the fused path")
+    gate_ok = rec >= RECALL_GATE
+    rt_used = headline["recall_target"]
+
     ctx = headline.pop("_ctx")
+    true_dev = None
+    try:
+        true_dev = bench_true_device(ctx, rt_used)
+    except Exception as e:          # never let the new probe kill the line
+        true_dev = {"error": f"{type(e).__name__}: {e}"}
     encoder = bench_encoder(ctx)
     del ctx
     if scale_1m is None:
@@ -465,17 +564,23 @@ def main() -> int:
     out = {
         "metric": "hybrid_query_qps_per_chip",
         "search_method": "fused matmul+approx_max_k dense (no (B,N) in HBM) "
-                         "+ segment-winners bm25 kernel (rt 0.95)",
+                         "+ segment-winners bm25 kernel (exact select, "
+                         f"rt {rt_used})",
         "value": headline["qps"],
         "unit": "queries/s",
         "vs_baseline": headline["vs_baseline"],
-        "recall_at_10_vs_exact_f32": headline["recall_at_10_vs_exact_f32"],
+        "recall_at_10_vs_exact_f32": rec,
+        "recall_gate": RECALL_GATE,
+        "recall_gate_passed": gate_ok,
+        "recall_target_used": rt_used,
+        "recall_autotune": autotune_history,
         "corpus": {"n_docs": headline["n_docs"], "dim": 1024,
                    "dtype": "bfloat16" if on_tpu else "float32"},
         "batch": headline["batch"],
         "latency_ms_per_batch": headline["latency_ms_per_batch"],
         "achieved_tflops": headline["achieved_tflops"],
         "mfu": headline["mfu"],
+        "true_device": true_dev,
         "peak_tflops_assumed": round(peak_tflops(
             jax.devices()[0].device_kind) / 1e12) if on_tpu else None,
         "cpu_baseline_qps": headline["cpu_baseline_qps"],
@@ -485,7 +590,7 @@ def main() -> int:
         "backend": jax.default_backend(),
     }
     print(json.dumps(out))
-    return 0
+    return 0 if gate_ok else 1
 
 
 if __name__ == "__main__":
