@@ -168,6 +168,97 @@ _E2 = [
      [r"\1 and \2 are husband and wife."]),
 ]
 
+# ----------------------------------------------------------- bank v3
+# Authored at ROUND-5 START (2026-08-20), before any round-5 solver work,
+# per HELDOUT.md: the single v2 aggregate look at round-4 end makes v2
+# semi-dev for round 5, so the end-of-round solver-blind claim needs this
+# fresh bank. Measured ONCE at round-5 end; no solver patch may follow
+# that measurement. Written as fluent-human paraphrases; copies no v1/v2
+# replacement surface and aims neither at nor away from solver lemmas.
+_E3 = [
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) recorded the album ([^.]+)\."),
+     [r"The recording of the album \2 is credited to \1.",
+      r"Behind the album \2 stands \1, who recorded it."]),
+    (re.compile(r"([^.]+?) is an album performed by ([^.]+)\."),
+     [r"The artist heard on the album \1 is \2.",
+      r"\1 is an album, and the performer on it is \2."]),
+    (re.compile(r"([^.]+?) is an (album|record) by ([^.]+)\."),
+     [r"The \2 \1 has \3 as its maker.",
+      r"Credit for the \2 \1 goes to \3."]),
+    (re.compile(r"It was released in ([^.]+?) on the label ([^.]+)\."),
+     [r"Release came in \1, handled by the label \2.",
+      r"The year \1 saw the label \2 issue it."]),
+    (re.compile(r"It came out in ([^.]+?) on the label ([^.]+)\."),
+     [r"Under the label \2, it surfaced in \1."]),
+    (re.compile(r"It was put out in ([^.]+?) by the label ([^.]+)\."),
+     [r"It surfaced in \1 thanks to the label \2."]),
+    (re.compile(r"It was released on ([^.]+?) on the label ([^.]+)\."),
+     [r"The date of its release by the label \2 was \1."]),
+    (re.compile(r"It came out on ([^.]+?) through the label ([^.]+)\."),
+     [r"It reached listeners on \1, issued by the label \2."]),
+    (re.compile(r"([^.]+?), an album by ([^.]+?), was released "
+                r"(in [^.]+?|on [^.]+?) on the label ([^.]+)\."),
+     [r"The label \4 put out \1, \2's album, \3."]),
+    (re.compile(r"([^.]+?), a record by ([^.]+?), came out "
+                r"(in [^.]+?|on [^.]+?) on the label ([^.]+)\."),
+     [r"The label \4 released \1 \3; the record is by \2."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) married ([^.]+)\."),
+     [r"A marriage joined \1 and \2."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) wed ([^.]+)\."),
+     [r"\1 became \2's spouse."]),
+    (re.compile(r"The spouse of ([^.]+?) is ([^.]+)\."),
+     [r"\2 and \1 are married to each other."]),
+    (re.compile(r"([\w' ]+?)'s spouse is ([^.]+)\."),
+     [r"\1 is wed to \2."]),
+    (re.compile(r"([\w' ]+?) was born in ([^.]+)\."),
+     [r"\1 first saw the light of day in \2.",
+      r"The birth of \1 took place in \2."]),
+    (re.compile(r"([\w' ]+?) is a native of ([^.]+)\."),
+     [r"\2 counts \1 among its natives."]),
+    (re.compile(r"([\w' ]+?) hails from ([^.]+)\."),
+     [r"\1's roots are in \2."]),
+    (re.compile(r"([^.]+?) was founded by ([^.]+)\."),
+     [r"The founding of \1 was the work of \2."]),
+    (re.compile(r"([^.]+?) was started by ([^.]+)\."),
+     [r"\1 began as \2's venture."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) established ([^.]+)\."),
+     [r"The establishment of \2 is owed to \1."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) founded ([^.]+)\."),
+     [r"\1 is the founder of \2."]),
+    (re.compile(r"It features ([\w-]+) tracks\."),
+     [r"It runs to \1 tracks.",
+      r"Listeners get \1 tracks on it."]),
+    (re.compile(r"([\w' ]+?) is married to ([^.]+)\."),
+     [r"\1 has \2 for a spouse."]),
+]
+
+_Q3 = [
+    (re.compile(r"\breleased on the label ([A-Z][\w' ]+)"),
+     [r"put into circulation by the label \1",
+      r"issued under the label \1"]),
+    (re.compile(r"\bIn which city was ([^?]+?) born\?"),
+     [r"What is the city of birth of \1?",
+      r"Identify the birth city of \1."]),
+    (re.compile(r"\bWho performed ([^?]+?)\?"),
+     [r"Which artist is heard on \1?"]),
+    (re.compile(r"\bWho is the spouse of ([^?]+?)\?"),
+     [r"Who did \1 marry?"]),
+    (re.compile(r"\bWhen was ([^?]+?) released\?"),
+     [r"What year saw the release of \1?"]),
+    (re.compile(r"\bWhich was released first, ([^?]+?) or ([^?]+?)\?"),
+     [r"Between \1 and \2, which appeared sooner?"]),
+    (re.compile(r"\bHow many (albums|works|records|songs)\b"),
+     [r"Give the number of \1:",
+      r"State how many \1"]),
+    (re.compile(r"\bhave more tracks than\b"),
+     [r"run longer, in track count, than"]),
+    (re.compile(r"\bhave fewer tracks than\b"),
+     [r"come up shorter in tracks than"]),
+    (re.compile(r"^"),
+     [r"From the passages provided: ",
+      r"Working from these texts, "]),
+]
+
 _Q2 = [
     (re.compile(r"\breleased on the label ([A-Z][\w' ]+)"),
      [r"brought out on the label \1",
@@ -219,7 +310,7 @@ _Q = [
 ]
 
 
-_BANKS = {"v1": (_E, _Q), "v2": (_E2, _Q2)}
+_BANKS = {"v1": (_E, _Q), "v2": (_E2, _Q2), "v3": (_E3, _Q3)}
 
 
 def _apply(text: str, rules, rng, p: float) -> str:
