@@ -2390,14 +2390,20 @@ def _attr_count(option: str, attr: str,
     `option` (digits or number words)."""
     opt = option.lower()
     stem = attr.rstrip("s").lower()
+    nums = r"(\d{1,3}|" + "|".join(_WORD_NUMS) + r")"
     num_re = re.compile(
-        r"\b(\d{1,3}|" + "|".join(_WORD_NUMS) + r")\s+" + stem + r"s?\b",
-        re.IGNORECASE)
+        r"\b" + nums + r"\s+" + stem + r"s?\b", re.IGNORECASE)
+    # reversed order: the count may FOLLOW the attribute noun ("Its
+    # tracklist numbers twelve", "The track count is 12") — general
+    # nominal phrasing, same sentence, number within a short window
+    rev_re = re.compile(
+        r"\b" + stem + r"(?:s|list|[- ]?count(?:ing)?)?\b[^.;]{0,24}?\b"
+        + nums + r"\b", re.IGNORECASE)
     for c in candidates or ():
         text = f"{c.get('title', '')} {c.get('content', '')}"
         if opt not in text.lower():
             continue
-        m = num_re.search(text)
+        m = num_re.search(text) or rev_re.search(text)
         if m:
             tok = m.group(1).lower()
             n = int(tok) if tok.isdigit() else _WORD_NUMS[tok]

@@ -307,6 +307,16 @@ DEFAULT_CONFIG: Dict[str, Any] = {
         },
     },
     "path_aware": {"enabled": True, "min_path_score": 0.3},
+    # recall-optimizer sub-stages (parity: enhanced_recall_optimizer.py
+    # :448-540 multi-hop decomposition + :542 comprehensive rerank); both
+    # off by default — the tuned pipeline ordering stays authoritative,
+    # flip on per-dataset
+    "recall_optimizer": {
+        "multi_hop_enabled": False,
+        "max_hops": 3,
+        "hop_similarity_threshold": 0.15,
+        "comprehensive_rerank": False,
+    },
     # ----------------------------------------------------------- hybrid search
     "hybrid_search": {
         "enabled": True,

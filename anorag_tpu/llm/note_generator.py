@@ -99,6 +99,7 @@ def extract_note_keys(
     rel_lexicon: Optional[Dict[str, List[str]]] = None,
     fallback_splitters: Optional[List[str]] = None,
     default_rel: str = "related_to",
+    types: Optional[Dict[str, Optional[str]]] = None,
 ) -> Dict[str, str]:
     """Rule extraction of (head_key, rel, tail_key) from a note sentence.
 
@@ -185,7 +186,8 @@ def extract_note_keys(
         # relation in a content word the exact-cue pass missed; a stemmed
         # lemma hit recovers the typed edge instead of a junk default_rel
         from anorag_tpu.utils.lexnorm import lemma_extract
-        lemma_triples = lemma_extract(text, ents_in_text, positions, lexicon)
+        lemma_triples = lemma_extract(text, ents_in_text, positions, lexicon,
+                                      types=types)
         if lemma_triples:
             if priority is not None:
                 # the priority (label) triple keys the note, lemma triples
@@ -309,6 +311,7 @@ def extract_all_note_keys(
     rel_lexicon: Optional[Dict[str, List[str]]] = None,
     fallback_splitters: Optional[List[str]] = None,
     default_rel: str = "related_to",
+    types: Optional[Dict[str, Optional[str]]] = None,
 ) -> Dict[str, str]:
     """extract_note_keys over EACH sentence of a (possibly merged
     multi-sentence) note, collecting every distinct triple: the first
@@ -327,7 +330,7 @@ def extract_all_note_keys(
     sents = [v for s in sents for v in expand_appositive(s)]
     if len(sents) <= 1:
         return extract_note_keys(text, entities, rel_lexicon,
-                                 fallback_splitters, default_rel)
+                                 fallback_splitters, default_rel, types)
     ents = [str(e) for e in entities if str(e).strip()]
     triples: List[Dict[str, str]] = []
     seen = set()
@@ -346,14 +349,15 @@ def extract_all_note_keys(
         sent_ents = [e for e in ents if e.lower() in low]
         # no fallback splitters per-sentence: a merged note would sprout a
         # junk default-rel edge per sentence
-        k = extract_note_keys(sent, sent_ents, rel_lexicon, [], default_rel)
+        k = extract_note_keys(sent, sent_ents, rel_lexicon, [], default_rel,
+                              types)
         if k:
             _add(k)
             for sk in k.get("secondary_keys") or ():
                 _add(sk)
     if not triples:
         return extract_note_keys(text, entities, rel_lexicon,
-                                 fallback_splitters, default_rel)
+                                 fallback_splitters, default_rel, types)
     primary = dict(triples[0])
     if len(triples) > 1:
         primary["secondary_keys"] = triples[1:]
@@ -504,6 +508,7 @@ class AtomicNoteGenerator:
 
     # --------------------------------------------------------------- entry
     def generate_atomic_notes(self, chunks: Sequence[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        self._build_type_registry(chunks)
         batch_ok = (self.cfg.get("notes_llm.batch.enabled", True)
                     and self.llm is not None
                     and (hasattr(self.llm, "generate_notes_batch")
@@ -518,6 +523,32 @@ class AtomicNoteGenerator:
                     len(notes), len(chunks), dict(self.stats))
         self.maybe_evaluate_coverage(chunks, notes)
         return notes
+
+    def _build_type_registry(self, chunks: Sequence[Dict[str, Any]]) -> None:
+        """Corpus-level entity-type registry (utils/semtype.py): one pass
+        over every sentence of every chunk BEFORE note generation, so a
+        single clearly-typed mention anywhere ("W is an album by P")
+        orients every openly-phrased restatement of the same entities.
+        Cheap string scans (the rule path re-does the same splits)."""
+        from anorag_tpu.utils.semtype import EntityTypeRegistry
+        from anorag_tpu.utils.text import (extract_entities_fallback,
+                                           split_sentences)
+        reg = EntityTypeRegistry()
+        for chunk in chunks or ():
+            text = str(chunk.get("text") or chunk.get("content") or "")
+            for s in split_sentences(text):
+                s = normalize_sentence(s.strip())
+                ents = extract_entities_fallback(s)
+                if ents:
+                    reg.observe(s, ents)
+        self._type_registry = reg
+
+    def _types_for(self, entities: Sequence[str]
+                   ) -> Optional[Dict[str, Optional[str]]]:
+        reg = getattr(self, "_type_registry", None)
+        if reg is None or not len(reg) or not entities:
+            return None
+        return reg.types_for(entities)
 
     def _generate_batched(self, chunks: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
         """Batched variant of the per-chunk loop: ONE batch_generate call
@@ -1162,7 +1193,8 @@ class AtomicNoteGenerator:
             if not note["head_key"] or not note["tail_key"]:
                 keys = extract_all_note_keys(
                     text, entities, self.rel_lexicon,
-                    self.fallback_splitters, self.default_rel)
+                    self.fallback_splitters, self.default_rel,
+                    types=self._types_for(entities))
                 if keys:
                     note.update(keys)
             else:
@@ -1174,7 +1206,8 @@ class AtomicNoteGenerator:
                 # carried one edge per paragraph, EM 0.21 vs 1.00 rule)
                 keys = extract_all_note_keys(
                     text, entities, self.rel_lexicon,
-                    self.fallback_splitters, self.default_rel)
+                    self.fallback_splitters, self.default_rel,
+                    types=self._types_for(entities))
                 if keys:
                     extra_triples.append(
                         {k: keys[k] for k in

@@ -193,8 +193,15 @@ class QueryProcessor:
         self.candidate_pool = self.cfg.get("retrieval.candidate_pool", 50)
 
         self.path_ranker = PathAwareRanker() if self.cfg.get("path_aware.enabled", True) else None
+        ro_cfg = self.cfg.get("recall_optimizer", {}) or {}
         self.recall_optimizer = EnhancedRecallOptimizer(
-            retrieve_fn=lambda q: self.retriever.retrieve(q, top_k=10, threshold=0.0))
+            retrieve_fn=lambda q: self.retriever.retrieve(q, top_k=10, threshold=0.0),
+            multi_hop_enabled=bool(ro_cfg.get("multi_hop_enabled", False)),
+            max_hops=int(ro_cfg.get("max_hops", 3)),
+            hop_similarity_threshold=float(
+                ro_cfg.get("hop_similarity_threshold", 0.15)),
+            comprehensive_rerank=bool(
+                ro_cfg.get("comprehensive_rerank", False)))
         self.reranker = (
             ListwiseReranker(max_candidates=self.cfg.get("rerank.listt5_input_topk", 24),
                              backend=self.cfg.get("rerank.backend", "lexical"),
@@ -841,6 +848,24 @@ class QueryProcessor:
         return stem[:5] in blob
 
     def _answer(self, query, selected, candidates, bridge_entities) -> Dict[str, Any]:
+        out = self._answer_stages(query, selected, candidates, bridge_entities)
+        # polar-question guard, as a POST-filter: a yes/no-shaped question
+        # must never be answered with an entity span — an album title is
+        # always wrong for "Does X have more tracks than Y?" (seed-9
+        # synth_174 regression, VERDICT r3 weak #1). But the selector/EFSA/
+        # LLM paths still get to RUN (an LLM can legitimately answer a
+        # polar question the exact-math stages declined); only non-polar
+        # outputs are coerced to insufficient (ADVICE r4 #3).
+        if _is_polar_question(query):
+            ans = re.sub(r"[.!?\s]+$", "", str(out.get("answer") or "")).strip().lower()
+            if ans not in ("yes", "no", "insufficient information"):
+                return {"answer": "insufficient information", "support_idxs": [],
+                        "answerable": False, "method": "polar_gate",
+                        "context": out.get("context", "")}
+            out["answer"] = ans  # canonical lowercase yes/no
+        return out
+
+    def _answer_stages(self, query, selected, candidates, bridge_entities) -> Dict[str, Any]:
         context, support = self.packer.pack_context(selected, query)
         # (a0) exact math (comparative / temporal diff / yes-no /
         # label-set superlative / count) — must precede the rel-chain
@@ -886,15 +911,6 @@ class QueryProcessor:
                 comp["answer"], selected, existing_idxs=[], query=query)
             return {"answer": comp["answer"], "support_idxs": sup,
                     "answerable": True, "method": comp["method"],
-                    "context": context}
-        # polar-question guard: a yes/no-shaped question whose exact-math
-        # stage declined (tied extremum, missing facts) must NEVER be
-        # answered with an entity span by the selector/EFSA below — an
-        # album title is always wrong for "Does X have more tracks than
-        # Y?" (seed-9 synth_174 regression, VERDICT r3 weak #1)
-        if _is_polar_question(query):
-            return {"answer": "insufficient information", "support_idxs": [],
-                    "answerable": False, "method": "polar_gate",
                     "context": context}
         # (a) relation-chain selector
         if self.answer_selector_enabled and self.answer_selector_before_llm:

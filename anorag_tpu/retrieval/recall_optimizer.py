@@ -22,10 +22,21 @@ class EnhancedRecallOptimizer:
         retrieve_fn: Optional[Callable[[str], List[Dict[str, Any]]]] = None,
         min_similarity: float = 0.0,
         max_supplements: int = 2,
+        multi_hop_enabled: bool = True,
+        max_hops: int = 3,
+        hop_similarity_threshold: float = 0.15,
+        graph_retrieve_fn: Optional[
+            Callable[[str], List[Dict[str, Any]]]] = None,
+        comprehensive_rerank: bool = True,
     ):
         self.retrieve_fn = retrieve_fn
         self.min_similarity = min_similarity
         self.max_supplements = max_supplements
+        self.multi_hop_enabled = multi_hop_enabled
+        self.max_hops = max_hops
+        self.hop_similarity_threshold = hop_similarity_threshold
+        self.graph_retrieve_fn = graph_retrieve_fn
+        self.comprehensive_rerank = comprehensive_rerank
 
     # --------------------------------------------------------------- steps
     @staticmethod
@@ -76,6 +87,110 @@ class EnhancedRecallOptimizer:
         missing = [e for e in q_ents if e.lower() not in covered]
         return [f"{query} {m}" for m in missing[: self.max_supplements]]
 
+    # --------------------------------------------------------- multi-hop
+    # Relation cues -> bridging hop queries. The reference hard-codes the
+    # spouse family (:483-489); this table carries the same idea across
+    # the schema's relations.
+    _REL_HOPS = {
+        "spouse": ["marriage relationship", "family connection"],
+        "married": ["marriage relationship", "family connection"],
+        "wife": ["marriage relationship"],
+        "husband": ["marriage relationship"],
+        "born": ["place of birth"],
+        "birth": ["place of birth"],
+        "label": ["record label catalog"],
+        "released": ["record label catalog"],
+        "founded": ["company founder"],
+        "performed": ["album performer"],
+        "performer": ["album performer"],
+    }
+
+    def decompose_multi_hop(self, query: str) -> List[str]:
+        """Sub-queries for the bridging hops of a multi-hop question:
+        entity-anchored hops first, then relation-cued hops (parity:
+        _decompose_multi_hop_query, enhanced_recall_optimizer.py:471-489),
+        capped at max_hops."""
+        hop_queries = [f"related to {e}"
+                       for e in extract_entities_fallback(query)]
+        low = query.lower()
+        for cue, hops in self._REL_HOPS.items():
+            if cue in low:
+                hop_queries.extend(h for h in hops if h not in hop_queries)
+        return hop_queries[: self.max_hops]
+
+    def multi_hop_supplement(self, query: str,
+                             candidates: List[Dict[str, Any]]
+                             ) -> List[Dict[str, Any]]:
+        """Supplemental retrieval along decomposed hop queries (parity:
+        _enhance_with_multi_hop + _execute_multi_hop_retrieval,
+        enhanced_recall_optimizer.py:448-540): graph retriever first when
+        wired, vector fallback, filtered by hop similarity and dedup'd
+        against the existing candidate set."""
+        fetch = self.graph_retrieve_fn or self.retrieve_fn
+        if not (self.multi_hop_enabled and fetch):
+            return candidates
+        out = list(candidates)
+        known = {c.get("note_id") for c in out}
+        for hop_q in self.decompose_multi_hop(query):
+            hits = []
+            try:
+                hits = fetch(hop_q) or []
+            except Exception:  # a failed hop never kills the recall stage
+                if self.graph_retrieve_fn and self.retrieve_fn and \
+                        fetch is self.graph_retrieve_fn:
+                    hits = self.retrieve_fn(hop_q) or []
+            for h in hits[:3]:
+                nid = h.get("note_id")
+                sim = float(h.get("similarity",
+                                  h.get("final_score",
+                                        h.get("similarity_score", 0.0))))
+                if nid in known or sim < self.hop_similarity_threshold:
+                    continue
+                h = dict(h)
+                info = dict(h.get("optimization_info") or {})
+                info["multi_hop"] = hop_q
+                h["optimization_info"] = info
+                out.append(h)
+                known.add(nid)
+        return out
+
+    # --------------------------------------------- comprehensive rerank
+    def _content_quality(self, content: str, query: str) -> float:
+        """length/keyword/entity blend (parity: _assess_content_quality,
+        enhanced_recall_optimizer.py:588-610; same 0.3/0.4/0.3 weights)."""
+        if not content:
+            return 0.0
+        length_score = min(len(content) / 200.0, 1.0)
+        low = content.lower()
+        kws = tokenize_no_stop(query)
+        kw_score = (sum(1 for k in set(kws) if k in low) / len(set(kws))
+                    if kws else 0.0)
+        ents = extract_entities_fallback(query)
+        ent_score = (sum(1 for e in ents if e.lower() in low) / len(ents)
+                     if ents else 0.0)
+        return 0.3 * length_score + 0.4 * kw_score + 0.3 * ent_score
+
+    def final_rerank(self, query: str, candidates: List[Dict[str, Any]]
+                     ) -> List[Dict[str, Any]]:
+        """Comprehensive score = 0.6*base + 0.3*content-quality +
+        optimization bonuses (0.1 supplement / 0.15 multi-hop), then the
+        minimum-quality gate (parity: _final_ranking_and_quality_check,
+        enhanced_recall_optimizer.py:542-586)."""
+        for c in candidates:
+            base = float(c.get("final_score", c.get("similarity", 0.0)))
+            quality = self._content_quality(str(c.get("content") or ""),
+                                            query)
+            bonus = 0.0
+            info = c.get("optimization_info") or {}
+            if (c.get("retrieval_info") or {}).get("method") == "supplement":
+                bonus += 0.1
+            if "multi_hop" in info:
+                bonus += 0.15
+            c["comprehensive_score"] = 0.6 * base + 0.3 * quality + bonus
+        candidates.sort(key=lambda c: -c.get("comprehensive_score", 0.0))
+        return [c for c in candidates
+                if len(str(c.get("content") or "").strip()) >= 5]
+
     # ------------------------------------------------------------ pipeline
     def optimize_recall(self, query: str, candidates: List[Dict[str, Any]],
                         top_k: Optional[int] = None) -> List[Dict[str, Any]]:
@@ -91,5 +206,10 @@ class EnhancedRecallOptimizer:
                         extra["retrieval_info"] = {"method": "supplement", "query": supp_q}
                         cands.append(extra)
                         known.add(extra.get("note_id"))
-        cands.sort(key=lambda c: -float(c.get("final_score", c.get("similarity", 0.0))))
+        cands = self.multi_hop_supplement(query, cands)
+        if self.comprehensive_rerank:
+            cands = self.final_rerank(query, cands)
+        else:
+            cands.sort(key=lambda c: -float(
+                c.get("final_score", c.get("similarity", 0.0))))
         return cands[:top_k] if top_k else cands

@@ -218,7 +218,11 @@ class VectorRetriever:
         emb_dev = self.index.flat_device_emb()
         k_eff = min(top_k, len(self.notes))
         dense_k = min(max(4 * k_eff, 32), len(self.notes))
-        sparse_m = min(max(2 * k_eff, 16), len(self.notes))
+        # sparse depth matches dense: the 200k recall anatomy (round 5)
+        # showed recall@10 is capped by SPARSE candidate depth — doubling
+        # sparse_m lifted recall 0.9832->0.9898 while widening dense_k
+        # moved nothing (bench.py operating-point note)
+        sparse_m = min(max(4 * k_eff, 32), len(self.notes))
         q_prep = self.index._preprocess(q_emb)
         if self.index.is_sharded:
             # multi-chip: corpus rows ride the mesh 'data' axis; the fused

@@ -64,21 +64,101 @@ def stems(text: str) -> List[Tuple[str, int]]:
 # (e.g. "out", "play") are deliberately excluded; scoring prefers the
 # rarer relation on ties so a sentence carrying both "record(ing)" and
 # "label" keys the label edge chains traverse.
+def _stem_set(*words: str) -> frozenset:
+    """The stem() image of full English word families — entries authored
+    as real words so the set always matches what the stemmer produces."""
+    return frozenset(stem(w) for w in words)
+
+
 GENERAL_REL_LEMMAS: Dict[str, frozenset] = {
-    "performed_by": frozenset({"perform", "sing", "sang", "sung",
-                               "record", "vocal", "artist", "band"}),
-    "released_in": frozenset({"releas", "release", "issu", "publish",
-                              "debut", "appear", "drop", "unveil"}),
-    "released_on_label": frozenset({"label", "imprint"}),
-    "born_in": frozenset({"born", "birth", "nativ"}),
-    "spouse_of": frozenset({"spous", "marri", "marry", "wife", "husband",
-                            "wed", "widow"}),
-    "member_of": frozenset({"member", "join", "belong"}),
-    "founded_by": frozenset({"found", "establish", "start", "launch",
-                             "creat", "form"}),
-    "located_in": frozenset({"locat", "capital", "situat"}),
-    "directed_by": frozenset({"direct", "helm"}),
+    "performed_by": _stem_set(
+        "perform", "performed", "performer", "sing", "sang", "sung",
+        "record", "recorded", "recording", "vocal", "vocals", "artist",
+        "band", "studio", "voice", "voiced"),
+    "released_in": _stem_set(
+        "release", "released", "issue", "issued", "publish", "published",
+        "debut", "debuted", "appear", "appeared", "drop", "dropped",
+        "unveil", "unveiled", "ship", "shipped", "deliver", "delivered",
+        "market", "marketed", "arrive", "arrived", "arrival", "surface",
+        "surfaced", "circulate", "circulated", "circulation",
+        "distribute", "distributed", "distribution", "available",
+        "sale", "sales", "shelves", "store", "stores"),
+    "released_on_label": _stem_set("label", "imprint"),
+    "born_in": _stem_set(
+        "born", "birth", "native", "natives", "roots", "origin",
+        "origins", "birthplace"),
+    "spouse_of": _stem_set(
+        "spouse", "married", "marry", "marriage", "wife", "husband",
+        "wed", "widow", "widowed", "wedlock"),
+    "member_of": _stem_set(
+        "member", "members", "join", "joined", "belong", "belongs",
+        "lineup"),
+    "founded_by": _stem_set(
+        "found", "founded", "founder", "establish", "established",
+        "start", "started", "launch", "launched", "create", "created",
+        "form", "formed", "venture", "cofounded"),
+    "located_in": _stem_set("located", "capital", "situated"),
+    "directed_by": _stem_set("direct", "directed", "director", "helm"),
 }
+
+# Multiword idioms that carry a relation no single content lemma names.
+# General English phrasings of the schema's relations (listed broadly from
+# ordinary usage, per the HELDOUT.md separation rules — never mined from a
+# specific evaluation bank). Scanned as substrings of the lowercased
+# sentence; first hit position reported like a lemma hit.
+GENERAL_REL_IDIOMS: Dict[str, Tuple[str, ...]] = {
+    "released_in": (
+        "hit stores", "hit shelves", "hit the shelves", "went on sale",
+        "on the market", "to market", "on sale", "in circulation",
+        "street date", "made available", "reached the public",
+        "reached stores", "reached listeners", "came to market",
+        "in stores", "on shelves", "saw release", "saw its release",
+        "went public", "made its way out", "out the door",
+        "into the world", "put on the market", "placed on the market"),
+    "born_in": (
+        "saw the light of day", "came into the world", "city of birth",
+        "place of birth", "first drew breath", "entered the world",
+        "calls * home", "birth took place", "setting of", "welcomed",
+        "grew up in", "was raised in", "spent early years in"),
+    "founded_by": (
+        "into existence", "set in motion", "owes its existence",
+        "traces its founding", "got off the ground", "brought into being",
+        "the brainchild of", "came into being", "traces back to",
+        "at the hands of its founder", "began as"),
+    "spouse_of": (
+        "husband and wife", "married couple", "in wedlock",
+        "tied the knot", "in marriage", "entered into marriage",
+        "joined in marriage", "exchanged vows", "walked down the aisle",
+        "as a spouse", "as his wife", "as her husband",
+        "partner in marriage", "sealed in marriage", "a couple since"),
+    "performed_by": (
+        "laid down by", "cut in the studio", "in the studio",
+        "credited artist", "credited to", "the voice on", "heard on",
+        "provides the performance", "behind the microphone",
+        "on vocals", "bears the name of", "the name on"),
+    "member_of": (
+        "a member of", "part of the lineup", "in the lineup",
+        "joined the ranks", "one of the members", "in the ranks of"),
+}
+
+
+def idiom_relation_hits(low: str) -> List[Tuple[str, int]]:
+    """(relation, char_pos) for every idiom whose surface occurs in the
+    lowercased sentence. A ``*`` in an idiom matches one arbitrary word
+    ("calls Boston home")."""
+    hits: List[Tuple[str, int]] = []
+    for rel, idioms in GENERAL_REL_IDIOMS.items():
+        for idiom in idioms:
+            if "*" in idiom:
+                pat = re.escape(idiom).replace(r"\*", r"[\w' -]+")
+                m = re.search(pat, low)
+                p = m.start() if m else -1
+            else:
+                p = low.find(idiom)
+            if p >= 0:
+                hits.append((rel, p))
+                break
+    return hits
 
 # rarer relation wins ties (label > release-year > performer): matches the
 # priority the exact-cue extractor already encodes via _PRIORITY_RELS
@@ -88,10 +168,14 @@ _REL_PRIORITY = ("released_on_label", "born_in", "spouse_of", "founded_by",
 
 
 def lemma_relation_hits(text: str,
-                        extra: Optional[Dict[str, Sequence[str]]] = None
+                        extra: Optional[Dict[str, Sequence[str]]] = None,
+                        mask_spans: Optional[Sequence[Tuple[int, int]]] = None
                         ) -> List[Tuple[str, int]]:
     """Every (relation, char_pos) whose lemma set hits the sentence,
-    at the FIRST hit position per relation, priority-ordered."""
+    at the FIRST hit position per relation, priority-ordered.
+
+    `mask_spans` excludes tokens inside entity surfaces: a work titled
+    "Migor Origins" must not vote born_in through its own name."""
     table: Dict[str, frozenset] = dict(GENERAL_REL_LEMMAS)
     if extra:
         # only CONTENT words of the cues become lemmas — "came out in"
@@ -107,12 +191,20 @@ def lemma_relation_hits(text: str,
                       for t in _TOKEN_RE.findall(str(cue).lower())
                       if t not in skip and len(t) >= 3}
             table[rel] = table.get(rel, frozenset()) | frozenset(lemmas)
+    def _masked(pos: int) -> bool:
+        return any(a <= pos < b for a, b in (mask_spans or ()))
+
     toks = stems(text)
     hits: Dict[str, int] = {}
     for st, pos in toks:
+        if _masked(pos):
+            continue
         for rel, lemset in table.items():
             if st in lemset and rel not in hits:
                 hits[rel] = pos
+    for rel, pos in idiom_relation_hits(text.lower()):
+        if not _masked(pos) and rel not in hits:
+            hits[rel] = pos
     order = {r: i for i, r in enumerate(_REL_PRIORITY)}
     return sorted(hits.items(), key=lambda kv: order.get(kv[0], 99))
 
@@ -141,16 +233,21 @@ def lemma_extract(
     ents_in_text: Sequence[str],
     positions: Dict[str, int],
     extra_lexicon: Optional[Dict[str, Sequence[str]]] = None,
+    types: Optional[Dict[str, Optional[str]]] = None,
 ) -> List[Dict[str, str]]:
     """Relation triples for a sentence the exact-cue pass missed.
 
-    Head/tail selection mirrors extract_note_keys' conventions:
-    * the sentence subject (first entity) is the head,
-    * released_in tails the year entity; other relations tail the first
-      non-year entity that isn't the head,
-    * an active-voice verb directly after a person-ish subject inverts
-      (\"P recorded W\" -> W performed_by P) — detected by the absence of
-      a \"by|is|was|were\" between the cue and the following entity.
+    Head/tail selection, in priority order:
+    * TYPE-SIGNATURE orientation when a corpus-level entity-type registry
+      supplied `types` (utils/semtype.py): performed_by is always
+      (work <- person) regardless of clause order — robust to free
+      paraphrase syntax;
+    * otherwise the syntax heuristics: the sentence subject (first
+      entity) is the head, released_in tails the year entity, other
+      relations tail the first non-year entity that isn't the head, and
+      an active-voice verb directly after a person-ish subject inverts
+      (\"P recorded W\" -> W performed_by P) — detected by the absence
+      of a \"by|is|was|were\" between the cue and the following entity.
     """
     if len(ents_in_text) < 2:
         return []
@@ -160,7 +257,9 @@ def lemma_extract(
     non_years = [e for e in ents_in_text if not _YEAR_RE.fullmatch(e)]
     reedition = bool(_REEDITION_RE.search(low))
     out: List[Dict[str, str]] = []
-    rel_hits = lemma_relation_hits(text, extra_lexicon)
+    mask = [(positions[e], positions[e] + len(e)) for e in ents_in_text
+            if positions.get(e, -1) >= 0]
+    rel_hits = lemma_relation_hits(text, extra_lexicon, mask_spans=mask)
     hit_rels = {r for r, _ in rel_hits}
     for rel, pos in rel_hits:
         if _NEG_RE.search(low[max(0, pos - 40):pos]):
@@ -175,6 +274,17 @@ def lemma_extract(
             # the label's released_on_label tail and poisons every
             # label-set aggregation with a year-less person member
             continue
+        if types:
+            # type-signature orientation first: free clause order ("The
+            # founding of L was the work of F") defeats positional
+            # heuristics, but types pin the slots
+            from anorag_tpu.utils.semtype import orient
+            ht = orient(rel, ents_in_text, types)
+            if ht is not None:
+                trip = {"head_key": ht[0], "rel": rel, "tail_key": ht[1]}
+                if trip not in out:
+                    out.append(trip)
+                continue
         if rel == "released_in":
             tail = years[0] if years else None
         else:
@@ -225,6 +335,16 @@ def lemma_extract(
                     for o in out):
                 out.append({"head_key": head, "rel": "performed_by",
                             "tail_key": t})
+    if types:
+        # schema-driven default: a sentence pairing exactly one WORK with
+        # exactly one PERSON asserts performership — there is no other
+        # work<->person relation in the schema (semtype.SIGNATURES)
+        from anorag_tpu.utils.semtype import typed_default_triples
+        for trip in typed_default_triples(
+                ents_in_text, types,
+                existing_rels=[o["rel"] for o in out]):
+            if trip not in out:
+                out.append(trip)
     return out
 
 
@@ -283,6 +403,226 @@ _Q_REWRITES: List[Tuple[re.Pattern, str]] = [
 ]
 
 
+# ------------------------------------------------- question intent frames
+# General grammatical realizations of each question intent, parsed into
+# the ONE canonical template the answer stages read. Unlike _Q_REWRITES
+# (surface-pair table), a frame captures the inner NP — which may itself
+# nest hops ("the spouse of the performer of W") — and re-emits it
+# verbatim inside the canonical frame, so any outer phrasing of the same
+# intent normalizes identically. Frames are skipped for comparison/
+# aggregate-shaped questions (those carry their own canonical stages and
+# a frame rewrite would corrupt them).
+_FRAME_SKIP_RE = re.compile(
+    r"\b(?:same|more|fewer|less|most|fewest|least|both|each|every|all|"
+    r"either|difference|total|count|sum|average|first,|last,|earlier|"
+    r"later|between)\b|\bor\b|how many|\bolder\b|\bnewer\b", re.IGNORECASE)
+
+# an inner NP: everything up to the frame's closing words; trims trailing
+# punctuation/aux words the patterns swept in
+def _np(s: str) -> str:
+    return re.sub(r"^(?:of|for)\s+", "",
+                  (s or "").strip().strip("?.,:;—– ")).strip()
+
+
+def _frame_birthplace(s: str) -> Optional[str]:
+    low = s.lower()
+    if not re.search(r"\b(?:born|birth|birthplace)\b", low):
+        return None
+    for pat in (
+        # imperative: "Name/State/Identify ... city ... X was born" /
+        # "... birth city of X" / "... X's city of birth"
+        r"^(?:name|state|identify|give|provide|tell me)\b[^A-Za-z0-9]*(?:the\s+)?"
+        r"(?:city|town|place)\b[^?]*?\bwhere\s+(?P<np>.+?)\s+was\s+born[\s?.!]*$",
+        r"^(?:name|state|identify|give|provide|tell me)\b[^?]*?"
+        r"\b(?:birth\s+(?:city|town|place)|birthplace)\s+of\s+(?P<np>.+?)[\s?.!]*$",
+        r"^(?:name|state|identify|give|provide|tell me)\b[^?]*?"
+        r"(?P<np>.+?)['’]s\s+(?:city|town|place)\s+of\s+birth[\s?.!]*$",
+        r"^(?:name|state|identify|give|provide|tell me)\b[^?]*?"
+        r"(?P<np>.+?)['’]s\s+(?:birthplace|birth\s+(?:city|town|place))"
+        r"[\s?.!]*$",
+        # wh-in-situ: "X was born in what city?"
+        r"^(?P<np>.+?)\s+was\s+born\s+in\s+(?:what|which)\s+"
+        r"(?:city|town|place)[\s?.!]*$",
+        # "What/Which city welcomed X at birth?" and kin
+        r"^(?:what|which)\s+(?:city|town|place)\s+"
+        r"(?:welcomed|received|saw)\s+(?P<np>.+?)"
+        r"(?:\s+at\s+birth|['’]s\s+birth)[\s?.!]*$",
+        # "What is the city of birth of X?" / "the birth city of X"
+        r"^(?:what|which)\s+(?:is|was)\s+(?:the\s+)?"
+        r"(?:city|town|place)\s+of\s+birth\s+of\s+(?P<np>.+?)[\s?.!]*$",
+        r"^(?:what|which)\s+(?:is|was)\s+(?:the\s+)?birth\s+"
+        r"(?:city|town|place)\s+of\s+(?P<np>.+?)[\s?.!]*$",
+        # possessive interrogative: "What is X's city of birth?"
+        r"^(?:what|which)\s+(?:is|was)\s+(?P<np>.+?)['’]s\s+"
+        r"(?:city|town|place)\s+of\s+birth[\s?.!]*$",
+        r"^(?:what|which)\s+(?:is|was)\s+(?P<np>.+?)['’]s\s+"
+        r"(?:birthplace|birth\s+(?:city|town|place))[\s?.!]*$",
+    ):
+        m = re.match(pat, s, re.IGNORECASE)
+        if m:
+            return f"Where was {_np(m.group('np'))} born?"
+    return None
+
+
+def _frame_performer(s: str) -> Optional[str]:
+    for pat in (
+        r"^(?P<np>.+?)\s+was\s+performed\s+by\s+whom[\s?.!]*$",
+        r"^(?:the\s+)?(?:performer|artist|singer|voice)\s+(?:of|on|behind)\s+"
+        r"(?P<np>.+?)\s+(?:is|was)\s+who(?:m)?[\s?.!]*$",
+        r"^(?:which|what)\s+(?:artist|singer|musician|performer|act)\s+"
+        r"(?:is\s+heard\s+on|performs?|performed|recorded|made|sang|sings)\s+"
+        r"(?P<np>.+?)[\s?.!]*$",
+        r"^who(?:m)?\s+(?:sang|sings|recorded|made|voiced)\s+"
+        r"(?:the\s+album\s+)?(?P<np>.+?)[\s?.!]*$",
+        r"^who\s+(?:is|was)\s+(?:heard|featured)\s+on\s+(?P<np>.+?)[\s?.!]*$",
+    ):
+        m = re.match(pat, s, re.IGNORECASE)
+        if m:
+            return f"Who performed {_np(m.group('np'))}?"
+    return None
+
+
+def _frame_spouse(s: str) -> Optional[str]:
+    for pat in (
+        r"^to\s+whom\s+(?:is|was)\s+(?P<np>.+?)\s+(?:married|wed)[\s?.!]*$",
+        r"^who(?:m)?\s+did\s+(?P<np>.+?)\s+(?:marry|wed)[\s?.!]*$",
+        r"^(?P<np>.+?)\s+(?:is|was)\s+(?:married|wed)\s+to\s+"
+        r"who(?:m)?[\s?.!]*$",
+        r"^who\s+(?:is|was)\s+(?P<np>.+?)['’]s\s+"
+        r"(?:wife|husband|spouse|partner)[\s?.!]*$",
+        r"^(?P<np>.+?)['’]s\s+(?:wife|husband|spouse)\s+(?:is|was)\s+"
+        r"who(?:m)?[\s?.!]*$",
+        r"^name\s+the\s+(?:wife|husband|spouse)\s+of\s+(?P<np>.+?)[\s?.!]*$",
+    ):
+        m = re.match(pat, s, re.IGNORECASE)
+        if m:
+            return f"Who is the spouse of {_np(m.group('np'))}?"
+    return None
+
+
+def _frame_release_year(s: str) -> Optional[str]:
+    for pat in (
+        r"^(?:in\s+)?(?:what|which)\s+year\s+(?:did|was)\s+(?P<np>.+?)\s+"
+        r"(?:released|come\s+out|appear|arrive|surface|debut|"
+        r"reach\s+the\s+public|hit\s+stores|go\s+on\s+sale)[\s?.!]*$",
+        r"^(?:what|which)\s+year\s+saw\s+(?:the\s+release\s+of\s+)?"
+        r"(?P<np>.+?)(?:\s+released)?[\s?.!]*$",
+        r"^the\s+release\s+of\s+(?P<np>.+?)\s+dates?\s+to\s+"
+        r"(?:what|which)\s+year[\s?.!]*$",
+        r"^when\s+did\s+(?P<np>.+?)\s+(?:come\s+out|appear|arrive|"
+        r"surface|debut|reach\s+the\s+public|hit\s+stores|"
+        r"go\s+on\s+sale)[\s?.!]*$",
+        r"^(?P<np>.+?)\s+(?:came\s+out|was\s+released|appeared)\s+in\s+"
+        r"(?:what|which)\s+year[\s?.!]*$",
+    ):
+        m = re.match(pat, s, re.IGNORECASE)
+        if m:
+            return f"When was {_np(m.group('np'))} released?"
+    return None
+
+
+def _frame_released_first(s: str) -> Optional[str]:
+    for pat in (
+        r"^(?:of|between)\s+(?P<a>.+?)\s+and\s+(?P<b>.+?)[,:]?\s+which"
+        r"(?:\s+one)?\s+(?:came|appeared|arrived|was\s+released|"
+        r"surfaced|debuted)\s+(?:earlier|first|sooner)[\s?.!]*$",
+        r"^which\s+of\s+the\s+(?:two|pair)\s*[—–-]?\s*(?P<a>.+?)\s+or\s+"
+        r"(?P<b>.+?)\s*[—–-]?\s*(?:predates\s+the\s+other|came\s+first|"
+        r"appeared\s+(?:first|sooner))[\s?.!]*$",
+        r"^which\s+(?:came|appeared|arrived|debuted)\s+first[,:]?\s+"
+        r"(?P<a>.+?)\s+or\s+(?P<b>.+?)[\s?.!]*$",
+    ):
+        m = re.match(pat, s, re.IGNORECASE)
+        if m:
+            return (f"Which was released first, {_np(m.group('a'))} or "
+                    f"{_np(m.group('b'))}?")
+    return None
+
+
+# count directives onto "How many <noun> ...": imperative and nominal forms
+_COUNT_FRAMES: List[Tuple[re.Pattern, object]] = [
+    (re.compile(r"^(?:Give|State|Provide|Tell me)\b[^:]*?\b(?:number|count|"
+                r"total)\s+of\s+(?:the\s+)?(\w+)[:,]?\s*", re.IGNORECASE),
+     r"How many \1 "),
+    (re.compile(r"^What\s+(?:is\s+the\s+)?(?:total\s+)?(?:count|number)\s+"
+                r"of\s+(?:the\s+)?(\w+)[:,]?\s*", re.IGNORECASE),
+     r"How many \1 "),
+    (re.compile(r"^State\s+how\s+many\b", re.IGNORECASE), "How many"),
+    (re.compile(r"^What\s+number\s+of\b", re.IGNORECASE), "How many"),
+    (re.compile(r"^(?:Tally|Count)\s+the\s+(\w+)[:,]?\s*how\s+many\b",
+                re.IGNORECASE), r"How many"),
+    (re.compile(r"^(?:Tally|Count)\s+the\s+(\w+)[:,]?\s*", re.IGNORECASE),
+     r"How many \1 "),
+]
+
+# track-count comparison phrasings onto the canonical comparative verbs.
+# The leading verb is an explicit alternation (NOT \w+ wildcards — those
+# swallow entity words); the emitted verb keeps the subject's number.
+_TRACK_VERB = (r"(?P<verb>boasts?|carr(?:y|ies)|holds?|contains?|"
+               r"features?|packs?|offers?|has|have|with|counts?)")
+
+
+def _track_cmp_emit(direction: str):
+    def _sub(m: re.Match) -> str:
+        verb = (m.group("verb") or "").lower()
+        if verb == "with":
+            return f"with {direction} tracks than"
+        v = "has" if verb.endswith("s") else "have"
+        return f"{v} {direction} tracks than"
+    return _sub
+
+
+_TRACK_CMP_FRAMES: List[Tuple[re.Pattern, object]] = [
+    (re.compile(_TRACK_VERB + r"\s+(?:a\s+)?(?:more|greater|higher|"
+                r"larger|longer)[^?]{0,28}?\btrack(?:s|list)?\b"
+                r"[^?]{0,18}?\bthan\b", re.IGNORECASE),
+     _track_cmp_emit("more")),
+    (re.compile(_TRACK_VERB + r"\s+(?:a\s+)?(?:fewer|smaller|lower|"
+                r"shorter)[^?]{0,28}?\btrack(?:s|list)?\b[^?]{0,18}?\bthan\b",
+                re.IGNORECASE),
+     _track_cmp_emit("fewer")),
+    (re.compile(r"\bfalls?\s+short\b[^?]{0,24}?\btracks?\b[^?]{0,12}?\bof\b",
+                re.IGNORECASE),
+     "have fewer tracks than"),
+    (re.compile(r"\brun(?:s)?\s+longer[^?]{0,24}?\btrack[^?]{0,12}?\bthan\b",
+                re.IGNORECASE),
+     "have more tracks than"),
+    (re.compile(r"\bcomes?\s+up\s+shorter[^?]{0,20}?\btrack(?:s|list)?\b"
+                r"[^?]{0,12}?\bthan\b", re.IGNORECASE),
+     "have fewer tracks than"),
+]
+
+_FRAMES = (_frame_birthplace, _frame_performer, _frame_spouse,
+           _frame_release_year)
+
+
+def frame_canonicalize(s: str) -> str:
+    """Intent-frame pass: map general grammatical realizations of the
+    simple question intents onto their canonical templates. Conservative:
+    comparison/aggregate-shaped questions only get the scoped rewrites
+    (count directives, track-comparison verbs, the released-first frame),
+    never the whole-question frames."""
+    for pat, rep in _COUNT_FRAMES:
+        new = pat.sub(rep, s)
+        if new != s:
+            s = re.sub(r"\s+", " ", new).strip()
+            if s.endswith("."):  # an imperative directive became a question
+                s = s[:-1] + "?"
+            break
+    for pat, rep in _TRACK_CMP_FRAMES:
+        s = pat.sub(rep, s)
+    first = _frame_released_first(s)
+    if first:
+        return first
+    if _FRAME_SKIP_RE.search(s):
+        return s
+    for frame in _FRAMES:
+        out = frame(s)
+        if out:
+            return out
+    return s
+
+
 def normalize_question(q: str) -> str:
     """Canonical template surface for a paraphrased question.
 
@@ -296,7 +636,7 @@ def normalize_question(q: str) -> str:
             s = s[0].upper() + s[1:]
     for pat, rep in _Q_REWRITES:
         s = pat.sub(rep, s)
-    return s
+    return frame_canonicalize(s)
 
 
 # ------------------------------------------------------------- evidence

@@ -147,21 +147,33 @@ def _extract_entities_cached(text: str, min_len: int, max_entities: int) -> tupl
             seen.setdefault(ent)
     for m in _CAP_SPAN_RE.finditer(text or ""):
         raw = m.group(0)
-        # a sentence-initial preposition is capitalized by position and
-        # glues onto the entity span behind it: "On Kesti River, the
-        # performance ..." must yield "Kesti River", not "On Kesti River"
+        # a sentence-initial preposition is usually capitalized by position
+        # and glues onto the entity span behind it: "On Kesti River, the
+        # performance ..." should yield "Kesti River" — but works genuinely
+        # titled with a leading preposition ("In Utero") open sentences
+        # too, so BOTH surfaces stay candidates (ADVICE r4 #5), stripped
+        # form first (the commonly-correct one).
+        variants = [raw]
         first, _, rest = raw.partition(" ")
         if rest and first in ("On", "In", "At", "From", "With", "By",
                               "After", "Before", "During", "Under"):
             prefix = (text or "")[:m.start()].rstrip()
             if not prefix or prefix[-1] in ".!?。":
-                raw = rest
-        ent = normalize_entity(raw)
-        low = ent.lower()
-        if (len(ent) >= min_len and low not in STOPWORDS
-                and not all(w in _MONTHS for w in low.split())
-                and not _is_positional_capital(text, m.start(), ent)):
-            seen.setdefault(ent)
+                variants = [rest, raw]
+        for v in variants:
+            ent = normalize_entity(v)
+            low = ent.lower()
+            if (len(ent) >= min_len and low not in STOPWORDS
+                    and not all(w in _MONTHS for w in low.split())
+                    and not _is_positional_capital(text, m.start(), ent)):
+                seen.setdefault(ent)
+                # a trailing 's may be the name itself ("McDonald's"), not
+                # a possessive marker: keep the unstripped surface as a
+                # candidate too so such titles remain extractable
+                # (ADVICE r4 #4); graph keying still normalizes.
+                kept = re.sub(r"\s+", " ", v.strip().strip("\"'")).rstrip(".,;:!?")
+                if kept != ent and re.search(r"['’]s$", kept):
+                    seen.setdefault(kept)
     for m in _YEAR_RE.finditer(text or ""):
         seen.setdefault(m.group(0))
     return tuple(list(seen)[:max_entities])

@@ -36,16 +36,25 @@ from pathlib import Path
 
 import numpy as np
 
-# approx_max_k recall_target for the headline hybrid path. r3 shipped 0.95
-# (recall@10 0.9832); the gate below pins >= RECALL_GATE so any future
-# speed-for-recall trade fails loud (VERDICT r3 weak #3). Overridable for
-# on-chip operating-point sweeps. If the measured recall misses the gate at
-# RECALL_TARGET, main() autotunes up the rt ladder (the reference autotunes
-# nprobe the same way, /root/reference/vector_store/vector_index.py:428-470)
-# instead of dying before printing its JSON line (ADVICE r4 #1).
-RECALL_TARGET = float(os.environ.get("ANORAG_BENCH_RT", "0.97"))
+# approx_max_k recall_target for the headline hybrid path; the gate below
+# pins >= RECALL_GATE so any future speed-for-recall trade fails loud
+# (VERDICT r3 weak #3). Overridable for on-chip operating-point sweeps. If
+# the measured recall misses the gate at RECALL_TARGET, main() autotunes up
+# the rt ladder (the reference autotunes nprobe the same way,
+# /root/reference/vector_store/vector_index.py:428-470) instead of dying
+# before printing its JSON line (ADVICE r4 #1).
+#
+# Operating point (measured on-chip, round 5, scripts in /tmp lineage ->
+# PROGRESS notes): the 200k recall@10 is capped by the SPARSE candidate
+# depth, not by approx_max_k — recall was bit-identical at rt 0.97/0.99/
+# 0.998 (0.9832) while QPS collapsed 88k->6.4k, and dense_k 128->256 moved
+# nothing. sparse_m 64->128 lifts 0.9832->0.9898 at ~15% QPS cost, so the
+# headline runs m=128 with the cheap rt=0.95 and the approx winners-select
+# (parity-covered in kernel_parity).
+RECALL_TARGET = float(os.environ.get("ANORAG_BENCH_RT", "0.95"))
 RECALL_GATE = 0.985
-RT_LADDER = (0.99, 0.998)
+SPARSE_M = int(os.environ.get("ANORAG_BENCH_SPARSE_M", "128"))
+RT_LADDER = (0.97, 0.99)
 
 
 def peak_tflops(device_kind: str) -> float:
@@ -196,8 +205,9 @@ def bench_hybrid(n_docs: int, b: int = 512, dim: int = 1024, vocab: int = 30_000
 
     def hybrid_dev():
         return hybrid_topk(emb_dev, q_dev, dr_dev, wr_dev, k, n_docs=n_docs,
-                           dense_k=128, sparse_m=64, sparse_weight=0.6,
-                           recall_target=rt, max_seg=q_len)
+                           dense_k=128, sparse_m=SPARSE_M,
+                           sparse_weight=0.6, recall_target=rt,
+                           max_seg=q_len, select_approx=True)
 
     # warm up / compile. NOTE: timing forces a value read — on tunneled
     # devices block_until_ready can return before the work drains. Device
@@ -313,10 +323,10 @@ def bench_true_device(ctx: dict, recall_target: float,
             def step(_, carry):
                 acc, qq = carry
                 tv, _ = hybrid_topk(e, qq, dr, wr, k, n_docs=n_docs,
-                                    dense_k=128, sparse_m=64,
+                                    dense_k=128, sparse_m=SPARSE_M,
                                     sparse_weight=0.6,
                                     recall_target=recall_target,
-                                    max_seg=max_seg)
+                                    max_seg=max_seg, select_approx=True)
                 s = tv[0, 0].astype(jnp.float32)
                 return acc + s, qq + (s * 1e-12).astype(qq.dtype)
             acc, _ = jax.lax.fori_loop(0, it, step, (jnp.float32(0.0), q))
@@ -449,8 +459,10 @@ def bench_encoder(ctx: dict | None, b: int = 256, seq: int = 128,
         def e2e():
             qv = enc(params, q_ids, q_mask).astype(emb_dev.dtype)
             return hybrid_topk(emb_dev, qv, dr, wr, k, n_docs=n_docs,
-                               dense_k=128, sparse_m=64, sparse_weight=0.6,
-                               recall_target=RECALL_TARGET, max_seg=8)
+                               dense_k=128, sparse_m=SPARSE_M,
+                               sparse_weight=0.6,
+                               recall_target=RECALL_TARGET, max_seg=8,
+                               select_approx=True)
 
         v, _ = e2e()
         _ = float(np.asarray(v[0, 0]))

@@ -168,6 +168,95 @@ _E2 = [
      [r"\1 and \2 are husband and wife."]),
 ]
 
+# ----------------------------------------------------------- bank d1
+# DEV bank (round 5): authored fresh like a test bank, but explicitly
+# sanctioned for inspection — the round-5 generalization loop measures
+# ZERO-SHOT on each new dev bank before looking at its misses, so the
+# zero-shot trend across d-banks is honest evidence that the general
+# machinery transfers. Surfaces copy nothing from v1/v2/v3.
+_E_D1 = [
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) recorded the album ([^.]+)\."),
+     [r"It was in the studio that \1 made the album \2.",
+      r"\1 is responsible for recording the album \2."]),
+    (re.compile(r"([^.]+?) is an album performed by ([^.]+)\."),
+     [r"\2 provides the performance on the album \1.",
+      r"As performer, \2 anchors the album \1."]),
+    (re.compile(r"([^.]+?) is an (album|record) by ([^.]+)\."),
+     [r"The \2 \1 bears \3's name.",
+      r"\3 is the name on the \2 \1."]),
+    (re.compile(r"It was released in ([^.]+?) on the label ([^.]+)\."),
+     [r"The label \2 placed it on the market in \1.",
+      r"It entered circulation in \1 by way of the label \2."]),
+    (re.compile(r"It came out in ([^.]+?) on the label ([^.]+)\."),
+     [r"It hit stores in \1 courtesy of the label \2."]),
+    (re.compile(r"It was put out in ([^.]+?) by the label ([^.]+)\."),
+     [r"In \1 the label \2 made it available."]),
+    (re.compile(r"It was released on ([^.]+?) on the label ([^.]+)\."),
+     [r"Its street date, set by the label \2, was \1."]),
+    (re.compile(r"It came out on ([^.]+?) through the label ([^.]+)\."),
+     [r"The label \2 circulated it starting \1."]),
+    (re.compile(r"([^.]+?), an album by ([^.]+?), was released "
+                r"(in [^.]+?|on [^.]+?) on the label ([^.]+)\."),
+     [r"The album \1, put on the market \3 by the label \4, is \2's work."]),
+    (re.compile(r"([^.]+?), a record by ([^.]+?), came out "
+                r"(in [^.]+?|on [^.]+?) on the label ([^.]+)\."),
+     [r"\2's record \1 entered the catalog of the label \4 \3."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) married ([^.]+)\."),
+     [r"\1 and \2 became a married couple."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) wed ([^.]+)\."),
+     [r"The union of \1 and \2 was sealed in marriage."]),
+    (re.compile(r"The spouse of ([^.]+?) is ([^.]+)\."),
+     [r"For a spouse, \1 has \2."]),
+    (re.compile(r"([\w' ]+?)'s spouse is ([^.]+)\."),
+     [r"The person married to \1 is \2."]),
+    (re.compile(r"([\w' ]+?) was born in ([^.]+)\."),
+     [r"\2 was the setting of \1's birth.",
+      r"As for \1, the city of birth is \2."]),
+    (re.compile(r"([\w' ]+?) is a native of ([^.]+)\."),
+     [r"By birth, \1 belongs to \2."]),
+    (re.compile(r"([\w' ]+?) hails from ([^.]+)\."),
+     [r"\1 calls \2 home."]),
+    (re.compile(r"([^.]+?) was founded by ([^.]+)\."),
+     [r"\2 brought \1 into existence."]),
+    (re.compile(r"([^.]+?) was started by ([^.]+)\."),
+     [r"\1 traces back to \2, who started it."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) established ([^.]+)\."),
+     [r"Credit for establishing \2 rests with \1."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) founded ([^.]+)\."),
+     [r"It is to \1 that \2 traces its founding."]),
+    (re.compile(r"It features ([\w-]+) tracks\."),
+     [r"A total of \1 tracks fill it.",
+      r"Its tracklist numbers \1."]),
+    (re.compile(r"([\w' ]+?) is married to ([^.]+)\."),
+     [r"In wedlock, \1 is bound to \2."]),
+]
+
+_Q_D1 = [
+    (re.compile(r"\breleased on the label ([A-Z][\w' ]+)"),
+     [r"carried by the label \1",
+      r"that the label \1 has in its catalog"]),
+    (re.compile(r"\bIn which city was ([^?]+?) born\?"),
+     [r"Which city welcomed \1 at birth?",
+      r"State \1's city of birth."]),
+    (re.compile(r"\bWho performed ([^?]+?)\?"),
+     [r"The performer of \1 is who?"]),
+    (re.compile(r"\bWho is the spouse of ([^?]+?)\?"),
+     [r"Whose spouse is \1?"]),
+    (re.compile(r"\bWhen was ([^?]+?) released\?"),
+     [r"The release of \1 dates to which year?"]),
+    (re.compile(r"\bWhich was released first, ([^?]+?) or ([^?]+?)\?"),
+     [r"Which of the pair — \1 or \2 — predates the other?"]),
+    (re.compile(r"\bHow many (albums|works|records|songs)\b"),
+     [r"What number of \1"]),
+    (re.compile(r"\bhave more tracks than\b"),
+     [r"hold a larger tracklist than"]),
+    (re.compile(r"\bhave fewer tracks than\b"),
+     [r"hold a smaller tracklist than"]),
+    (re.compile(r"^"),
+     [r"Looking at the material above: ",
+      r"With these passages in hand, "]),
+]
+
 # ----------------------------------------------------------- bank v3
 # Authored at ROUND-5 START (2026-08-20), before any round-5 solver work,
 # per HELDOUT.md: the single v2 aggregate look at round-4 end makes v2
@@ -310,7 +399,8 @@ _Q = [
 ]
 
 
-_BANKS = {"v1": (_E, _Q), "v2": (_E2, _Q2), "v3": (_E3, _Q3)}
+_BANKS = {"v1": (_E, _Q), "v2": (_E2, _Q2), "v3": (_E3, _Q3),
+          "d1": (_E_D1, _Q_D1)}
 
 
 def _apply(text: str, rules, rng, p: float) -> str:

@@ -117,3 +117,12 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def truncated_table_variant(args=None):
+    """Variant 7+: replicate hybrid_fuse's sparse-score truncation — a
+    dense candidate outside the sparse top-m table scores 0 on the sparse
+    side (ops/topk.py hybrid_fuse). Run: python -c "import sys;
+    sys.argv=['x','--n','200000','--b','128'];
+    from scripts.probe_recall_anatomy import truncated_table_variant as t;
+    t()" (or via main below)."""

@@ -218,6 +218,51 @@ def test_recall_optimizer(notes):
     assert calls  # supplement triggered for uncovered entity
 
 
+def test_recall_optimizer_multi_hop(notes):
+    """Multi-hop sub-stage (parity: enhanced_recall_optimizer.py:448-540):
+    hop queries decompose from query entities + relation cues, hop hits
+    append tagged and threshold-filtered, comprehensive rerank boosts
+    multi-hop evidence."""
+    cands = [dict(n, final_score=0.5, content=n.get("content") or
+                  "Aurora Lane is a singer from Boston town.")
+             for n in notes[:3]]
+    hop_calls = []
+
+    def hop_fetch(q):
+        hop_calls.append(q)
+        return [dict(notes[11], similarity=0.4),
+                dict(notes[12], similarity=0.05)]  # below threshold
+
+    ro = EnhancedRecallOptimizer(
+        retrieve_fn=None, multi_hop_enabled=True, max_hops=3,
+        hop_similarity_threshold=0.15, graph_retrieve_fn=hop_fetch,
+        comprehensive_rerank=True)
+    hops = ro.decompose_multi_hop("Who is the spouse of Aurora Lane?")
+    assert any("related to" in h for h in hops)
+    assert any("marriage" in h for h in hops)
+    assert len(hops) <= 3
+
+    out = ro.optimize_recall("Who is the spouse of Aurora Lane?", cands)
+    assert hop_calls
+    added = [c for c in out
+             if (c.get("optimization_info") or {}).get("multi_hop")]
+    assert len(added) == 1  # the 0.05 hit filtered by the hop threshold
+    assert all("comprehensive_score" in c for c in out)
+
+    # toggle off: no hop retrieval, no comprehensive scores
+    ro_off = EnhancedRecallOptimizer(
+        retrieve_fn=None, multi_hop_enabled=False,
+        graph_retrieve_fn=hop_fetch, comprehensive_rerank=False)
+    hop_calls.clear()
+    fresh = [dict(n, final_score=0.5, content=n.get("content") or
+                  "Aurora Lane is a singer from Boston town.")
+             for n in notes[:3]]
+    out_off = ro_off.optimize_recall("Who is the spouse of Aurora Lane?",
+                                     fresh)
+    assert not hop_calls
+    assert all("comprehensive_score" not in c for c in out_off)
+
+
 def test_listwise_reranker_and_fusion(notes):
     rr = ListwiseReranker()
     cands = [dict(n, final_base_score=0.5) for n in notes[:6]]
