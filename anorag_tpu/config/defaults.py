@@ -87,28 +87,35 @@ DEFAULT_CONFIG: Dict[str, Any] = {
     },
     # --------------------------------------------------------------- note keys
     "note_keys": {
+        # CJK cue surfaces restored for reference parity (the reference
+        # ships zh cues beside its multilingual bge-m3 embedder,
+        # config_loader.py:17-45); exact-cue matching is substring-based
+        # so they work unsegmented
         "rel_lexicon": {
             "performed_by": ["performed by", "the performer is", "sung by",
                              "sings", "album by", "record by",
-                             "recorded the album"],
+                             "recorded the album", "由", "演奏", "演出"],
             "spouse_of": ["spouse", "partner", "married to", "married",
-                          "wife", "husband", " wed "],
+                          "wife", "husband", " wed ", "配偶", "伴侣",
+                          "结婚"],
             "born_in": ["born in", "was born", "birthplace", "native of",
-                        "hails from"],
+                        "hails from", "出生于", "出生在"],
             "released_in": ["released in", "released", "came out in",
-                            "came out on", "put out in", "put out on"],
-            "member_of": ["member of", "joined"],
+                            "came out on", "put out in", "put out on",
+                            "发行于", "发行在", "发布于"],
+            "member_of": ["member of", "joined", "成员", "属于"],
             "founded_by": ["founded by", "founded", "established by",
-                           "established", "started by"],
+                           "established", "started by", "创立", "成立",
+                           "创办"],
             "located_in": ["located in", "capital of", "is a city in",
-                           "is a town in"],
-            "directed_by": ["directed by", "directed"],
+                           "is a town in", "位于"],
+            "directed_by": ["directed by", "directed", "执导", "导演"],
         },
         "type_hints": {
-            "album": ["(album)"],
-            "song": ["(song)"],
-            "film": ["(film)"],
-            "person": ["(person)", "Dr."],
+            "album": ["(album)", "专辑"],
+            "song": ["(song)", "歌曲"],
+            "film": ["(film)", "电影"],
+            "person": ["(person)", "Dr.", "先生", "女士"],
         },
         "relation_type_map": {
             "performed_by": {"head": "song", "tail": "person"},
@@ -117,7 +124,8 @@ DEFAULT_CONFIG: Dict[str, Any] = {
             "spouse_of": {"head": "person", "tail": "person"},
             "member_of": {"head": "person", "tail": "organization"},
         },
-        "fallback_splitters": [" is ", " was ", " were ", " by ", " in ", " of "],
+        "fallback_splitters": [" is ", " was ", " were ", " by ", " in ",
+                               " of ", "于", "在"],
         "default_rel": "related_to",
         "normalize": {"strip_quotes": True, "collapse_space": True, "lower": False},
     },

@@ -90,7 +90,10 @@ def _negated(low: str, p: int) -> bool:
 # forms keep subject-side heads. "P recorded the album W" likewise keys
 # W performed_by P.
 _ACTIVE_INVERT_CUES = {"founded", "established", "created", "directed",
-                       "recorded the album"}
+                       "recorded the album",
+                       # zh active-voice verbs: subject is the agent, so
+                       # the object heads the by-relation, same as English
+                       "创立", "成立", "创办", "执导", "演奏", "演出"}
 
 
 def extract_note_keys(
@@ -115,9 +118,15 @@ def extract_note_keys(
         return {}
     # word-boundary search, NOT substring find: a short entity ("BA",
     # "1983") otherwise matches inside another token ("Balu") and its
-    # phantom position corrupts head/tail assignment
+    # phantom position corrupts head/tail assignment. CJK entities have no
+    # word boundaries (\w matches the neighboring hanzi), so they use a
+    # plain find.
     def _pos(e: str) -> int:
-        m = re.search(r"(?<!\w)" + re.escape(e.lower()) + r"(?!\w)", low)
+        el = e.lower()
+        from anorag_tpu.utils.text import _CJK_RE
+        if _CJK_RE.search(el):
+            return low.find(el)
+        m = re.search(r"(?<!\w)" + re.escape(el) + r"(?!\w)", low)
         return m.start() if m else -1
 
     positions = {e: _pos(e) for e in ents}

@@ -50,9 +50,35 @@ STOPWORDS = frozenset(
 )
 
 
+# CJK has no spaces, so \b\w+\b returns whole clauses as one "token";
+# split CJK runs into character unigrams (the standard no-segmenter BM25
+# fallback — parity: the reference pairs its Chinese cue lexicons with a
+# multilingual tokenizer, config_loader.py:17-45)
+_CJK_RE = re.compile(r"[㐀-鿿豈-﫿぀-ヿ가-힯]")
+
+
+def _expand_cjk(tok: str) -> List[str]:
+    if not _CJK_RE.search(tok):
+        return [tok]
+    out: List[str] = []
+    buf: List[str] = []
+    for ch in tok:
+        if _CJK_RE.match(ch):
+            if buf:
+                out.append("".join(buf))
+                buf = []
+            out.append(ch)
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return out
+
+
 @functools.lru_cache(maxsize=65536)
 def _tokenize_cached(text: str) -> tuple:
-    return tuple(_WORD_RE.findall(text.lower()))
+    return tuple(t2 for t in _WORD_RE.findall(text.lower())
+                 for t2 in _expand_cjk(t))
 
 
 def tokenize(text: str) -> List[str]:
