@@ -70,10 +70,32 @@ class SpanPicker:
 
     def features(self, question: str, span: str, stype: str, sentence: str,
                  position: float) -> np.ndarray:
+        """22-feature bank at the reference's surface
+        (/root/reference/answer/span_picker.py:168-316): base overlap/
+        position/type-agreement features, question-type x span-type
+        interactions, span-shape linguistics, and in-sentence context
+        cues."""
         qt = question_type(question)
         q_toks = set(tokenize_no_stop(question))
         s_toks = set(tokenize_no_stop(sentence))
         span_toks = set(tokenize_no_stop(span))
+        q_low, s_low, sp_low = question.lower(), sentence.lower(), span.lower()
+        # --- question-type x span-type interactions (ref :246-273)
+        who_q = float(any(w in q_low for w in ("who", "whom", "whose")))
+        when_q = float("when" in q_low or "what year" in q_low
+                       or "which year" in q_low)
+        howmany_q = float("how many" in q_low or "how much" in q_low)
+        where_q = float("where" in q_low or "which city" in q_low
+                        or "what city" in q_low)
+        is_person_name = float(bool(
+            re.match(r"^[A-Z][a-z'’-]+(\s+[A-Z][a-z'’-]+)*$", span)))
+        has_digits = float(bool(re.search(r"\d", span)))
+        is_date_like = float(bool(_YEAR.search(span) or _DATE.search(span)))
+        # --- context cues (ref :300-316)
+        span_at = s_low.find(sp_low)
+        is_at = s_low.find(" is ")
+        was_at = s_low.find(" was ")
+        jac_union = len(q_toks | span_toks)
         return np.array(
             [
                 _TYPE_AGREEMENT.get((qt, stype), 0.4),
@@ -84,13 +106,30 @@ class SpanPicker:
                 float(stype == "quoted"),
                 float(stype == "entity"),
                 float(stype == "time"),
-                float(span.lower() in sentence.lower()),            # span verbatim in context
+                float(sp_low in s_low),                             # span verbatim in context
+                # question-span jaccard (ref _compute_text_similarity)
+                len(q_toks & span_toks) / max(jac_union, 1),
+                who_q * is_person_name,
+                when_q * is_date_like,
+                howmany_q * has_digits,
+                where_q * float(stype == "entity" and not is_person_name
+                                or " in " + sp_low in s_low),
+                # span-shape linguistics (ref _get_span_type_features)
+                is_person_name,
+                has_digits,
+                is_date_like,
+                float(bool(span) and span[0].isupper()),
+                float(any(w in sp_low.split() for w in ("the", "a", "an"))),
+                # in-sentence context (ref _get_context_features)
+                float(0 <= is_at < span_at),
+                float(0 <= was_at < span_at),
+                float(sp_low + "," in s_low),
             ],
             np.float32,
         )
 
     def _score(self, f: np.ndarray) -> float:
-        if self.w is not None:
+        if self.w is not None and len(self.w) == len(f):
             return float(1.0 / (1.0 + np.exp(-(f @ self.w + self.b))))
         # fallback: type agreement + context overlap dominate
         return float(0.35 * f[0] + 0.30 * f[1] + 0.20 * f[2] + 0.05 * f[3] + 0.10 * f[4])
@@ -116,9 +155,14 @@ class SpanPicker:
                     d = json.load(fh)
             sp = d.get("span_picker") or d
             if "w" in sp:
-                self.w = np.asarray(sp["w"], np.float32)
-                self.b = float(sp.get("b", 0.0))
-                return True
+                w = np.asarray(sp["w"], np.float32)
+                # a calibration trained on an older feature bank is
+                # ignored (length mismatch would crash scoring)
+                probe = self.features("Who is A?", "A", "entity", "A is.", 0.0)
+                if len(w) == len(probe):
+                    self.w = w
+                    self.b = float(sp.get("b", 0.0))
+                    return True
         except Exception:
             pass
         return False

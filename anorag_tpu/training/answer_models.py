@@ -84,6 +84,36 @@ def _rows_train_alt(rng, people, works, places, years) -> List[Dict[str, str]]:
     return rows
 
 
+def _rows_train_late(rng, people, works, places, years) -> List[Dict[str, str]]:
+    """Third TRAINING family: the gold span sits LATE in a copular
+    sentence ("The {role} of {work} is {person}."). Without this family
+    the context features (span-after-is/was) learn the early-span word
+    order of the other templates and mis-score every late-span positive
+    (measured: 22-feature span head val 1.0 -> 0.833). Surfaces remain
+    disjoint from the validation family's."""
+    rows = []
+    for person in people:
+        for work in works:
+            role = ROLES[rng.integers(len(ROLES))]
+            place = places[rng.integers(len(places))]
+            year = years[rng.integers(len(years))]
+            rows += [
+                {"q": f"Who is the {role} of {work}?", "span": person,
+                 "stype": "entity",
+                 "sent": f"The {role} of {work} is {person}.",
+                 "offtopic": f"{work} sold steadily for years."},
+                {"q": f"When was {work} released?", "span": year,
+                 "stype": "time",
+                 "sent": f"The year of {work}'s release was {year}.",
+                 "offtopic": f"{work} stayed in print for decades."},
+                {"q": f"Where was {person} born?", "span": place,
+                 "stype": "entity",
+                 "sent": f"The home town of {person} is {place}.",
+                 "offtopic": f"{person} seldom toured abroad."},
+            ]
+    return rows
+
+
 def _rows_paraphrased(rng, people, works, places, years) -> List[Dict[str, str]]:
     """Validation rows: same fact schema as _rows, DISJOINT surface
     templates for both question and evidence (VERDICT r3 weak #5 — heads
@@ -177,6 +207,8 @@ def train_answer_models(seed: int = 0,
                  PLACES, YEARS)
     rows += _rows_train_alt(rng, list(people) or PEOPLE[:8],
                             list(works) or WORKS[:6], PLACES, YEARS)
+    rows += _rows_train_late(rng, list(people) or PEOPLE[:8],
+                             list(works) or WORKS[:6], PLACES, YEARS)
     # validation: disjoint surface templates AND disjoint entities
     val_rows = _rows_paraphrased(rng, PEOPLE[8:], WORKS[6:], PLACES, YEARS)
     sp = SpanPicker()
