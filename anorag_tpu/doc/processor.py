@@ -259,10 +259,17 @@ class _RuleNoteGenerator:
         self._gen.quota_per_bucket = max(self._gen.quota_per_bucket, 8)
 
     def generate_atomic_notes(self, chunks):
+        # corpus-level entity-type registry first (utils/semtype.py): the
+        # rule path depends on it for type-signature triple orientation
+        # and work-page pronoun coref
+        self._gen._build_type_registry(chunks)
         out = []
         for chunk in chunks:
             sentences = chunk.get("sentences") or []
-            raw = self._gen._rule_fallback(chunk.get("text") or "", sentences)
+            raw = self._gen._rule_fallback(chunk.get("text") or "",
+                                           sentences,
+                                           title=str(chunk.get("title")
+                                                     or ""))
             out.extend(self._gen._post_process(raw, chunk))
         self._gen.maybe_evaluate_coverage(chunks, out)
         return out

@@ -9,6 +9,7 @@ bucketed per-paragraph note limits (notes_llm.limit).
 """
 from __future__ import annotations
 
+import functools
 import hashlib
 import re
 from collections import defaultdict
@@ -84,6 +85,23 @@ _OFFSET_RE = re.compile(r"\b(\d{1,3})\s+years?\s+(after|before)\s+")
 
 def _negated(low: str, p: int) -> bool:
     return bool(_NEG_GUARD_RE.search(low[max(0, p - 40):p]))
+
+
+@functools.lru_cache(maxsize=4096)
+def _cue_re(cue: str):
+    return re.compile(r"(?<!\w)" + re.escape(cue) + r"(?!\w)")
+
+
+def _find_cue(low: str, cue: str) -> int:
+    """Cue position: single ASCII words match at WORD BOUNDARIES (a bare
+    substring find let 'sings' fire inside 'pressings' and forge a
+    performer edge); multiword cues carry their own boundaries and CJK
+    cues have none, so both keep substring find."""
+    cue = cue.lower()
+    if " " not in cue and cue.isascii() and cue.isalpha():
+        m = _cue_re(cue).search(low)
+        return m.start() if m else -1
+    return low.find(cue)
 
 # active-voice cues name the relation from the OBJECT's perspective:
 # "X founded Y" = Y founded_by X (head/tail invert); the passive "by"
@@ -166,7 +184,7 @@ def extract_note_keys(
     priority = None
     for rel, cues in _PRIORITY_RELS.items():
         for cue in cues:
-            p = low.find(cue.lower())
+            p = _find_cue(low, cue)
             if p < 0 or _negated(low, p):
                 continue
             # a label tail is never a bare year: "released on 4 March 1967"
@@ -186,7 +204,7 @@ def extract_note_keys(
     best_rel, best_pos, best_cue = None, len(low) + 1, ""
     for rel, cues in lexicon.items():
         for cue in cues:
-            p = low.find(cue.lower())
+            p = _find_cue(low, cue)
             if 0 <= p < best_pos and not _negated(low, p):
                 best_rel, best_pos, best_cue = rel, p, cue.lower()
     if best_rel is None:
@@ -1044,8 +1062,14 @@ class AtomicNoteGenerator:
         sentence's first entity, seeded from the title): 'It was released
         on the label L' otherwise keys the YEAR as head and the work's
         label edge never enters the note graph."""
-        # seed the subject from the title sans parenthetical ("W (album)")
+        # seed the subject from the title sans parenthetical ("W (album)").
+        # Only an ENTITY-SHAPED title counts — pipeline chunk titles are
+        # often ids ("heldout_8", "doc_7"), and seeding those as the topic
+        # blocks the folded-first-sentence recovery below
         subject = re.sub(r"\s*\(.*?\)\s*$", "", title or "").strip()
+        if not re.fullmatch(r"[A-Z][\w'&.-]*(?:\s+[A-Z0-9][\w'&.-]*)*",
+                            subject or ""):
+            subject = ""
         # neuter pronouns (It/This/The album ...) refer to the paragraph's
         # TOPIC (the title-seeded subject), not the running subject: in
         # "P recorded the album W. It was put out ... by the label L" the
@@ -1053,16 +1077,20 @@ class AtomicNoteGenerator:
         # resolving to P keyed the person as the label edge's head and the
         # work's label/year facts vanished from the graph
         title_subject = subject
+        topic_paren = (re.search(r"\(([^)]*)\)", title or "") or [None, ""])[1]
         if not title_subject and sentences:
             # chunkers fold the paragraph title into the text as a leading
             # "Title (type)." sentence (doc/chunker.py _paragraph_payloads)
             # while chunk.title holds the DOCUMENT title — recover the
-            # topic from a title-shaped first sentence
+            # topic (and its parenthetical type marker) from a title-shaped
+            # first sentence
             m = re.fullmatch(
-                r"([A-Z][\w'&-]*(?:\s+[A-Z][\w'&-]*)*)\s*(?:\([^)]*\))?\s*\.?",
+                r"([A-Z][\w'&-]*(?:\s+[A-Z][\w'&-]*)*)\s*(?:\(([^)]*)\))?"
+                r"\s*\.?",
                 sentences[0].strip())
             if m:
                 title_subject = m.group(1)
+                topic_paren = m.group(2) or topic_paren
         # surname -> full name, first introduction wins (the paragraph's
         # topic is introduced first): "Aurora Lane married X. Lane was
         # born in Boston." must key born_in under the FULL name or the
@@ -1091,17 +1119,50 @@ class AtomicNoteGenerator:
                             f"released {title_subject}", s)
                 if s2.startswith("Its "):
                     s2 = f"{title_subject}'s " + s2[len("Its "):]
+                # on a WORK page every neuter pronoun is the work: "the
+                # label L made it available" otherwise keys the year/label
+                # as head (d1 kind 8). Gated on the corpus type registry —
+                # on person pages "it" may be a mentioned work, so only
+                # the verb-specific rule above applies there.
+                topic_t = (self._types_for([title_subject]) or {}).get(
+                    title_subject)
+                if topic_t == "work" or (topic_paren or "").lower() in (
+                        "album", "song", "record", "single", "ep"):
+                    s2 = re.sub(r"(?<=[\s(])it(?=[\s,.;:!?)])",
+                                title_subject, s2)
+                    s2 = re.sub(r"(?<=[\s(])its(?=\s)",
+                                f"{title_subject}'s", s2)
                 if s2 != s:
                     # re-canonicalize: the resolved object may now match
                     # an active-voice rewrite (idempotent pass)
                     s = normalize_sentence(s2)
             ents = extract_entities_fallback(s)
-            if ents and " " not in ents[0] and s.startswith(ents[0]):
-                full = surname_to_full.get(ents[0])
-                if full:
-                    s = full + s[len(ents[0]):]
-                    ents = [full] + [e for e in ents[1:] if e != full]
+            # surname -> full name at ANY position (wiki prose refers back
+            # by surname mid-sentence too: "... was the setting of Fento's
+            # birth"); only when the surname stands alone — not preceded
+            # by another capitalized token (part of a longer name)
+            for e in list(ents):
+                if " " in e:
+                    continue
+                full = surname_to_full.get(e)
+                if not full or full == e or full in s:
+                    continue
+                mm = re.search(r"(?<![\w'])" + re.escape(e) + r"(?![\w'])", s)
+                if not mm:
+                    continue
+                prev = re.search(r"([A-Za-z'&-]+)\s*$", s[:mm.start()])
+                if prev and prev.group(1)[:1].isupper():
+                    continue
+                s = s[:mm.start()] + full + s[mm.end():]
+                ents = [full if x == e else x for x in ents]
             m = self._LEAD_PRONOUN.match(s)
+            # "The album <Entity> ..." is NOT anaphoric — the entity is
+            # named right there; replacing doubled the name ("Denon Signal
+            # Denon Signal") and the doubled surface defeated the type
+            # registry downstream
+            if m and m.group(1).startswith("The ") and \
+                    re.match(r"\s+[A-Z]", s[m.end():]):
+                m = None
             if m and (subject or title_subject):
                 neuter = m.group(1) in ("It", "This") or \
                     m.group(1).startswith("The ")

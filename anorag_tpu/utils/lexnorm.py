@@ -350,9 +350,17 @@ def lemma_extract(
 
 # ------------------------------------------------------------- questions
 # Meta preambles add no semantics; strip one leading directive clause.
+# Two shapes, both general: (a) a known directive opener, (b) ANY short
+# leading clause that mentions the source material (passages/text/...)
+# and ends in ":" or "," — "With these passages in hand,", "Working from
+# these texts," etc. are all meta, whatever the opener.
 _PREAMBLE_RE = re.compile(
     r"^(?:based on|according to|given|considering|from|per|looking at|"
-    r"using)\b[^:,?]{0,60}?[:,]\s+", re.IGNORECASE)
+    r"using|drawing on|working from|with|referring to|consulting)\b"
+    r"[^:,?]{0,60}?[:,]\s+", re.IGNORECASE)
+_PREAMBLE_MATERIAL_RE = re.compile(
+    r"^[^:,?]{0,60}?\b(?:passage|paragraph|text|material|excerpt|article|"
+    r"document|context|evidence)s?\b[^:,?]{0,30}?[:,]\s+", re.IGNORECASE)
 
 # Synonym -> canonical template vocabulary. Patterns only ever match
 # lowercase/function words or the bare acronym LP, so capitalized entity
@@ -629,7 +637,7 @@ def normalize_question(q: str) -> str:
     Idempotent; never touches capitalized entity spans (all rewrite
     patterns match lowercase template words or the bare acronym LP)."""
     s = (q or "").strip()
-    m = _PREAMBLE_RE.match(s)
+    m = _PREAMBLE_RE.match(s) or _PREAMBLE_MATERIAL_RE.match(s)
     if m:
         s = s[m.end():]
         if s and s[0].islower():

@@ -151,7 +151,8 @@ _SENT_OPENER_STEMS = frozenset({
     "launch", "produc", "written", "wrote", "sign", "original", "initial",
     "later", "today", "currently", "although", "while", "when", "where",
     "there", "during", "after", "before", "following", "starting",
-    "beginning", "perform", "debut", "appear", "nam", "locat", "situat"})
+    "beginning", "perform", "debut", "appear", "nam", "locat", "situat",
+    "early", "critic", "listen"})
 
 
 def _is_positional_capital(text: str, start: int, span: str) -> bool:
