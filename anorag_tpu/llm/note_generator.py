@@ -1132,6 +1132,13 @@ class AtomicNoteGenerator:
                                 title_subject, s2)
                     s2 = re.sub(r"(?<=[\s(])its(?=\s)",
                                 f"{title_subject}'s", s2)
+                # on a PERSON page He/She refers to the topic at ANY
+                # position, wiki-style ("By birth, She belongs to Austin"
+                # — the fronted adverbial hides the pronoun from the
+                # sentence-initial pass below)
+                if topic_t == "person" or (topic_t is None
+                                           and "(" not in (title or "")):
+                    s2 = re.sub(r"\b(?:[Hh]e|[Ss]he)\b", title_subject, s2)
                 if s2 != s:
                     # re-canonicalize: the resolved object may now match
                     # an active-voice rewrite (idempotent pass)

@@ -150,7 +150,7 @@ def idiom_relation_hits(low: str) -> List[Tuple[str, int]]:
     for rel, idioms in GENERAL_REL_IDIOMS.items():
         for idiom in idioms:
             if "*" in idiom:
-                pat = re.escape(idiom).replace(r"\*", r"[\w' -]+")
+                pat = re.escape(idiom).replace(r"\*", r"[\w', -]+")
                 m = re.search(pat, low)
                 p = m.start() if m else -1
             else:
@@ -408,6 +408,13 @@ _Q_REWRITES: List[Tuple[re.Pattern, str]] = [
      lambda m: (f"{m.group(1) or ''}"
                 f"{'not ' if 'not' in m.group(0) else ''}"
                 f"released on the label {m.group(2)}{m.group(3) or ''}")),
+    # catalog-membership phrasing of the label relation: "albums (that)
+    # the label L has in its catalog" / "albums carried by the label L"
+    (re.compile(r"\b(was |were )?(?:that )?the label ([A-Z][\w' ]+?)"
+                r" (?:has|holds|keeps|lists|carries) in its catalog"),
+     lambda m: (f"{m.group(1) or ''}released on the label {m.group(2)}")),
+    (re.compile(r"\b(?:carried|stocked|listed|catalogu?ed) by the label\b"),
+     "released on the label"),
 ]
 
 
@@ -659,7 +666,115 @@ def normalize_question(q: str) -> str:
 # different facts ("A and B divorced in 1947.A and C in 1950 married."
 # once rewrote into a single wrong marriage)
 _ENT = r"[A-Z][\w'&-]*(?: [A-Z0-9][\w'&-]*)*"
+# a date/year tail: "1996", "4 March 1972", "March 4, 1972"
+_DATE = r"[\w]+(?:[ ,]+[\w]+){0,3}"
 _S_REWRITES: List[Tuple[re.Pattern, str]] = [
+    # expletive-it clefts: "It was in the studio that P made W." — the
+    # leading "It" is NOT anaphoric; strip the cleft so pronoun coref
+    # never resolves it and the inner clause parses on its own
+    (re.compile(r"^It (?:is|was) to (" + _ENT + r") that (" + _ENT
+                + r") (?:traces|owes) its (?:founding|existence|"
+                r"establishment|creation)\.", re.M),
+     r"\2 was founded by \1."),
+    (re.compile(r"^It (?:is|was) (?:in|at) the \w+ that (\w)", re.M),
+     lambda m: m.group(1).upper()),
+    # conjoined-subject marriage statements: "X and Y became a married
+    # couple / were joined in marriage / tied the knot", with an optional
+    # "The union/marriage of" head noun
+    (re.compile(r"^(?:The (?:union|marriage) of )?(" + _ENT + r") and ("
+                + _ENT + r")(?: in (\d{4}))?"
+                r" (?:became a married couple|became husband and wife|"
+                r"tied the knot|exchanged vows|entered into marriage|"
+                r"(?:was|were) (?:joined|united|sealed|bound) in "
+                r"(?:marriage|wedlock|matrimony))\.", re.M),
+     lambda m: (f"{m.group(1)} married {m.group(2)}"
+                + (f" in {m.group(3)}" if m.group(3) else "") + ".")),
+    # founding nominals: "Credit for establishing L rests with F",
+    # "F brought L into existence", "L traces back to F, who started it"
+    (re.compile(r"^Credit for (?:establishing|founding|starting|creating|"
+                r"launching) (" + _ENT + r") (?:rests with|goes to|"
+                r"belongs to|lies with) (" + _ENT + r")\.", re.M),
+     r"\1 was founded by \2."),
+    (re.compile(r"^(" + _ENT + r") brought (" + _ENT
+                + r") into (?:existence|being)\.", re.M),
+     r"\1 founded \2."),
+    (re.compile(r"^(" + _ENT + r") traces back to (" + _ENT
+                + r"), who (?:started|founded|created|established|"
+                r"launched) (?:it|the \w+)\.", re.M),
+     r"\1 was founded by \2."),
+    # performer predicates: "P is responsible for recording W", "As
+    # performer, P anchors W", "W bears P's name", "P is the name on W",
+    # "P provides the performance on W", "W is P's work"
+    (re.compile(r"\bis responsible for (record|perform|sing|play|writ)ing\b"),
+     lambda m: {"sing": "sang", "writ": "wrote"}.get(
+         m.group(1), m.group(1) + "ed")),
+    (re.compile(r"^As (?:a |the )?performer, (" + _ENT
+                + r") (?:anchors|carries|leads|fronts) the "
+                r"(album|record|song) (" + _ENT + r")\.", re.M),
+     r"\1 recorded the \2 \3."),
+    (re.compile(r"^The (album|record|song) (" + _ENT + r") bears ("
+                + _ENT + r")'s name\.", re.M),
+     r"\2 is an \1 by \3."),
+    (re.compile(r"^(" + _ENT + r") is the name on the "
+                r"(album|record|song) (" + _ENT + r")\.", re.M),
+     r"\3 is an \2 by \1."),
+    (re.compile(r"(" + _ENT + r") provides the performance on the "
+                r"(album|record|song) (" + _ENT + r")\."),
+     r"\3 is an \2 performed by \1."),
+    (re.compile(r"\bis (" + _ENT + r")'s work\b"),
+     r"is an album by \1"),
+    (re.compile(r"\bis the work of (" + _ENT + r")\b"),
+     r"is an album by \1"),
+    # appositive participial release clause on a work subject: pull the
+    # clause out into its own sentence so both facts parse ("The album W,
+    # released in Y on the label L, is an album by P.")
+    (re.compile(r"^The (album|record|song) (" + _ENT + r"), "
+                r"((?:put|placed|released|issued|brought)[^,]{0,80}?), "
+                r"(is|was) ([^.]+)\.", re.M),
+     r"\2 was \3. The \1 \2 \4 \5."),
+    # release idioms with the label as agent/adjunct; the object may be a
+    # pronoun (resolved upstream by topic coref) or the work itself
+    (re.compile(r"\b(?:put|placed) on the market (in|on) (" + _DATE
+                + r") by the label (" + _ENT + r")"),
+     r"released \1 \2 on the label \3"),
+    (re.compile(r"^The label (" + _ENT + r") (?:placed|put) (it|them|"
+                + _ENT + r") on the market (in|on) (" + _DATE + r")\.",
+                re.M),
+     r"\2 was released \3 \4 on the label \1."),
+    (re.compile(r"^(It|" + _ENT + r") entered circulation (in|on) ("
+                + _DATE + r") (?:by way of|via|through|courtesy of|"
+                r"thanks to) the label (" + _ENT + r")\.", re.M),
+     r"\1 was released \2 \3 on the label \4."),
+    (re.compile(r"^(It|" + _ENT + r") hit (?:stores|shelves|the shelves|"
+                r"the market) (in|on) (" + _DATE + r") (?:courtesy of|"
+                r"thanks to|via|through|by way of) the label ("
+                + _ENT + r")\.", re.M),
+     r"\1 was released \2 \3 on the label \4."),
+    (re.compile(r"^In (\d{4}),? the label (" + _ENT + r") made (it|them|"
+                + _ENT + r") available\.", re.M),
+     r"\3 was released in \1 on the label \2."),
+    (re.compile(r"^The label (" + _ENT + r") (?:circulated|distributed) "
+                r"(it|them|" + _ENT + r") (?:starting|from|beginning) ("
+                + _DATE + r")\.", re.M),
+     r"\2 was released on \3 on the label \1."),
+    (re.compile(r"^(?:Its|(" + _ENT + r")'s) street date, set by the "
+                r"label (" + _ENT + r"), was (" + _DATE + r")\.", re.M),
+     lambda m: (f"{m.group(1) or 'It'} was released on {m.group(3)} "
+                f"on the label {m.group(2)}.")),
+    (re.compile(r"^(" + _ENT + r")'s (album|record|song) (" + _ENT
+                + r") entered the catalog of the label (" + _ENT
+                + r") (in|on) (" + _DATE + r")\.", re.M),
+     r"\3, a \2 by \1, came out \5 \6 on the label \4."),
+    # track-count nominals
+    (re.compile(r"^A total of ([\w-]+) tracks fill (?:it|the \w+)\.",
+                re.M),
+     r"It features \1 tracks."),
+    (re.compile(r"^(?:Its|(" + _ENT + r")'s) tracklist numbers "
+                r"([\w-]+)\.", re.M),
+     lambda m: (f"{m.group(1) or 'It'} features {m.group(2)} tracks.")),
+    # birthplace idiom with a possibly comma-carrying place
+    (re.compile(r"^(" + _ENT + r") calls ([^.]+?) home\.", re.M),
+     r"\1 hails from \2."),
     # perform — copular appositions naming the artist late: orient the
     # triple as (work, performed_by, person) regardless of clause order
     (re.compile(r"; the performing artist is ([^.;]+)\."),
@@ -724,4 +839,9 @@ def normalize_sentence(s: str) -> str:
     t = re.sub(r"  +", " ", s or "")
     for pat, rep in _S_REWRITES:
         t = pat.sub(rep, t)
+    # a rewrite may move a lowercase pronoun object to sentence-initial
+    # position ("it was released ..."); capitalize so downstream topic
+    # coref (which keys sentence-initial "It") still resolves it
+    t = re.sub(r"(^|[.!?] )(it|its|they|she|he)\b",
+               lambda m: m.group(1) + m.group(2).capitalize(), t)
     return t
