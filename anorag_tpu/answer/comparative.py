@@ -1295,7 +1295,7 @@ def answer_count_hop(question: str, graph: Optional[NoteGraph],
 # (attr_superlative answers the work itself; here the winner's year is
 # the answer, so every member still needs a resolvable count)
 _ATTR_ARGMAX_YEAR_RE = re.compile(
-    r"\bin\s+what\s+year\s+was\s+the\s+"
+    r"\b(?:in\s+(?:what|which)\s+year\s+was|when\s+was)\s+the\s+"
     r"(?:album|work|record|song|release)\s+with\s+the\s+"
     r"(?P<dir>most|fewest|least)\s+(?P<attr>tracks|songs|discs|minutes)\s+"
     r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
@@ -3064,8 +3064,12 @@ def answer_performer_intersection(question: str,
     m = _PERF_BOTH_RE.search((question or "").strip())
     if not m or graph is None:
         return None
-    pa = _performers_on(m.group("a").strip(), graph)
-    pb = _performers_on(m.group("b").strip(), graph)
+    # each option may carry its own "the label" determiner ("on both the
+    # label A and the label B", v28 kind 94)
+    a = re.sub(r"^the\s+labels?\s+", "", m.group("a").strip(), flags=re.I)
+    b = re.sub(r"^the\s+labels?\s+", "", m.group("b").strip(), flags=re.I)
+    pa = _performers_on(a, graph)
+    pb = _performers_on(b, graph)
     common = [k for k in pa if k in pb]
     if len(common) != 1:
         return None
@@ -3073,6 +3077,51 @@ def answer_performer_intersection(question: str,
     support = list(dict.fromkeys(pa[person] + pb[person]))
     return {"answer": person, "support_idxs": support,
             "method": "performer_intersection"}
+
+
+# "In which city were most of the performers of the albums on the label
+# L born?" (v28 kind 97) — MODAL value of the hop-resolved attribute:
+# kind 92 counts the distinct cities, this ranks them by multiplicity
+# and must refuse ties (no strict majority -> unsound)
+_MODAL_CITY_RE = re.compile(
+    r"\bin\s+(?:which|what)\s+(?:city|town|place)\s+were\s+most\s+of\s+"
+    r"the\s+(?:performer|artist|singer|musician)s\s+of\s+the\s+"
+    r"(?:album|work|record|song|release)s\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+born\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_modal_birth_city(question: str, graph: Optional[NoteGraph],
+                            candidates: Sequence[Dict[str, Any]]
+                            ) -> Optional[Dict[str, Any]]:
+    m = _MODAL_CITY_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = _label_set(m.group("set").strip(), graph)
+    if len(entries) < 2:
+        return None
+    counts: Dict[str, int] = {}
+    support: List[int] = []
+    for work, _y, paras in entries:
+        hop = _hop_tail(graph, work, ("performed_by",))
+        if hop is None:
+            return None          # a member without a performer: bail
+        got = _born_city(graph, hop[0])
+        if got is None:
+            return None          # a performer without a birth fact
+        # modal bucketing on the SHORT surface: "Austin, Texas" and
+        # "Austin" are the same city (unlike kind 92's raw-surface tally)
+        city = got[0].split(",")[0].strip()
+        counts[city] = counts.get(city, 0) + 1
+        for p in paras + hop[1] + got[1]:
+            if p not in support:
+                support.append(p)
+    ranked = sorted(counts.items(), key=lambda kv: -kv[1])
+    if len(ranked) < 2 or ranked[0][1] == ranked[1][1]:
+        return None              # tied mode: "most" has no referent
+    return {"answer": ranked[0][0], "support_idxs": support,
+            "method": "modal_birth_city"}
 
 
 # "Whose spouse was born in C: P1 or P2?" (v26 kind 89) — each OPTION
@@ -3166,6 +3215,7 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                answer_decade, answer_interval, answer_label_intersection,
                answer_performer_intersection, answer_option_spouse_born,
                answer_count_within_anchor, answer_count_between_anchors,
+               answer_modal_birth_city,
                answer_distinct_birth_cities, answer_same_year_member,
                answer_attr_threshold_which, answer_inverse_hop_attr,
                answer_dual_label,

@@ -403,16 +403,34 @@ _Q_REWRITES: List[Tuple[re.Pattern, str]] = [
     # the label L" (runs after put out/issued -> released). The lazy
     # entity span tolerates trailing question words a sloppy rewrite
     # swept into the clause.
-    (re.compile(r"\b(was |were )?(?:not )?that the label ([A-Z][\w' ]+?)"
+    (re.compile(r"\b(was |were )?(?:not )?that the label ([A-Z][\w']*(?: [A-Z0-9][\w']*)*)"
                 r"( in \d{4})? released\b"),
      lambda m: (f"{m.group(1) or ''}"
                 f"{'not ' if 'not' in m.group(0) else ''}"
                 f"released on the label {m.group(2)}{m.group(3) or ''}")),
     # catalog-membership phrasing of the label relation: "albums (that)
-    # the label L has in its catalog" / "albums carried by the label L"
-    (re.compile(r"\b(was |were )?(?:that )?the label ([A-Z][\w' ]+?)"
+    # the label L has in its catalog" / "albums carried by the label L".
+    # A sloppy paraphrase can strand a verb from the original clause
+    # between the label name and the catalog tail ("that the label L born
+    # has in its catalog") — capture it and re-emit it after the label.
+    # When "released on/by" already precedes, just drop the dangling tail.
+    (re.compile(r"\b(?<=released )(on|by|through) the label "
+                r"([A-Z][\w']*(?: [A-Z0-9][\w']*)*) (?:has|holds|keeps|lists|carries)"
+                r" in its catalog"),
+     r"\1 the label \2"),
+    (re.compile(r"\b(was |were )?(?:that )?the label ([A-Z][\w']*(?: [A-Z0-9][\w']*)*)"
+                r"( in \d{4})?(?: (born|made|recorded|wrote))?"
                 r" (?:has|holds|keeps|lists|carries) in its catalog"),
-     lambda m: (f"{m.group(1) or ''}released on the label {m.group(2)}")),
+     lambda m: (f"{m.group(1) or ''}released on the label {m.group(2)}"
+                + (m.group(3) or "")
+                + (f" {m.group(4)}" if m.group(4) else ""))),
+    # the same sloppy rewrite can leave "that the label L" mid-clause with
+    # the original verb following ("the first album that the label L hold
+    # a larger tracklist than ...")
+    (re.compile(r"\b(album|work|record|song)s? that the label "
+                r"([A-Z][\w']*(?: [A-Z0-9][\w']*)*) (hold|holds|have|has|feature|features|"
+                r"contain|contains)\b(?! in its catalog)"),
+     r"\1 released on the label \2 \3"),
     (re.compile(r"\b(?:carried|stocked|listed|catalogu?ed) by the label\b"),
      "released on the label"),
 ]
@@ -428,7 +446,7 @@ _Q_REWRITES: List[Tuple[re.Pattern, str]] = [
 # aggregate-shaped questions (those carry their own canonical stages and
 # a frame rewrite would corrupt them).
 _FRAME_SKIP_RE = re.compile(
-    r"\b(?:same|more|fewer|less|most|fewest|least|both|each|every|all|"
+    r"\b(?:same|more|fewer|less|both|each|every|all|"
     r"either|difference|total|count|sum|average|first,|last,|earlier|"
     r"later|between)\b|\bor\b|how many|\bolder\b|\bnewer\b", re.IGNORECASE)
 
@@ -775,6 +793,21 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
     # birthplace idiom with a possibly comma-carrying place
     (re.compile(r"^(" + _ENT + r") calls ([^.]+?) home\.", re.M),
      r"\1 hails from \2."),
+    # reversed birthplace with a possessive person: "Madison, Wisconsin
+    # was the setting of Fenkes's birth." — place first (possibly with a
+    # state suffix), person in the of-complement
+    (re.compile(r"^(" + _ENT + r"(?:, [A-Z][\w']*)?) (?:was|is) the "
+                r"setting of (" + _ENT + r")'s birth\.", re.M),
+     r"\2 was born in \1."),
+    (re.compile(r"^(" + _ENT + r"(?:, [A-Z][\w']*)?) (?:saw|witnessed|"
+                r"hosted|marked) (?:the birth of|(" + _ENT
+                + r")'s birth)", re.M),
+     lambda m: (f"{m.group(2)} was born in {m.group(1)}"
+                if m.group(2) else f"{m.group(1)} was the birthplace of")),
+    # topicalized birthplace: "As for X, the city of birth is C."
+    (re.compile(r"^As for (" + _ENT + r"), the (?:city|town|place) of "
+                r"birth is ([^.]+)\.", re.M),
+     r"\1 was born in \2."),
     # perform — copular appositions naming the artist late: orient the
     # triple as (work, performed_by, person) regardless of clause order
     (re.compile(r"; the performing artist is ([^.;]+)\."),

@@ -769,7 +769,29 @@ def _spouse_album(rng, seen_works):
     return w2, l2, int(rng.integers(1950, 2020))
 
 
-N_KINDS = 94  # question-kind cycle width
+def _fresh_work(rng, seen):
+    tries = 0
+    while True:
+        tries += 1
+        t = (f"{''.join(rng.choice(_SYL, 2 if tries <= 200 else 3)).capitalize()}"
+             f" {rng.choice(_WORK_W)}")
+        if t not in seen:
+            seen.add(t)
+            return t
+
+
+def _fresh_label(rng, seen):
+    tries = 0
+    while True:
+        tries += 1
+        t = (f"{''.join(rng.choice(_SYL, 2 if tries <= 200 else 3)).capitalize()}"
+             f" {rng.choice(_LABEL_W)}")
+        if t not in seen:
+            seen.add(t)
+            return t
+
+
+N_KINDS = 98  # question-kind cycle width
 
 _NUM_WORDS = {2: "two", 3: "three", 4: "four", 5: "five", 6: "six",
               7: "seven", 8: "eight", 9: "nine", 10: "ten", 11: "eleven",
@@ -2462,7 +2484,7 @@ def make_items(n: int, distractors: int, seed: int):
                 [_sibling_paragraph(s, w["label"], rng) for s in sibs]
                 + [(s["person"], f"{s['person']} was born in {c}.")
                    for s, c in zip(sibs, sib_cities)])
-        else:
+        elif kind == 93:
             # v27 same-year selection: "Which album on the label L was
             # released in the same year as W?" — the filter year is
             # hop-resolved AND the equality must tolerate the tied pair
@@ -2477,6 +2499,97 @@ def make_items(n: int, distractors: int, seed: int):
             support = {0}
             extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
                                    for s in sibs]
+        elif kind == 94:
+            # v28 cross-label performer intersection: the performer with
+            # albums on BOTH named labels (label-set members hop to their
+            # performers; the answer is the one in both sets — performer_
+            # intersection (kind 86) anchors on two WORKS, this on two
+            # LABEL SETS)
+            sibs = _siblings(rng, w, seen_works, count=2)
+            x = _performer_works(rng, w, seen_works, count=1)[0]
+            sibs2 = _siblings(rng, {"label": x["label"],
+                                    "year": x["year"]},
+                              seen_works, count=2)
+            q = (f"Which performer released albums on both the label "
+                 f"{w['label']} and the label {x['label']}?")
+            a, akey = w["person"], "person"
+            support = {0}
+            extra_support_paras = [_performer_paragraph(x, w["person"])]
+            extra_foil_paras = (
+                [_sibling_paragraph(s, w["label"], rng) for s in sibs]
+                + [_sibling_paragraph(s, x["label"], rng) for s in sibs2])
+        elif kind == 95:
+            # v28 unique-decade member: the only album of its label set
+            # released in the named decade (a uniqueness read on the
+            # decade filter — count stages tally, selection stages rank;
+            # this must FILTER then assert |bucket| == 1)
+            sibs = _siblings(rng, w, seen_works, count=3)
+            dec = (w["year"] // 10) * 10
+            for s in sibs:
+                while (s["year"] // 10) * 10 == dec or \
+                        s["year"] in {x["year"] for x in sibs
+                                      if x is not s} | {w["year"]}:
+                    s["year"] = int(rng.integers(1950, 2020))
+            q = (f"Which album on the label {w['label']} was the only "
+                 f"one released in the {dec}s?")
+            a, akey = w["work"], "work"
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 96:
+            # v28 cross-set chained interval: years between the FIRST
+            # album of one label and the LAST album of another — two
+            # independently superlative-resolved anchors subtracted
+            # (kind 62 spans within ONE set)
+            sibs = _siblings(rng, w, seen_works, count=2)
+            label2 = _fresh_label(rng, seen_works)
+            lead2 = {"work": _fresh_work(rng, seen_works),
+                     "person": _name(rng),
+                     "year": int(rng.integers(1950, 2020)), "date": None}
+            sibs2 = _siblings(rng, {"label": label2,
+                                    "year": lead2["year"]},
+                              seen_works, count=2)
+            y_first = min([w["year"]] + [s["year"] for s in sibs])
+            y_last = max([lead2["year"]] + [s["year"] for s in sibs2])
+            if y_last < y_first:   # keep the phrasing's direction true
+                delta = y_first - y_last
+                q = (f"How many years before the first album on the "
+                     f"label {w['label']} was the last album on the "
+                     f"label {label2} released?")
+            else:
+                delta = y_last - y_first
+                q = (f"How many years after the first album on the "
+                     f"label {w['label']} was the last album on the "
+                     f"label {label2} released?")
+            a = str(delta)
+            extra_aliases = [{0: "zero", 1: "one"}.get(
+                delta, _NUM_WORDS.get(delta))]
+            support = {0}
+            extra_support_paras = (
+                [_sibling_paragraph(s, w["label"], rng) for s in sibs]
+                + [_sibling_paragraph(lead2, label2, rng)]
+                + [_sibling_paragraph(s, label2, rng) for s in sibs2])
+        else:
+            # v28 modal birth city: the city MOST of the label's
+            # performers were born in — argmax of multiplicity over the
+            # hop-resolved attribute (kind 92 counts the distinct
+            # values; this ranks them and must refuse ties)
+            sibs = _siblings(rng, w, seen_works, count=4)
+            others = [c for c in _CITIES if c != w["city"]]
+            picks = rng.permutation(len(others))
+            # 2 sibs share w's city (3-of-5 majority), 2 get distinct
+            # fresh cities — no tie is possible
+            sib_cities = [w["city"], w["city"],
+                          others[int(picks[0])], others[int(picks[1])]]
+            q = (f"In which city were most of the performers of the "
+                 f"albums on the label {w['label']} born?")
+            a, akey = w["city"], "city"
+            support = {0, 1}
+            extra_support_paras = (
+                [_sibling_paragraph(s, w["label"], rng) for s in sibs]
+                + [(s["person"], f"{s['person']} was born in "
+                                 f"{_city_surface(c, rng)}.")
+                   for s, c in zip(sibs, sib_cities)])
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)
