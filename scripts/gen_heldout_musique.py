@@ -399,8 +399,96 @@ _Q = [
 ]
 
 
+# ----------------------------------------------------------- bank d2
+# Second round-5 DEV bank (see d1 header): authored fresh 2026-08-20,
+# zero-shot measured BEFORE inspecting any miss. Copies no surface from
+# v1/v2/v3/d1.
+_E_D2 = [
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) recorded the album ([^.]+)\."),
+     [r"The sessions for the album \2 were led by \1.",
+      r"\1 laid down the album \2."]),
+    (re.compile(r"([^.]+?) is an album performed by ([^.]+)\."),
+     [r"On the album \1, the performing credit goes to \2.",
+      r"\1 features \2 as its performer."]),
+    (re.compile(r"([^.]+?) is an (album|record) by ([^.]+)\."),
+     [r"The \2 \1 belongs to \3's discography.",
+      r"\3's discography includes the \2 \1."]),
+    (re.compile(r"It was released in ([^.]+?) on the label ([^.]+)\."),
+     [r"Its release, through the label \2, happened in \1.",
+      r"The label \2 pressed and released it during \1."]),
+    (re.compile(r"It came out in ([^.]+?) on the label ([^.]+)\."),
+     [r"Listeners first got it in \1 from the label \2."]),
+    (re.compile(r"It was put out in ([^.]+?) by the label ([^.]+)\."),
+     [r"The label \2 delivered it to shops in \1."]),
+    (re.compile(r"It was released on ([^.]+?) on the label ([^.]+)\."),
+     [r"The label \2 released it to the public on \1."]),
+    (re.compile(r"It came out on ([^.]+?) through the label ([^.]+)\."),
+     [r"Shipping began \1 under the label \2."]),
+    (re.compile(r"([^.]+?), an album by ([^.]+?), was released "
+                r"(in [^.]+?|on [^.]+?) on the label ([^.]+)\."),
+     [r"\1 arrived \3 on the label \4; the album is \2's."]),
+    (re.compile(r"([^.]+?), a record by ([^.]+?), came out "
+                r"(in [^.]+?|on [^.]+?) on the label ([^.]+)\."),
+     [r"\2 put \1 before the public \3, with the label \4 handling "
+      r"release."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) married ([^.]+)\."),
+     [r"\1 took \2 as a spouse."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) wed ([^.]+)\."),
+     [r"Matrimony linked \1 and \2."]),
+    (re.compile(r"The spouse of ([^.]+?) is ([^.]+)\."),
+     [r"\1's partner in marriage is \2."]),
+    (re.compile(r"([\w' ]+?)'s spouse is ([^.]+)\."),
+     [r"Marriage ties \1 to \2."]),
+    (re.compile(r"([\w' ]+?) was born in ([^.]+)\."),
+     [r"\2 is where \1's life began.",
+      r"\1 entered life in \2."]),
+    (re.compile(r"([\w' ]+?) is a native of ([^.]+)\."),
+     [r"\1 is originally from \2."]),
+    (re.compile(r"([\w' ]+?) hails from ([^.]+)\."),
+     [r"\1's beginnings lie in \2."]),
+    (re.compile(r"([^.]+?) was founded by ([^.]+)\."),
+     [r"\2 stands at the origin of \1."]),
+    (re.compile(r"([^.]+?) was started by ([^.]+)\."),
+     [r"\1 opened its doors under \2."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) established ([^.]+)\."),
+     [r"The establishment of \2 happened under \1's hand."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) founded ([^.]+)\."),
+     [r"\2 owes its founding to \1."]),
+    (re.compile(r"It features ([\w-]+) tracks\."),
+     [r"The count of tracks stands at \1.",
+      r"\1 tracks make up the album."]),
+    (re.compile(r"([\w' ]+?) is married to ([^.]+)\."),
+     [r"\1 shares a marriage with \2."]),
+]
+
+_Q_D2 = [
+    (re.compile(r"\breleased on the label ([A-Z][\w' ]+)"),
+     [r"brought out by the label \1",
+      r"released through the label \1"]),
+    (re.compile(r"\bIn which city was ([^?]+?) born\?"),
+     [r"\1 came into the world in which city?",
+      r"Name the city where \1 was born."]),
+    (re.compile(r"\bWho performed ([^?]+?)\?"),
+     [r"Which act stands behind \1?"]),
+    (re.compile(r"\bWho is the spouse of ([^?]+?)\?"),
+     [r"\1 is married to whom?"]),
+    (re.compile(r"\bWhen was ([^?]+?) released\?"),
+     [r"\1 reached the public in which year?"]),
+    (re.compile(r"\bWhich was released first, ([^?]+?) or ([^?]+?)\?"),
+     [r"Out of \1 and \2, which has the earlier release date?"]),
+    (re.compile(r"\bHow many (albums|works|records|songs)\b"),
+     [r"What's the tally of \1"]),
+    (re.compile(r"\bhave more tracks than\b"),
+     [r"outstrip, in track count,"]),
+    (re.compile(r"\bhave fewer tracks than\b"),
+     [r"trail, in track count,"]),
+    (re.compile(r"^"),
+     [r"Taking the excerpts into account, ",
+      r"On the strength of these documents, "]),
+]
+
 _BANKS = {"v1": (_E, _Q), "v2": (_E2, _Q2), "v3": (_E3, _Q3),
-          "d1": (_E_D1, _Q_D1)}
+          "d1": (_E_D1, _Q_D1), "d2": (_E_D2, _Q_D2)}
 
 
 def _apply(text: str, rules, rng, p: float) -> str:
