@@ -101,9 +101,41 @@ class EnhancedRecallOptimizer:
         "label": ["record label catalog"],
         "released": ["record label catalog"],
         "founded": ["company founder"],
+        "founder": ["company founder"],
         "performed": ["album performer"],
         "performer": ["album performer"],
     }
+
+    _YEAR_RE = __import__("re").compile(r"^(?:1[0-9]{3}|20[0-9]{2})$")
+
+    def _bridge_queries(self, query: str,
+                        notes: List[Dict[str, Any]],
+                        q_ents: set) -> List[str]:
+        """Hop queries ANCHORED ON BRIDGE ENTITIES: entities the current
+        evidence introduces that the question does not name (the
+        founder, the spouse, ... of something the question names),
+        combined with the question's relation cues. This is what makes
+        the supplement actually multi-hop — the reference chains
+        sub-queries through intermediate results
+        (enhanced_recall_optimizer.py:491-540); generic relation
+        templates alone cannot name the bridge."""
+        low = query.lower()
+        cues = []
+        for cue, hops in self._REL_HOPS.items():
+            if cue in low:
+                cues.extend(h for h in hops if h not in cues)
+        out: List[str] = []
+        for c in notes[:10]:
+            for e in (c.get("entities") or [])[:8]:
+                e = str(e)
+                if (e.lower() in q_ents or self._YEAR_RE.fullmatch(e)
+                        or len(e) < 3):
+                    continue
+                for cue in cues[:2] or ["related facts"]:
+                    hq = f"{e} {cue}"
+                    if hq not in out:
+                        out.append(hq)
+        return out
 
     def decompose_multi_hop(self, query: str) -> List[str]:
         """Sub-queries for the bridging hops of a multi-hop question:
@@ -129,29 +161,54 @@ class EnhancedRecallOptimizer:
         fetch = self.graph_retrieve_fn or self.retrieve_fn
         if not (self.multi_hop_enabled and fetch):
             return candidates
+        from anorag_tpu.utils.text import extract_entities_fallback
+
         out = list(candidates)
         known = {c.get("note_id") for c in out}
-        for hop_q in self.decompose_multi_hop(query):
-            hits = []
-            try:
-                hits = fetch(hop_q) or []
-            except Exception:  # a failed hop never kills the recall stage
-                if self.graph_retrieve_fn and self.retrieve_fn and \
-                        fetch is self.graph_retrieve_fn:
-                    hits = self.retrieve_fn(hop_q) or []
-            for h in hits[:3]:
-                nid = h.get("note_id")
-                sim = float(h.get("similarity",
-                                  h.get("final_score",
-                                        h.get("similarity_score", 0.0))))
-                if nid in known or sim < self.hop_similarity_threshold:
-                    continue
-                h = dict(h)
-                info = dict(h.get("optimization_info") or {})
-                info["multi_hop"] = hop_q
-                h["optimization_info"] = info
-                out.append(h)
-                known.add(nid)
+        q_ents = {e.lower() for e in extract_entities_fallback(query)}
+
+        def _run(hop_queries: List[str], round_new: List[Dict[str, Any]]):
+            for hop_q in hop_queries:
+                hits = []
+                try:
+                    hits = fetch(hop_q) or []
+                except Exception:  # a failed hop never kills the stage
+                    if self.graph_retrieve_fn and self.retrieve_fn and \
+                            fetch is self.graph_retrieve_fn:
+                        hits = self.retrieve_fn(hop_q) or []
+                for h in hits[:3]:
+                    nid = h.get("note_id")
+                    sim = float(h.get("similarity",
+                                      h.get("final_score",
+                                            h.get("similarity_score",
+                                                  0.0))))
+                    if nid in known or sim < self.hop_similarity_threshold:
+                        continue
+                    h = dict(h)
+                    info = dict(h.get("optimization_info") or {})
+                    info["multi_hop"] = hop_q
+                    h["optimization_info"] = info
+                    out.append(h)
+                    round_new.append(h)
+                    known.add(nid)
+
+        # round 0: relation-template hops off the query itself
+        fresh: List[Dict[str, Any]] = []
+        _run(self.decompose_multi_hop(query), fresh)
+        # rounds 1..max_hops-1: bridge-entity hops — entities the current
+        # evidence introduces (the founder, the spouse, ...) anchor the
+        # next sub-queries, chaining through intermediate results the way
+        # the reference's _execute_multi_hop_retrieval does
+        frontier = out
+        for _hop in range(max(0, self.max_hops - 1)):
+            hqs = self._bridge_queries(query, frontier, q_ents)[:6]
+            if not hqs:
+                break
+            fresh = []
+            _run(hqs, fresh)
+            if not fresh:
+                break
+            frontier = fresh
         return out
 
     # --------------------------------------------- comprehensive rerank

@@ -2,12 +2,14 @@
 
 Parity target: /root/reference/vector_store/enhanced_recall_optimizer.py:448-540
 (multi-hop sub-query decomposition + supplemental retrieval + comprehensive
-re-rank). This script isolates that stage on a true multi-hop slice of the
-synthetic MuSiQue set: the *other* recovery stages that mask its effect in the
-default pipeline (two-hop bridge expansion, graph expansion) are disabled and
-the first-hop retrieval budget is constrained, then the slice runs twice —
-`recall_optimizer.multi_hop_enabled` off vs on — and reports answer EM,
-support F1, and gold-support recall in the selected set for both.
+re-rank). The exact-math answer stages read the full note graph, so answer EM
+cannot see retrieval-stage effects; the honest measurable is GOLD-SUPPORT
+COVERAGE OF THE CANDIDATE POOL the query processor hands downstream. This
+script isolates the stage on a true multi-hop slice: the other recovery
+stages that mask it (two-hop bridge expansion, graph expansion) are disabled
+and the first-hop budget is constrained, then each item's KB is queried twice
+— `recall_optimizer.multi_hop_enabled` off vs on — and the pool's gold
+coverage is compared.
 
 Usage: python scripts/eval_recall_optimizer.py [--n 47] [--seed 11]
 Writes docs/recall_optimizer_ablation.json and prints one JSON line.
@@ -24,37 +26,17 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def _gold_support_recall(pred, item) -> float:
-    gold = {p["idx"] for p in item["paragraphs"] if p.get("is_supporting")}
-    if not gold:
-        return 1.0
-    got = set(pred.get("predicted_support_idxs") or [])
-    return len(gold & got) / len(gold)
-
-
-def run_slice(items, cfg, enabled: bool):
-    from anorag_tpu.eval.musique import evaluate_dataset
-    from anorag_tpu.pipeline_musique import process_musique_item
-
-    cfg.set("recall_optimizer.multi_hop_enabled", enabled)
-    cfg.set("recall_optimizer.comprehensive_rerank", enabled)
-    preds, recalls = [], []
-    with tempfile.TemporaryDirectory() as td:
-        for it in items:
-            res = process_musique_item(
-                it, Path(td) / f"{it['id']}_{int(enabled)}", cfg=cfg, llm=None)
-            preds.append(res)
-            recalls.append(_gold_support_recall(res, it))
-    m = evaluate_dataset(preds, items)
-    return {"answer_em": round(m.get("answer_em", 0.0), 4),
-            "support_f1": round(m.get("support_f1", 0.0), 4),
-            "gold_support_recall": round(sum(recalls) / len(recalls), 4)}
+def _pool_coverage(notes, gold_idxs) -> float:
+    got = set()
+    for n in notes:
+        got.update(int(p) for p in (n.get("paragraph_idxs") or []))
+    return len(gold_idxs & got) / len(gold_idxs) if gold_idxs else 1.0
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=47)
-    ap.add_argument("--distractors", type=int, default=4)
+    ap.add_argument("--distractors", type=int, default=8)
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--report", default="docs/recall_optimizer_ablation.json")
     args = ap.parse_args()
@@ -65,38 +47,56 @@ def main() -> int:
     from gen_synth_musique import make_items
 
     from anorag_tpu.config import config as cfg
+    from anorag_tpu.doc.processor import DocumentProcessor
+    from anorag_tpu.pipeline_musique import musique_item_to_document
+    from anorag_tpu.query.processor import QueryProcessor
 
     cfg.set("embedding.backend", "hash")
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
     # isolation regime: constrain first-hop recall and switch off the other
     # recovery stages so the recall-optimizer sub-stage is the only one that
-    # can close evidence gaps
-    cfg.set("retrieval.embed_topk_hop1", 5)
-    cfg.set("retrieval.bm25_topk_hop1", 5)
+    # can close evidence gaps in the pool
+    cfg.set("retrieval.embed_topk_hop1", 3)
+    cfg.set("retrieval.bm25_topk_hop1", 3)
     cfg.set("hybrid_search.two_hop.enabled", False)
     cfg.set("retrieval.multi_hop.enabled", False)
 
     items = [it for it in make_items(args.n, args.distractors, args.seed)
              if it.get("answerable", True)
              and sum(1 for p in it["paragraphs"] if p.get("is_supporting")) >= 2]
-    off = run_slice(items, cfg, enabled=False)
-    on = run_slice(items, cfg, enabled=True)
+    cov = {False: [], True: []}
+    with tempfile.TemporaryDirectory() as td:
+        for it in items:
+            dp = DocumentProcessor(Path(td) / it["id"], llm=None, cfg=cfg)
+            kb = dp.process_documents(
+                documents=[musique_item_to_document(it)])
+            gold = {p["idx"] for p in it["paragraphs"]
+                    if p.get("is_supporting")}
+            for enabled in (False, True):
+                cfg.set("recall_optimizer.multi_hop_enabled", enabled)
+                cfg.set("recall_optimizer.comprehensive_rerank", enabled)
+                qp = QueryProcessor(kb["atomic_notes"], cfg=cfg, llm=None,
+                                    work_dir=Path(td) / f"{it['id']}_q{int(enabled)}")
+                res = qp.process(it["question"])
+                cov[enabled].append(
+                    _pool_coverage(res.get("candidate_notes") or [], gold))
+    off = round(sum(cov[False]) / len(cov[False]), 4)
+    on = round(sum(cov[True]) / len(cov[True]), 4)
     report = {
-        "protocol": "multi-hop slice (>=2 gold supports), two-hop/graph "
-                    "expansion disabled, first-hop top-k 5/5, hash embedder",
+        "protocol": "gold-support coverage of the post-recall-optimizer "
+                    "candidate pool; multi-hop slice (>=2 gold supports), "
+                    "two-hop/graph expansion disabled, first-hop top-k 3/3, "
+                    "8 distractors, hash embedder",
         "n_items": len(items), "seed": args.seed,
-        "multi_hop_off": off, "multi_hop_on": on,
-        "delta_em": round(on["answer_em"] - off["answer_em"], 4),
-        "delta_support_recall": round(
-            on["gold_support_recall"] - off["gold_support_recall"], 4),
+        "pool_gold_coverage_off": off,
+        "pool_gold_coverage_on": on,
+        "delta": round(on - off, 4),
     }
     out = Path(args.report)
     out.parent.mkdir(parents=True, exist_ok=True)
     out.write_text(json.dumps(report, indent=2))
-    print(json.dumps({"n": len(items), "off": off, "on": on,
-                      "delta_em": report["delta_em"],
-                      "delta_support_recall": report["delta_support_recall"]}))
+    print(json.dumps(report))
     return 0
 
 
