@@ -52,8 +52,12 @@ def make_confusable_eval(n_worlds: int, group: int, seed: int):
     corpus, queries, gold = [], [], []
     seen = set()
     for i in range(n_worlds):
-        while True:
-            w = _world(rng, work_first=firsts[i % len(firsts)])
+        # the (first-word x suffix) space is small (~8 suffixes); bound
+        # the fresh-title retry and widen to a random first word when a
+        # group exhausts its combinations
+        for tries in range(60):
+            w = _world(rng, work_first=(firsts[i % len(firsts)]
+                                        if tries < 30 else None))
             if w["work"] not in seen:
                 seen.add(w["work"])
                 break
