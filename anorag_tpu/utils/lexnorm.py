@@ -381,9 +381,14 @@ _Q_REWRITES: List[Tuple[re.Pattern, str]] = [
                 r"[Ee]ach|[Ee]very|[Ww]hich|[Ww]hat)"
                 r" record\b(?!\s+label)"), r"\1 album"),
     (re.compile(r"\bput out\b"), "released"),
+    (re.compile(r"\bbrought out\b"), "released"),
     (re.compile(r"\bissued\b"), "released"),
     (re.compile(r"\bcame out\b"), "was released"),
-    (re.compile(r"\b(?:artist|act|musician|singer) (behind|responsible"
+    # label-preposition variants onto the canonical "on the label"
+    (re.compile(r"\breleased (?:through|via|by) the label\b"),
+     "released on the label"),
+    (re.compile(r"\b(?:artist|act|musician|singer)(?: that)? "
+                r"(?:stands |standing |is )?(behind|responsible"
                 r" for)\b"), "performer of"),
     (re.compile(r"\bwed(?:ded)? to\b"), "married to"),
     (re.compile(r"\bset up by\b"), "founded by"),
@@ -459,9 +464,15 @@ def _np(s: str) -> str:
 
 def _frame_birthplace(s: str) -> Optional[str]:
     low = s.lower()
-    if not re.search(r"\b(?:born|birth|birthplace)\b", low):
+    if not re.search(r"\b(?:born|birth|birthplace)\b|came into the world|"
+                     r"entered the world|life began", low):
         return None
     for pat in (
+        # wh-in-situ with a birth idiom: "X came into the world in which
+        # city?"
+        r"^(?P<np>.+?)\s+(?:came\s+into\s+the\s+world|entered\s+the\s+"
+        r"world|first\s+drew\s+breath)\s+in\s+(?:what|which)\s+"
+        r"(?:city|town|place)[\s?.!]*$",
         # imperative: "Name/State/Identify ... city ... X was born" /
         # "... birth city of X" / "... X's city of birth"
         r"^(?:name|state|identify|give|provide|tell me)\b[^A-Za-z0-9]*(?:the\s+)?"
@@ -508,6 +519,12 @@ def _frame_performer(s: str) -> Optional[str]:
         r"^who(?:m)?\s+(?:sang|sings|recorded|made|voiced)\s+"
         r"(?:the\s+album\s+)?(?P<np>.+?)[\s?.!]*$",
         r"^who\s+(?:is|was)\s+(?:heard|featured)\s+on\s+(?P<np>.+?)[\s?.!]*$",
+        # "Which act stands behind W?" normalizes to "Which performer of
+        # W?" via _Q_REWRITES; parse that and the unrewritten original
+        r"^(?:which|what)\s+(?:is\s+the\s+)?performer\s+of\s+"
+        r"(?P<np>.+?)[\s?.!]*$",
+        r"^(?:which|what)\s+(?:artist|act|musician|singer|performer)\s+"
+        r"(?:stands?\s+|is\s+)?behind\s+(?P<np>.+?)[\s?.!]*$",
     ):
         m = re.match(pat, s, re.IGNORECASE)
         if m:
@@ -545,7 +562,9 @@ def _frame_release_year(s: str) -> Optional[str]:
         r"^when\s+did\s+(?P<np>.+?)\s+(?:come\s+out|appear|arrive|"
         r"surface|debut|reach\s+the\s+public|hit\s+stores|"
         r"go\s+on\s+sale)[\s?.!]*$",
-        r"^(?P<np>.+?)\s+(?:came\s+out|was\s+released|appeared)\s+in\s+"
+        r"^(?P<np>.+?)\s+(?:came\s+out|was\s+released|appeared|arrived|"
+        r"debuted|surfaced|reached\s+the\s+public|hit\s+stores|"
+        r"went\s+on\s+sale|entered\s+circulation)\s+in\s+"
         r"(?:what|which)\s+year[\s?.!]*$",
     ):
         m = re.match(pat, s, re.IGNORECASE)
@@ -564,6 +583,11 @@ def _frame_released_first(s: str) -> Optional[str]:
         r"appeared\s+(?:first|sooner))[\s?.!]*$",
         r"^which\s+(?:came|appeared|arrived|debuted)\s+first[,:]?\s+"
         r"(?P<a>.+?)\s+or\s+(?P<b>.+?)[\s?.!]*$",
+        # partitive with a comparative nominal: "Out of A and B, which
+        # has the earlier release date?"
+        r"^(?:of|out\s+of|between)\s+(?P<a>.+?)\s+and\s+(?P<b>.+?)[,:]?"
+        r"\s+which(?:\s+one)?\s+(?:has|carries|bears|shows)\s+the\s+"
+        r"(?:earlier|earliest)\s+release\s+(?:date|year)[\s?.!]*$",
     ):
         m = re.match(pat, s, re.IGNORECASE)
         if m:
@@ -585,6 +609,9 @@ _COUNT_FRAMES: List[Tuple[re.Pattern, object]] = [
     (re.compile(r"^(?:Tally|Count)\s+the\s+(\w+)[:,]?\s*how\s+many\b",
                 re.IGNORECASE), r"How many"),
     (re.compile(r"^(?:Tally|Count)\s+the\s+(\w+)[:,]?\s*", re.IGNORECASE),
+     r"How many \1 "),
+    (re.compile(r"^What(?:'s|\s+is)\s+the\s+(?:tally|count|number|total)"
+                r"\s+of\s+(?:the\s+)?(\w+)[:,]?\s*", re.IGNORECASE),
      r"How many \1 "),
 ]
 
@@ -623,6 +650,13 @@ _TRACK_CMP_FRAMES: List[Tuple[re.Pattern, object]] = [
     (re.compile(r"\bcomes?\s+up\s+shorter[^?]{0,20}?\btrack(?:s|list)?\b"
                 r"[^?]{0,12}?\bthan\b", re.IGNORECASE),
      "have fewer tracks than"),
+    # parenthetical dimension adverbial: "outstrip, in track count, W"
+    (re.compile(r"\b(outstrips?|trails?)\b,?\s+in\s+track\s+count,?\s*",
+                re.IGNORECASE),
+     lambda m: "{} {} tracks than ".format(
+         "has" if m.group(1).lower().endswith("s") else "have",
+         "more" if m.group(1).lower().startswith("outstrip")
+         else "fewer")),
 ]
 
 _FRAMES = (_frame_birthplace, _frame_performer, _frame_spouse,
@@ -783,8 +817,93 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
                 + r") entered the catalog of the label (" + _ENT
                 + r") (in|on) (" + _DATE + r")\.", re.M),
      r"\3, a \2 by \1, came out \5 \6 on the label \4."),
+    # recording-session event nominal with agentive by-phrase: "The
+    # sessions for the album W were led by P."
+    (re.compile(r"^(?:The )?(?:recording )?[Ss]essions for the "
+                r"(album|record|song) (" + _ENT + r") were "
+                r"(?:led|headed|overseen|directed) by (" + _ENT + r")\.",
+                re.M),
+     r"\3 recorded the \1 \2."),
+    # light-verb performer statements: "P laid down the album W." (active
+    # counterpart of the passive idiom below)
+    (re.compile(r"^(" + _ENT + r") laid down the (album|record|song) ("
+                + _ENT + r")\.", re.M),
+     r"\1 recorded the \2 \3."),
+    # credit-nominal: "On the album W, the performing credit goes to P."
+    (re.compile(r"^On the (album|record|song) (" + _ENT + r"), the "
+                r"performing credits? (?:go|goes|went) to (" + _ENT
+                + r")\.", re.M),
+     r"\2 is an \1 performed by \3."),
+    # role-apposition object: "W features P as its performer."
+    (re.compile(r"^(" + _ENT + r") features (" + _ENT + r") as its "
+                r"(?:performer|artist|singer|vocalist)\.", re.M),
+     r"\1 is an album performed by \2."),
+    # discography possession = performership: "W belongs to P's
+    # discography" / "P's discography includes the album W"
+    (re.compile(r"\bbelongs? to (" + _ENT + r")'s discography\b"),
+     r"is an album by \1"),
+    (re.compile(r"^(" + _ENT + r")'s discography includes the "
+                r"(album|record|song) (" + _ENT + r")\.", re.M),
+     r"\3 is an \2 by \1."),
+    # clause-final possessive predicative naming the artist: "W arrived
+    # ...; the album is P's." — repeat the sentence subject rather than
+    # emitting a pronoun (this rewrite runs after the coref pass, so an
+    # introduced "It" would never resolve)
+    (re.compile(r"^(" + _ENT + r")([^;]*); the (album|record|song) is ("
+                + _ENT + r")'s\.", re.M),
+     r"\1\2. \1 is an \3 by \4."),
+    (re.compile(r"; the (album|record|song) is (" + _ENT + r")'s\."),
+     r". It is an \1 by \2."),
+    # release event-nominal subject: "Its release, through the label L,
+    # happened in Y."
+    (re.compile(r"^(?:Its|(" + _ENT + r")'s) release, "
+                r"(?:through|via|under|on) the label (" + _ENT
+                + r"), (?:happened|came|took place|followed) (in|on) ("
+                + _DATE + r")\.", re.M),
+     lambda m: (f"{m.group(1) or 'It'} was released {m.group(3)} "
+                f"{m.group(4)} on the label {m.group(2)}.")),
+    # manufacturing-verb release: "The label L pressed and released it
+    # during Y."
+    (re.compile(r"^The label (" + _ENT + r") (?:pressed and released|"
+                r"pressed|manufactured and released) (it|them|" + _ENT
+                + r") (?:during|in) (" + _DATE + r")\.", re.M),
+     r"\2 was released in \3 on the label \1."),
+    # audience-acquisition release: "Listeners first got it in Y from the
+    # label L."
+    (re.compile(r"^(?:Listeners|The public|Audiences|Fans|Buyers) first "
+                r"(?:got|heard|received|bought) (it|them|" + _ENT
+                + r") (in|on) (" + _DATE + r") from the label ("
+                + _ENT + r")\.", re.M),
+     r"\1 was released \2 \3 on the label \4."),
+    # retail-delivery release: "The label L delivered it to shops in Y."
+    (re.compile(r"^The label (" + _ENT + r") (?:delivered|shipped|sent) "
+                r"(it|them|" + _ENT + r") to (?:shops|stores|"
+                r"retail(?:ers)?) (in|on) (" + _DATE + r")\.", re.M),
+     r"\2 was released \3 \4 on the label \1."),
+    # distribution event-nominal subject: "Shipping began D under the
+    # label L."
+    (re.compile(r"^(?:Shipping|Distribution|Circulation|Sales) began "
+                r"(?:(in|on) )?(" + _DATE + r") under the label ("
+                + _ENT + r")\.", re.M),
+     lambda m: (f"It was released {m.group(1) or 'on'} {m.group(2)} "
+                f"on the label {m.group(3)}.")),
+    # "put X before the public" = release idiom; the absolutive label
+    # adjunct (", with the label L handling release") names the label
+    (re.compile(r"\b(?:put|placed|brought) (it|them|" + _ENT
+                + r") before the public\b"),
+     r"released \1"),
+    (re.compile(r", with the label (" + _ENT + r") handling "
+                r"(?:the )?(?:release|distribution|pressing)\."),
+     r" on the label \1."),
+    (re.compile(r"\bin the year (\d{4})\b"), r"in \1"),
     # track-count nominals
     (re.compile(r"^A total of ([\w-]+) tracks fill (?:it|the \w+)\.",
+                re.M),
+     r"It features \1 tracks."),
+    (re.compile(r"^The (?:count|number|total|tally) of tracks "
+                r"(?:stands at|comes to|is|reaches) ([\w-]+)\.", re.M),
+     r"It features \1 tracks."),
+    (re.compile(r"^([\w-]+) tracks make up the (?:album|record|release)\.",
                 re.M),
      r"It features \1 tracks."),
     (re.compile(r"^(?:Its|(" + _ENT + r")'s) tracklist numbers "
@@ -793,6 +912,19 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
     # birthplace idiom with a possibly comma-carrying place
     (re.compile(r"^(" + _ENT + r") calls ([^.]+?) home\.", re.M),
      r"\1 hails from \2."),
+    # specificational birthplace cleft: "C is where P's life began."
+    (re.compile(r"^(" + _ENT + r"(?:, [A-Z][\w']*)?) is where ("
+                + _ENT + r")'s life (?:began|started)\.", re.M),
+     r"\2 was born in \1."),
+    # "entered life in C" (cf. the "entered the world" idiom)
+    (re.compile(r"^(" + _ENT + r") (?:entered|began|started) life in "
+                r"([^.]+)\.", re.M),
+     r"\1 was born in \2."),
+    # possessive-host origin nominal: "P's beginnings lie in C."
+    (re.compile(r"^(" + _ENT + r")'s (?:beginnings|origins|roots) "
+                r"(?:lie|lay|are|were) in ([^.]+)\.", re.M),
+     r"\1 was born in \2."),
+    (re.compile(r"\bis originally from\b"), "hails from"),
     # reversed birthplace with a possessive person: "Madison, Wisconsin
     # was the setting of Fenkes's birth." — place first (possibly with a
     # state suffix), person in the of-complement
@@ -832,12 +964,46 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
     (re.compile(r"^(" + _ENT + r") got (" + _ENT + r") off the ground\.",
                 re.M),
      r"\1 founded \2."),
+    # origin-locative founder: "F stands at the origin of Org."
+    (re.compile(r"^(" + _ENT + r") (?:stands|stood|is|was) at the "
+                r"origin of (" + _ENT + r")\.", re.M),
+     r"\2 was founded by \1."),
+    # nominalized founding with agentive adjunct: "The establishment of
+    # Org happened under F's hand."
+    (re.compile(r"^The (?:establishment|founding|creation|launch) of ("
+                + _ENT + r") (?:happened|came|took place|occurred) "
+                r"(?:under|at|through) (" + _ENT + r")'s "
+                r"(?:hand|hands|direction|initiative|leadership)\.", re.M),
+     r"\1 was founded by \2."),
+    # institutional-opening idiom: "Org opened its doors under F."
+    (re.compile(r"^(" + _ENT + r") opened its doors under (" + _ENT
+                + r")\.", re.M),
+     r"\1 was founded by \2."),
     # spouse — conjoined subject and nominal statements
     (re.compile(r"^(" + _ENT + r") and (" + _ENT + r")(?: in (\d{4}))?"
                 r" (?:married|wed)\.", re.M),
      lambda m: (f"{m.group(1)} married {m.group(2)}"
                 + (f" in {m.group(3)}" if m.group(3) else "") + ".")),
     (re.compile(r"(" + _ENT + r")'s marriage is to ([^.]+)\."),
+     r"\1 married \2."),
+    # abstract-noun subject: "Marriage ties A to B." / "Matrimony linked
+    # A and B."
+    (re.compile(r"^(?:Marriage|Matrimony|Wedlock) (?:ties|tied|links|"
+                r"linked|joins|joined|binds|bound|unites|united) ("
+                + _ENT + r") (?:to|and|with) (" + _ENT + r")\.", re.M),
+     r"\1 married \2."),
+    # possessive-host marriage nominal: "A's partner in marriage is B."
+    (re.compile(r"^(" + _ENT + r")'s partner in (?:marriage|wedlock) "
+                r"(?:is|was) (" + _ENT + r")\.", re.M),
+     r"\1 married \2."),
+    # light-verb marriage: "A took B as a spouse." / "A shares a marriage
+    # with B."
+    (re.compile(r"^(" + _ENT + r") took (" + _ENT + r")(?: in (\d{4}))? "
+                r"as (?:a|his|her|their) spouse\.", re.M),
+     lambda m: (f"{m.group(1)} married {m.group(2)}"
+                + (f" in {m.group(3)}" if m.group(3) else "") + ".")),
+    (re.compile(r"^(" + _ENT + r") shares? a marriage with (" + _ENT
+                + r")\.", re.M),
      r"\1 married \2."),
     # born — nominal birthplace statements
     (re.compile(r"([\w'. -]+?)'s home ?town is ([^.]+)\."),
@@ -855,9 +1021,17 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
     # active label-release clause onto the passive canonical shape the
     # extractor keys (work subject; label cue after the year): applied
     # AFTER pronoun-object coref, so the object may be an entity
-    (re.compile(r"^The label (" + _ENT + r") released (" + _ENT
-                + r") (in|on) ([\w ,]+)\.", re.M),
+    (re.compile(r"^The label (" + _ENT + r") released (it|them|" + _ENT
+                + r")(?: to the public| worldwide| broadly)? (in|on) "
+                r"([\w ,]+)\.", re.M),
      r"\2 was released \3 \4 on the label \1."),
+    # active artist-subject release naming the label: "P released W in Y
+    # on the label L." (downstream appositive expansion splits the two
+    # facts; "The label L released ..." cannot match — lowercase "label"
+    # breaks the leading entity span)
+    (re.compile(r"^(" + _ENT + r") released (" + _ENT + r") (in|on) ("
+                + _DATE + r") on the label (" + _ENT + r")\.", re.M),
+     r"\2, an album by \1, was released \3 \4 on the label \5."),
 ]
 
 

@@ -98,9 +98,33 @@ def tokenize_no_stop(text: str) -> List[str]:
     return list(_tokenize_no_stop_cached(text or ""))
 
 
+# a full stop followed by a LOWERCASE word is still a sentence boundary
+# when the word before the stop isn't an abbreviation ("... the label
+# Corhol Sound. fifteen tracks make up the album." — sloppy prose drops
+# the capital, and gluing the sentences hides the second fact from
+# per-sentence extraction). Single letters (initials) and common
+# abbreviations never split.
+_LOWER_BOUND_RE = re.compile(r"([A-Za-z0-9'\")]{2,})([.!?])\s+(?=[a-z])")
+_ABBREVS = frozenset((
+    "mr", "mrs", "ms", "dr", "st", "vs", "etc", "e.g", "i.e", "no",
+    "jr", "sr", "prof", "inc", "ltd", "co", "fig", "al", "cf", "ca"))
+
+
+def _split_lower_bound(part: str) -> List[str]:
+    out, last = [], 0
+    for m in _LOWER_BOUND_RE.finditer(part):
+        if m.group(1).lower().rstrip(".") in _ABBREVS:
+            continue
+        out.append(part[last:m.end(2)])
+        last = m.end()
+    out.append(part[last:])
+    return [s for s in (p.strip() for p in out) if s]
+
+
 @functools.lru_cache(maxsize=65536)
 def _split_sentences_cached(text: str) -> tuple:
-    parts = [s.strip() for s in _SENT_RE.split(text) if s and s.strip()]
+    parts = [p for s in _SENT_RE.split(text) if s and s.strip()
+             for p in _split_lower_bound(s.strip())]
     return tuple(parts) or ((text.strip(),) if text.strip() else ())
 
 
