@@ -487,8 +487,109 @@ _Q_D2 = [
       r"On the strength of these documents, "]),
 ]
 
+# ----------------------------------------------------------- bank d3
+# Third round-5 DEV bank (see d1 header): authored fresh 2026-08-20
+# after the d2 close, zero-shot measured BEFORE inspecting any miss.
+# Copies no replacement surface from v1/v2/v3/d1/d2; several rules
+# deliberately drop the "label"/"born" cue words entirely so the
+# type-signature machinery (not cue lexicons) must orient the triple.
+_E_D3 = [
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) recorded the album ([^.]+)\."),
+     [r"The album \2 was cut by \1 in the studio.",
+      r"Recording duties on the album \2 fell to \1."]),
+    (re.compile(r"([^.]+?) is an album performed by ([^.]+)\."),
+     [r"The artist heard throughout \1 is \2.",
+      r"\1 showcases a performance by \2."]),
+    (re.compile(r"([^.]+?) is an (album|record) by ([^.]+)\."),
+     [r"\1 is one of \3's \2s.",
+      r"Among \3's \2s is \1."]),
+    (re.compile(r"It was released in ([^.]+?) on the label ([^.]+)\."),
+     [r"The year \1 saw its arrival via the label \2.",
+      r"Release came in \1, with \2 as the issuing label."]),
+    (re.compile(r"It came out in ([^.]+?) on the label ([^.]+)\."),
+     [r"Under the label \2, it went public in \1."]),
+    (re.compile(r"It was put out in ([^.]+?) by the label ([^.]+)\."),
+     [r"Copies went out to buyers in \1 under the label \2."]),
+    (re.compile(r"It was released on ([^.]+?) on the label ([^.]+)\."),
+     [r"Release day was \1, with the label \2 behind it."]),
+    (re.compile(r"It came out on ([^.]+?) through the label ([^.]+)\."),
+     [r"The label \2 sent it into the world on \1."]),
+    (re.compile(r"([^.]+?), an album by ([^.]+?), was released "
+                r"(in [^.]+?|on [^.]+?) on the label ([^.]+)\."),
+     [r"Issued \3 on the label \4, \1 is \2's album.",
+      r"\1 — \2's album — reached shelves \3 on the label \4."]),
+    (re.compile(r"([^.]+?), a record by ([^.]+?), came out "
+                r"(in [^.]+?|on [^.]+?) on the label ([^.]+)\."),
+     [r"\1, which \2 made, went on sale \3 with the label \4 "
+      r"handling distribution."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?)(?<! is)(?<! was)"
+                r"(?<! are)(?<! were) married ([A-Z][\w' ]+?)"
+                r" in (\d{4})\."),
+     [r"\1 and \2 became spouses in \3."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?)(?<! is)(?<! was)"
+                r"(?<! are)(?<! were) married ([^.]+)\."),
+     [r"\1 and \2 became spouses.",
+      r"\1 has \2 for a spouse."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?)(?<! is)(?<! was)"
+                r"(?<! are)(?<! were) wed ([^.]+)\."),
+     [r"In marriage, \1 is joined to \2."]),
+    (re.compile(r"The spouse of ([^.]+?) is ([^.]+)\."),
+     [r"Married life pairs \1 with \2."]),
+    (re.compile(r"([\w' ]+?)'s spouse is ([^.]+)\."),
+     [r"\1 shares married life with \2."]),
+    (re.compile(r"([\w' ]+?) was born in ([^.]+)\."),
+     [r"\1's earliest years were spent in \2.",
+      r"The record books list \2 as \1's birthplace."]),
+    (re.compile(r"([\w' ]+?) is a native of ([^.]+)\."),
+     [r"\2 counts \1 among its natives."]),
+    (re.compile(r"([\w' ]+?) hails from ([^.]+)\."),
+     [r"\1's story starts in \2."]),
+    (re.compile(r"([^.]+?) was founded by ([^.]+)\."),
+     [r"\2 gave \1 its start.",
+      r"\1 began as \2's venture."]),
+    (re.compile(r"([^.]+?) was started by ([^.]+)\."),
+     [r"\1 exists because \2 launched it."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) established ([^.]+)\."),
+     [r"The founding papers of \2 bear \1's signature."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) founded ([^.]+)\."),
+     [r"\2 was \1's creation."]),
+    (re.compile(r"It features ([\w-]+) tracks\."),
+     [r"Running through it are \1 tracks.",
+      r"Its track listing runs to \1 entries."]),
+    (re.compile(r"([\w' ]+?) is married to ([^.]+)\."),
+     [r"\1 and \2 are wed to each other."]),
+]
+
+_Q_D3 = [
+    (re.compile(r"\breleased on the label ([A-Z][\w' ]+)"),
+     [r"put into circulation by the label \1",
+      r"issued under the label \1"]),
+    (re.compile(r"\bIn which city was ([^?]+?) born\?"),
+     [r"Which city does \1 originally hail from?",
+      r"What city saw \1's earliest days?"]),
+    (re.compile(r"\bWho performed ([^?]+?)\?"),
+     [r"Whose performance is captured on \1?",
+      r"Name the act credited on \1."]),
+    (re.compile(r"\bWho is the spouse of ([^?]+?)\?"),
+     [r"Who shares married life with \1?"]),
+    (re.compile(r"\bWhen was ([^?]+?) released\?"),
+     [r"What year marks the release of \1?"]),
+    (re.compile(r"\bWhich was released first, ([^?]+?) or ([^?]+?)\?"),
+     [r"Between \1 and \2, which predates the other in release?"]),
+    (re.compile(r"\bHow many (albums|works|records|songs)\b"),
+     [r"What figure gives the count of \1"]),
+    (re.compile(r"\bhave more tracks than\b"),
+     [r"run longer, track-wise, than"]),
+    (re.compile(r"\bhave fewer tracks than\b"),
+     [r"come in under the track total of"]),
+    (re.compile(r"^"),
+     [r"Judging solely from the supplied text, ",
+      r"With the cited excerpts as evidence: "]),
+]
+
 _BANKS = {"v1": (_E, _Q), "v2": (_E2, _Q2), "v3": (_E3, _Q3),
-          "d1": (_E_D1, _Q_D1), "d2": (_E_D2, _Q_D2)}
+          "d1": (_E_D1, _Q_D1), "d2": (_E_D2, _Q_D2),
+          "d3": (_E_D3, _Q_D3)}
 
 
 def _apply(text: str, rules, rng, p: float) -> str:
