@@ -344,16 +344,59 @@ def _note_paras(graph: NoteGraph, note_id: Any) -> List[int]:
     return list(note.get("paragraph_idxs") or [])
 
 
+# a set anchor may be a DESCRIPTOR instead of a name: "the label founded
+# by F" / "... founded by the spouse of P" (v29 kind 100) — resolve the
+# founder NP (itself possibly a spouse hop), then walk AGAINST the
+# founded_by edge to the label
+_LABEL_DESC_RE = re.compile(
+    r"^(?:the\s+label\s+)?(?:founded|started|established|created|"
+    r"launched|set\s+up)\s+by\s+(?P<f>.+)$", re.IGNORECASE)
+_SPOUSE_NP_RE = re.compile(
+    r"^the\s+(?:spouse|wife|husband)\s+of\s+(?P<p>.+)$", re.IGNORECASE)
+
+
+def _resolve_label_descriptor(surface: str, graph: NoteGraph
+                              ) -> Optional[Tuple[str, List[int]]]:
+    m = _LABEL_DESC_RE.match((surface or "").strip().rstrip("?. "))
+    if not m:
+        return None
+    founder = m.group("f").strip().rstrip("?. ")
+    paras: List[int] = []
+    sm = _SPOUSE_NP_RE.match(founder)
+    if sm:
+        hop = _hop_tail(graph, sm.group("p").strip(), ("spouse_of",))
+        if hop is None:
+            return None
+        founder = hop[0]
+        paras += hop[1]
+    fkey = graph.resolve_tail(founder)
+    if fkey is None:
+        return None
+    for rel, head, note_id in graph.rheads(fkey):
+        if rel == "founded_by":
+            note = graph.notes.get(note_id, {})
+            paras += [p for p in (note.get("paragraph_idxs") or [])
+                      if p not in paras]
+            return str(head), paras
+    return None
+
+
 def _label_set(set_surface: str, graph: Optional[NoteGraph]
                ) -> List[Tuple[str, int, List[int]]]:
     """All (work, year, support paras) anchored to set_surface — a label
     (reverse released_on_label) or a performer (reverse performed_by) —
-    via reverse edges + each head's released_in triple."""
+    via reverse edges + each head's released_in triple. The anchor may be
+    a descriptor ("the label founded by the spouse of P"); its resolution
+    evidence rides into every member's paras."""
     if graph is None:
         return []
+    anchor_paras: List[int] = []
     key = graph.resolve_tail(set_surface)
     if key is None:
-        return []
+        desc = _resolve_label_descriptor(set_surface, graph)
+        if desc is None:
+            return []
+        key, anchor_paras = desc
     out = []
     for rel, head, note_id in graph.rheads(key):
         if rel not in _SET_RELS_WIDE:
@@ -383,7 +426,9 @@ def _label_set(set_surface: str, graph: Optional[NoteGraph]
     seen: Dict[str, Tuple[str, int, List[int]]] = {}
     for w, y, p in out:
         if w not in seen or (seen[w][1] < 0 <= y):
-            seen[w] = (w, y, p)
+            seen[w] = (w, y, anchor_paras
+                       + [q for q in p if q not in anchor_paras]
+                       if anchor_paras else p)
     return list(seen.values())
 
 
@@ -2662,7 +2707,7 @@ def coerce_state_answer(question: str, answer: str,
 # L?" (v25 kind 82) — the MEAN over the set's attribute counts; every
 # solved aggregate is a sum, difference, count, or extremum
 _ATTR_AVG_RE = re.compile(
-    r"\b(?:what\s+is\s+)?the\s+average\s+number\s+of\s+"
+    r"\b(?:what\s+is\s+)?the\s+(?P<op>average|mean|median)\s+number\s+of\s+"
     r"(?P<attr>tracks|songs|discs|minutes)\s+"
     r"(?:across|over|among|of|for)\s+the\s+"
     r"(?:album|work|record|song|release)s\s+"
@@ -2674,6 +2719,8 @@ _ATTR_AVG_RE = re.compile(
 def answer_attr_average(question: str, graph: Optional[NoteGraph],
                         candidates: Sequence[Dict[str, Any]]
                         ) -> Optional[Dict[str, Any]]:
+    """Mean OR median (v29 kind 98 — an order statistic, so the counts
+    are sorted, not summed) over the set's attribute counts."""
     m = _ATTR_AVG_RE.search((question or "").strip())
     if not m or graph is None:
         return None
@@ -2681,19 +2728,29 @@ def answer_attr_average(question: str, graph: Optional[NoteGraph],
     if len(entries) < 2:
         return None
     pool = list(candidates or ()) + list(graph.notes.values())
-    total = 0
+    counts: List[int] = []
     support: List[int] = []
     for work, _y, paras in entries:
         c = _attr_count(work, m.group("attr"), pool)
         if c is None:
-            return None      # a member without a count: the mean is unsound
-        total += c[0]
+            return None      # a member without a count: the stat is unsound
+        counts.append(c[0])
         support += [p for p in paras if p not in support]
         support += [p for p in c[1] if p not in support]
-    n = len(entries)
-    ans = str(total // n) if total % n == 0 else f"{total / n:g}"
-    return {"answer": ans, "support_idxs": support,
-            "method": "attr_average"}
+    n = len(counts)
+    if m.group("op").lower() == "median":
+        cs = sorted(counts)
+        if n % 2:
+            ans = str(cs[n // 2])
+        else:
+            tot = cs[n // 2 - 1] + cs[n // 2]
+            ans = str(tot // 2) if tot % 2 == 0 else f"{tot / 2:g}"
+        method = "attr_median"
+    else:
+        total = sum(counts)
+        ans = str(total // n) if total % n == 0 else f"{total / n:g}"
+        method = "attr_average"
+    return {"answer": ans, "support_idxs": support, "method": method}
 
 
 # "Which albums on the label L were released in the D0s?" (v25 kind 83)
@@ -3079,6 +3136,79 @@ def answer_performer_intersection(question: str,
             "method": "performer_intersection"}
 
 
+# "How many performers released albums on both the label L1 and the
+# label L2?" (v29 kind 101) — the COUNT of the roster intersection;
+# citing only the shared performers' paras would hide the rosters the
+# absence-side of the count depends on, so every member paragraph of
+# both rosters rides in support
+_PERF_BOTH_COUNT_RE = re.compile(
+    r"\bhow\s+many\s+(?:performer|artist|singer|musician)s?\s+"
+    r"(?:released|recorded|put\s+out|issued|have|had)\s+"
+    r"(?:album|work|record|song|release)s?\s+on\s+"
+    r"both\s+(?:the\s+labels?\s+)?(?P<a>.+?)\s+and\s+(?P<b>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_performer_intersection_count(
+        question: str, graph: Optional[NoteGraph],
+        candidates: Sequence[Dict[str, Any]]) -> Optional[Dict[str, Any]]:
+    m = _PERF_BOTH_COUNT_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    a = re.sub(r"^the\s+labels?\s+", "", m.group("a").strip(), flags=re.I)
+    b = re.sub(r"^the\s+labels?\s+", "", m.group("b").strip(), flags=re.I)
+    pa = _performers_on(a, graph)
+    pb = _performers_on(b, graph)
+    if not pa or not pb:
+        return None
+    common = [k for k in pa if k in pb]
+    support: List[int] = []
+    for paras in list(pa.values()) + list(pb.values()):
+        support += [p for p in paras if p not in support]
+    return {"answer": str(len(common)), "support_idxs": support,
+            "method": "performer_intersection_count"}
+
+
+# "Which album on the label L was released after A but before B?" (v29
+# kind 99) — two-anchor interval SELECTION: both anchors resolve to
+# years (in-set members or anywhere in the graph), and exactly one
+# member's year must lie strictly inside the open interval
+_BETWEEN_WHICH_RE = re.compile(
+    r"\bwhich\s+(?:album|work|record|song|release)\s+"
+    r"(?:released\s+)?(?:on|by|through|under)\s+(?:the\s+label\s+)?"
+    r"(?P<set>.+?)\s+(?:was|were|came|got)\s+"
+    r"(?:released|out|issued|put\s+out)\s+"
+    r"after\s+(?P<a>.+?)\s+(?:but|and|yet)\s+before\s+"
+    r"(?P<b>.+?)\s*\??\s*$",
+    re.IGNORECASE)
+
+
+def answer_between_which(question: str, graph: Optional[NoteGraph],
+                         candidates: Sequence[Dict[str, Any]]
+                         ) -> Optional[Dict[str, Any]]:
+    m = _BETWEEN_WHICH_RE.search((question or "").strip())
+    if not m or graph is None:
+        return None
+    entries = [e for e in _label_set(m.group("set").strip(), graph)
+               if e[1] >= 0]
+    if len(entries) < 2:
+        return None
+    ra = _resolve_year(m.group("a").strip(), "released", graph, candidates)
+    rb = _resolve_year(m.group("b").strip(), "released", graph, candidates)
+    if ra is None or rb is None:
+        return None
+    lo, hi = sorted((ra[0], rb[0]))
+    inside = [e for e in entries if lo < e[1] < hi]
+    if len(inside) != 1:
+        return None          # empty or ambiguous interval: unsound
+    support: List[int] = []
+    for _, _, paras in entries:
+        support += [p for p in paras if p not in support]
+    support += [p for p in ra[1] + rb[1] if p not in support]
+    return {"answer": inside[0][0], "support_idxs": support,
+            "method": "between_which"}
+
+
 # "In which city were most of the performers of the albums on the label
 # L born?" (v28 kind 97) — MODAL value of the hop-resolved attribute:
 # kind 92 counts the distinct cities, this ranks them by multiplicity
@@ -3213,7 +3343,9 @@ def answer_exact_math(question: str, note_graph: Optional[NoteGraph],
                answer_superlative_hop, answer_superlative, answer_ordinal,
                answer_decade_enum,
                answer_decade, answer_interval, answer_label_intersection,
-               answer_performer_intersection, answer_option_spouse_born,
+               answer_performer_intersection,
+               answer_performer_intersection_count, answer_between_which,
+               answer_option_spouse_born,
                answer_count_within_anchor, answer_count_between_anchors,
                answer_modal_birth_city,
                answer_distinct_birth_cities, answer_same_year_member,

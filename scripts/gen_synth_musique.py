@@ -791,7 +791,7 @@ def _fresh_label(rng, seen):
             return t
 
 
-N_KINDS = 98  # question-kind cycle width
+N_KINDS = 102  # question-kind cycle width
 
 _NUM_WORDS = {2: "two", 3: "three", 4: "four", 5: "five", 6: "six",
               7: "seven", 8: "eight", 9: "nine", 10: "ten", 11: "eleven",
@@ -2569,7 +2569,7 @@ def make_items(n: int, distractors: int, seed: int):
                 [_sibling_paragraph(s, w["label"], rng) for s in sibs]
                 + [_sibling_paragraph(lead2, label2, rng)]
                 + [_sibling_paragraph(s, label2, rng) for s in sibs2])
-        else:
+        elif kind == 97:
             # v28 modal birth city: the city MOST of the label's
             # performers were born in — argmax of multiplicity over the
             # hop-resolved attribute (kind 92 counts the distinct
@@ -2590,6 +2590,93 @@ def make_items(n: int, distractors: int, seed: int):
                 + [(s["person"], f"{s['person']} was born in "
                                  f"{_city_surface(c, rng)}.")
                    for s, c in zip(sibs, sib_cities)])
+        elif kind == 98:
+            # v29 attribute MEDIAN: order statistic over the label set's
+            # track counts — every solved aggregate is a sum, mean,
+            # difference, count, or extremum; the median needs a SORT
+            sibs = _siblings(rng, w, seen_works, count=4)
+            cs = [int(c) for c in rng.permutation(np.arange(2, 20))[:5]]
+            track_counts = (cs[0], 0)
+            q = (f"What is the median number of tracks across the "
+                 f"albums on the label {w['label']}?")
+            med = sorted(cs)[2]
+            a = str(med)
+            if med in _NUM_WORDS:
+                extra_aliases = [_NUM_WORDS[med]]
+            support = {0}
+            sib_paras = []
+            for s, c in zip(sibs, cs[1:]):
+                pt, px = _sibling_paragraph(s, w["label"], rng)
+                sib_paras.append(
+                    (pt, f"{px} It features {_NUM_WORDS[c]} tracks."))
+            extra_support_paras = sib_paras
+        elif kind == 99:
+            # v29 two-anchor interval SELECTION: the label member whose
+            # year lies strictly between two named members' years (kind
+            # 90 COUNTS the interval; this must select the unique member
+            # inside it — both anchors resolve through their own pages)
+            sibs = _siblings(rng, w, seen_works, count=4)
+            ys = sorted(s["year"] for s in sibs)
+            lo = next(s for s in sibs if s["year"] == ys[0])
+            hi = next(s for s in sibs if s["year"] == ys[3])
+            # w strictly inside, the other two sibs strictly outside
+            if not (ys[0] < w["year"] < ys[3]):
+                w = dict(w)
+                w["year"] = (ys[0] + ys[3]) // 2
+            for s in sibs:
+                if s in (lo, hi):
+                    continue
+                while ys[0] < s["year"] < ys[3] or s["year"] in (
+                        w["year"], ys[0], ys[3]):
+                    s["year"] = int(rng.integers(1940, 1950)) if \
+                        rng.random() < 0.5 else int(rng.integers(2020, 2030))
+            q = (f"Which album on the label {w['label']} was released "
+                 f"after {lo['work']} but before {hi['work']}?")
+            a, akey = w["work"], "work"
+            support = {0}
+            extra_support_paras = [_sibling_paragraph(s, w["label"], rng)
+                                   for s in sibs]
+        elif kind == 100:
+            # v29 spouse-founder 3-hop AGGREGATION: P -> spouse ->
+            # label the spouse founded -> member count (kind 6 walks
+            # founder->spouse forward; this walks person->spouse then
+            # AGAINST the founded_by edge, then aggregates)
+            l2 = _fresh_label(rng, seen_works)
+            members = _siblings(
+                rng, {"year": int(rng.integers(1950, 2020))},
+                seen_works, count=3)
+            q = (f"How many albums were released on the label founded "
+                 f"by the spouse of {w['person']}?")
+            a = "3"
+            extra_aliases = ["three"]
+            support = {1}
+            extra_support_paras = (
+                [(l2, f"{l2} is a record label. {l2} was founded by "
+                      f"{w['spouse']}.")]
+                + [_sibling_paragraph(s, l2, rng) for s in members])
+        else:
+            # v29 shared-performer COUNT across two label sets: how many
+            # performers appear in BOTH label rosters (kind 94 selects
+            # the single shared performer; this counts a 2-element
+            # intersection, so selection-shaped stages must not fire)
+            sibs = _siblings(rng, w, seen_works, count=2)
+            l2 = _fresh_label(rng, seen_works)
+            shared2 = sibs[0]["person"]
+            solo2 = _name(rng)
+            y2 = {int(x) for x in rng.choice(
+                np.arange(1950, 2020), 3, replace=False)}
+            works2 = [{"work": _fresh_work(rng, seen_works), "person": p,
+                       "year": y, "date": None}
+                      for p, y in zip((w["person"], shared2, solo2),
+                                      sorted(y2))]
+            q = (f"How many performers released albums on both the "
+                 f"label {w['label']} and the label {l2}?")
+            a = "2"
+            extra_aliases = ["two"]
+            support = {0}
+            extra_support_paras = (
+                [_sibling_paragraph(s, w["label"], rng) for s in sibs]
+                + [_sibling_paragraph(s, l2, rng) for s in works2])
         # confusables first: the negation trap names the first one's label
         suffix = w["work"].split()[-1]
         confus = _unique_worlds(rng, 2, seen_works, work_suffix=suffix)

@@ -150,7 +150,7 @@ def test_generated_musique_all_kinds(tmp_path):
     cfg.set("embedding.backend", "hash")
     cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
-    items = make_items(196, distractors=4, seed=9)  # 2 of each of 98 kinds
+    items = make_items(204, distractors=4, seed=9)  # 2 of each of 102 kinds
     preds = []
     for it in items:
         res = process_musique_item(it, tmp_path / it["id"], cfg=cfg, llm=None)
@@ -230,9 +230,9 @@ def test_generated_musique_all_kinds(tmp_path):
         if not it.get("answerable", True):
             continue
         i = int(p["id"].split("_")[1])
-        if i % 98 in tolerated_kinds:
+        if i % 102 in tolerated_kinds:
             continue
         assert answer_em(p.get("predicted_answer") or "",
                          gold_aliases(it)) == 1.0, \
-            (p["id"], i % 98, it["question"], it["answer"],
+            (p["id"], i % 102, it["question"], it["answer"],
              p.get("predicted_answer"))

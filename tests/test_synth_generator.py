@@ -11,7 +11,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
 from gen_synth_musique import make_items  # noqa: E402
 
-N_KINDS = 98
+N_KINDS = 102
 
 
 def _mk(seed, n=N_KINDS * 2):
@@ -50,7 +50,7 @@ def test_gold_consistency_per_kind():
                             if p["is_supporting"])
         if kind in (10, 13, 23, 24, 27, 37, 39, 40, 48, 52, 56, 59, 60,
                     62, 65, 67, 68, 73, 75, 76, 81, 82, 85, 88,
-                    90, 92, 96):  # nums
+                    90, 92, 96, 98, 100, 101):  # nums
             assert it["answer"].isdigit(), (i, kind, it["answer"])
         elif kind in (12, 21, 35, 41, 44, 45, 61, 69, 71, 80, 84):  # polarity
             assert it["answer"] in ("yes", "no")
