@@ -273,15 +273,39 @@ def extract_note_keys(
         head, tail = tail, head
     regular = {"head_key": head, "rel": normalize_predicate(best_rel),
                "tail_key": tail}
+
+    def _merge_lemma(result: Dict[str, str]) -> Dict[str, str]:
+        # ADDITIVE lemma/typed pass: an exact cue claiming the sentence
+        # must not hide the facts only a lemma or the type signature can
+        # see ("W — P's album — reached shelves in Y on the label L" has
+        # an exact label cue, but the performed_by edge exists only via
+        # the work+person type default). Only relations the exact pass
+        # did NOT already assert ride in.
+        from anorag_tpu.utils.lexnorm import lemma_extract
+        lts = lemma_extract(text, ents_in_text, positions,
+                            rel_lexicon or _DEFAULT_REL_LEXICON,
+                            types=types)
+        have = {result.get("rel")} | {
+            s.get("rel") for s in result.get("secondary_keys") or ()}
+        extra = [t for t in lts if t["rel"] not in have
+                 and t["head_key"] != t["tail_key"]]
+        if extra:
+            sks = list(result.get("secondary_keys") or [])
+            for t in extra:
+                if t not in sks:
+                    sks.append(t)
+            result["secondary_keys"] = sks
+        return result
+
     if priority is None:
-        return _with_offset(regular)
+        return _with_offset(_merge_lemma(regular))
     # the sentence asserts BOTH facts ("W was released in 2006 on the
     # label L" = released_on_label AND released_in): the priority triple
     # keys the note; the regular one rides along as a secondary edge so
     # set-aggregation questions can resolve the year from the graph
     if regular["rel"] != priority["rel"]:
         priority["secondary_keys"] = [regular]
-    return _with_offset(priority)
+    return _with_offset(_merge_lemma(priority))
 
 
 # entity-shaped subject + two commas: "W, an album by P, was released ..."

@@ -387,6 +387,11 @@ _Q_REWRITES: List[Tuple[re.Pattern, str]] = [
     # label-preposition variants onto the canonical "on the label"
     (re.compile(r"\breleased (?:through|via|by) the label\b"),
      "released on the label"),
+    (re.compile(r"\b(?:put into circulation|brought to market|"
+                r"distributed) by the label\b"),
+     "released on the label"),
+    (re.compile(r"\breleased under the label\b"),
+     "released on the label"),
     (re.compile(r"\b(?:artist|act|musician|singer)(?: that)? "
                 r"(?:stands |standing |is )?(behind|responsible"
                 r" for)\b"), "performer of"),
@@ -465,7 +470,8 @@ def _np(s: str) -> str:
 def _frame_birthplace(s: str) -> Optional[str]:
     low = s.lower()
     if not re.search(r"\b(?:born|birth|birthplace)\b|came into the world|"
-                     r"entered the world|life began", low):
+                     r"entered the world|life began|earliest days|"
+                     r"hail from|hails from|come from", low):
         return None
     for pat in (
         # wh-in-situ with a birth idiom: "X came into the world in which
@@ -473,6 +479,12 @@ def _frame_birthplace(s: str) -> Optional[str]:
         r"^(?P<np>.+?)\s+(?:came\s+into\s+the\s+world|entered\s+the\s+"
         r"world|first\s+drew\s+breath)\s+in\s+(?:what|which)\s+"
         r"(?:city|town|place)[\s?.!]*$",
+        # origin wh-fronted: "Which city does X (originally) hail from?"
+        r"^(?:which|what)\s+(?:city|town|place)\s+does\s+(?P<np>.+?)\s+"
+        r"(?:originally\s+)?(?:hail|come)\s+from[\s?.!]*$",
+        # "What city saw X's earliest days?"
+        r"^(?:what|which)\s+(?:city|town|place)\s+saw\s+(?P<np>.+?)['’]s"
+        r"\s+earliest\s+days[\s?.!]*$",
         # imperative: "Name/State/Identify ... city ... X was born" /
         # "... birth city of X" / "... X's city of birth"
         r"^(?:name|state|identify|give|provide|tell me)\b[^A-Za-z0-9]*(?:the\s+)?"
@@ -525,6 +537,13 @@ def _frame_performer(s: str) -> Optional[str]:
         r"(?P<np>.+?)[\s?.!]*$",
         r"^(?:which|what)\s+(?:artist|act|musician|singer|performer)\s+"
         r"(?:stands?\s+|is\s+)?behind\s+(?P<np>.+?)[\s?.!]*$",
+        # "Whose performance is captured on W?"
+        r"^whose\s+performance\s+is\s+(?:captured|heard|featured)\s+"
+        r"(?:on|in|throughout)\s+(?P<np>.+?)[\s?.!]*$",
+        # imperative credit: "Name the act credited on W."
+        r"^(?:name|state|identify|give)\s+the\s+(?:act|artist|performer|"
+        r"singer|musician)\s+(?:credited\s+)?(?:on|behind|for)\s+"
+        r"(?P<np>.+?)[\s?.!]*$",
     ):
         m = re.match(pat, s, re.IGNORECASE)
         if m:
@@ -543,6 +562,9 @@ def _frame_spouse(s: str) -> Optional[str]:
         r"^(?P<np>.+?)['’]s\s+(?:wife|husband|spouse)\s+(?:is|was)\s+"
         r"who(?:m)?[\s?.!]*$",
         r"^name\s+the\s+(?:wife|husband|spouse)\s+of\s+(?P<np>.+?)[\s?.!]*$",
+        # "Who shares married life with X?"
+        r"^who\s+shares\s+(?:married\s+life|a\s+marriage|wedlock)\s+"
+        r"with\s+(?P<np>.+?)[\s?.!]*$",
     ):
         m = re.match(pat, s, re.IGNORECASE)
         if m:
@@ -557,6 +579,8 @@ def _frame_release_year(s: str) -> Optional[str]:
         r"reach\s+the\s+public|hit\s+stores|go\s+on\s+sale)[\s?.!]*$",
         r"^(?:what|which)\s+year\s+saw\s+(?:the\s+release\s+of\s+)?"
         r"(?P<np>.+?)(?:\s+released)?[\s?.!]*$",
+        r"^(?:what|which)\s+year\s+marks\s+the\s+release\s+of\s+"
+        r"(?P<np>.+?)[\s?.!]*$",
         r"^the\s+release\s+of\s+(?P<np>.+?)\s+dates?\s+to\s+"
         r"(?:what|which)\s+year[\s?.!]*$",
         r"^when\s+did\s+(?P<np>.+?)\s+(?:come\s+out|appear|arrive|"
@@ -588,6 +612,10 @@ def _frame_released_first(s: str) -> Optional[str]:
         r"^(?:of|out\s+of|between)\s+(?P<a>.+?)\s+and\s+(?P<b>.+?)[,:]?"
         r"\s+which(?:\s+one)?\s+(?:has|carries|bears|shows)\s+the\s+"
         r"(?:earlier|earliest)\s+release\s+(?:date|year)[\s?.!]*$",
+        # "Between A and B, which predates the other in release?"
+        r"^(?:of|out\s+of|between)\s+(?P<a>.+?)\s+and\s+(?P<b>.+?)[,:]?"
+        r"\s+which(?:\s+one)?\s+predates\s+the\s+other"
+        r"(?:\s+in\s+release)?[\s?.!]*$",
     ):
         m = re.match(pat, s, re.IGNORECASE)
         if m:
@@ -612,6 +640,9 @@ _COUNT_FRAMES: List[Tuple[re.Pattern, object]] = [
      r"How many \1 "),
     (re.compile(r"^What(?:'s|\s+is)\s+the\s+(?:tally|count|number|total)"
                 r"\s+of\s+(?:the\s+)?(\w+)[:,]?\s*", re.IGNORECASE),
+     r"How many \1 "),
+    (re.compile(r"^What\s+figure\s+gives\s+the\s+(?:count|number|total|"
+                r"tally)\s+of\s+(?:the\s+)?(\w+)[:,]?\s*", re.IGNORECASE),
      r"How many \1 "),
 ]
 
@@ -649,6 +680,10 @@ _TRACK_CMP_FRAMES: List[Tuple[re.Pattern, object]] = [
      "have more tracks than"),
     (re.compile(r"\bcomes?\s+up\s+shorter[^?]{0,20}?\btrack(?:s|list)?\b"
                 r"[^?]{0,12}?\bthan\b", re.IGNORECASE),
+     "have fewer tracks than"),
+    # "come in under the track total of W"
+    (re.compile(r"\bcomes?\s+in\s+under\s+the\s+track\s+total\s+of\b",
+                re.IGNORECASE),
      "have fewer tracks than"),
     # parenthetical dimension adverbial: "outstrip, in track count, W"
     (re.compile(r"\b(outstrips?|trails?)\b,?\s+in\s+track\s+count,?\s*",
@@ -817,6 +852,46 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
                 + r") entered the catalog of the label (" + _ENT
                 + r") (in|on) (" + _DATE + r")\.", re.M),
      r"\3, a \2 by \1, came out \5 \6 on the label \4."),
+    # em-dash appositive with a possessive: "W — P's album — reached
+    # shelves ..." onto the comma-appositive shape the expansion pass
+    # splits ("W, an album by P, ...")
+    (re.compile(r"^(" + _ENT + r") [—–-]+ (" + _ENT
+                + r")'s (album|record|song) [—–-]+ (.+)$", re.M),
+     r"\1, an \3 by \2, \4"),
+    # relative-clause performer: "W, which P made, went on sale ..."
+    (re.compile(r"^(" + _ENT + r"), which (" + _ENT
+                + r") (?:made|created|recorded|wrote), (.+)$", re.M),
+     r"\1, an album by \2, \3"),
+    # possessive predicative: "W is P's album." — also fires as the main
+    # clause after a fronted participial ("Issued in Y on the label L,
+    # W is P's album.")
+    (re.compile(r"(^|, )(" + _ENT + r") (?:is|was) (" + _ENT
+                + r")'s (album|record|song)\.", re.M),
+     r"\1\2 is an \4 by \3."),
+    (re.compile(r"^(" + _ENT + r") (?:is|was) (" + _ENT
+                + r")'s creation\.", re.M),
+     r"\1 was founded by \2."),
+    # partitive possession: "W is one of P's albums." / "Among P's
+    # albums is W."
+    (re.compile(r"^(" + _ENT + r") is one of (" + _ENT
+                + r")'s (album|record|song)s\.", re.M),
+     r"\1 is an \3 by \2."),
+    (re.compile(r"^Among (" + _ENT + r")'s (album|record|song)s is ("
+                + _ENT + r")\.", re.M),
+     r"\3 is an \2 by \1."),
+    # duty-nominal performer: "Recording duties on the album W fell to P."
+    (re.compile(r"^Recording duties (?:on|for) the (album|record|song) ("
+                + _ENT + r") (?:fell|went) to (" + _ENT + r")\.", re.M),
+     r"\3 recorded the \1 \2."),
+    # specificational performer: "The artist heard throughout W is P." /
+    # "W showcases a performance by P."
+    (re.compile(r"^The (?:artist|performer|singer|act) heard "
+                r"(?:throughout|on|across) (" + _ENT + r") (?:is|was) ("
+                + _ENT + r")\.", re.M),
+     r"\1 is an album performed by \2."),
+    (re.compile(r"^(" + _ENT + r") showcases? a performance by ("
+                + _ENT + r")\.", re.M),
+     r"\1 is an album performed by \2."),
     # recording-session event nominal with agentive by-phrase: "The
     # sessions for the album W were led by P."
     (re.compile(r"^(?:The )?(?:recording )?[Ss]essions for the "
@@ -887,12 +962,42 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
                 + _ENT + r")\.", re.M),
      lambda m: (f"It was released {m.group(1) or 'on'} {m.group(2)} "
                 f"on the label {m.group(3)}.")),
+    # year-subject release: "The year Y saw its arrival via the label L."
+    # (tolerates a doubled determiner — "The year the year 1991 saw" —
+    # from sloppy rewriting of an "in the year Y" source)
+    (re.compile(r"^The year (?:the year )?(\d{4}) saw (?:its|the) arrival "
+                r"(?:via|through|on|under) the label (" + _ENT + r")\.",
+                re.M),
+     r"It was released in \1 on the label \2."),
+    # release-nominal subject variants: "Release came in Y, with L as the
+    # issuing label." / "Release day was D, with the label L behind it."
+    (re.compile(r"^Release came (in|on) (" + _DATE + r"), with ("
+                + _ENT + r") as the issuing label\.", re.M),
+     r"It was released \1 \2 on the label \3."),
+    (re.compile(r"^Release day was (" + _DATE + r"), with the label ("
+                + _ENT + r") behind it\.", re.M),
+     r"It was released on \1 on the label \2."),
+    # fronted label adjunct: "Under the label L, it went public in Y."
+    (re.compile(r"^Under the label (" + _ENT + r"), (it|they|" + _ENT
+                + r") went public (in|on) (" + _DATE + r")\.", re.M),
+     r"\2 was released \3 \4 on the label \1."),
+    # buyer-acquisition release: "Copies went out to buyers in Y under
+    # the label L."
+    (re.compile(r"^Copies went out to (?:buyers|shops|stores|the public) "
+                r"(in|on) (" + _DATE + r") under the label (" + _ENT
+                + r")\.", re.M),
+     r"It was released \1 \2 on the label \3."),
+    # label-agent idiom: "The label L sent it into the world on D."
+    (re.compile(r"^The label (" + _ENT + r") sent (it|them|" + _ENT
+                + r") into the world (in|on) (" + _DATE + r")\.", re.M),
+     r"\2 was released \3 \4 on the label \1."),
+    (re.compile(r"\bwent on sale\b"), "was released"),
     # "put X before the public" = release idiom; the absolutive label
     # adjunct (", with the label L handling release") names the label
     (re.compile(r"\b(?:put|placed|brought) (it|them|" + _ENT
                 + r") before the public\b"),
      r"released \1"),
-    (re.compile(r", with the label (" + _ENT + r") handling "
+    (re.compile(r",? with the label (" + _ENT + r") handling "
                 r"(?:the )?(?:release|distribution|pressing)\."),
      r" on the label \1."),
     (re.compile(r"\bin the year (\d{4})\b"), r"in \1"),
@@ -906,6 +1011,14 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
     (re.compile(r"^([\w-]+) tracks make up the (?:album|record|release)\.",
                 re.M),
      r"It features \1 tracks."),
+    # locative-inversion count: "Running through it are N tracks."
+    (re.compile(r"^Running through (?:it|the \w+) are ([\w-]+) tracks\.",
+                re.M),
+     r"It features \1 tracks."),
+    # "Its track listing runs to N entries."
+    (re.compile(r"^(?:Its|(" + _ENT + r")'s) track listing runs to "
+                r"([\w-]+) (?:entries|tracks|songs|cuts)\.", re.M),
+     lambda m: (f"{m.group(1) or 'It'} features {m.group(2)} tracks.")),
     (re.compile(r"^(?:Its|(" + _ENT + r")'s) tracklist numbers "
                 r"([\w-]+)\.", re.M),
      lambda m: (f"{m.group(1) or 'It'} features {m.group(2)} tracks.")),
@@ -925,6 +1038,24 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
                 r"(?:lie|lay|are|were) in ([^.]+)\.", re.M),
      r"\1 was born in \2."),
     (re.compile(r"\bis originally from\b"), "hails from"),
+    # possessive-host life nominals: "P's earliest years were spent in
+    # C." / "P's story starts in C."
+    (re.compile(r"^(" + _ENT + r")'s (?:earliest|early|first) years "
+                r"were spent in ([^.]+)\.", re.M),
+     r"\1 was born in \2."),
+    (re.compile(r"^(" + _ENT + r")'s story (?:starts|started|begins|"
+                r"began) in ([^.]+)\.", re.M),
+     r"\1 was born in \2."),
+    # place-subject roster: "C counts P among its natives." (the person
+    # slot may be a pronoun — topic coref resolves it after this pass)
+    (re.compile(r"^(" + _ENT + r"(?:, [A-Z][\w']*)?) counts ([^.]+?) "
+                r"among its natives\.", re.M),
+     r"\2 is a native of \1."),
+    # registry nominal: "The record books list C as P's birthplace."
+    (re.compile(r"^The record books? lists? ([^.]+?) as (" + _ENT
+                + r")'s (?:birthplace|birth (?:city|town|place))\.",
+                re.M),
+     r"\2 was born in \1."),
     # reversed birthplace with a possessive person: "Madison, Wisconsin
     # was the setting of Fenkes's birth." — place first (possibly with a
     # state suffix), person in the of-complement
@@ -979,6 +1110,22 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
     (re.compile(r"^(" + _ENT + r") opened its doors under (" + _ENT
                 + r")\.", re.M),
      r"\1 was founded by \2."),
+    # causative-start idioms: "F gave Org its start." / "Org began as
+    # F's venture." / "Org exists because F launched it."
+    (re.compile(r"^(" + _ENT + r") gave (" + _ENT + r") its start\.",
+                re.M),
+     r"\2 was founded by \1."),
+    (re.compile(r"^(" + _ENT + r") began as (" + _ENT
+                + r")'s (?:venture|project|enterprise|undertaking)\.",
+                re.M),
+     r"\1 was founded by \2."),
+    (re.compile(r"^(" + _ENT + r") exists because (" + _ENT
+                + r") (?:launched|started|founded|created) it\.", re.M),
+     r"\1 was founded by \2."),
+    # document nominal: "The founding papers of Org bear F's signature."
+    (re.compile(r"^The founding papers of (" + _ENT + r") bears? ("
+                + _ENT + r")'s signature\.", re.M),
+     r"\1 was founded by \2."),
     # spouse — conjoined subject and nominal statements
     (re.compile(r"^(" + _ENT + r") and (" + _ENT + r")(?: in (\d{4}))?"
                 r" (?:married|wed)\.", re.M),
@@ -1002,9 +1149,30 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
                 r"as (?:a|his|her|their) spouse\.", re.M),
      lambda m: (f"{m.group(1)} married {m.group(2)}"
                 + (f" in {m.group(3)}" if m.group(3) else "") + ".")),
-    (re.compile(r"^(" + _ENT + r") shares? a marriage with (" + _ENT
+    (re.compile(r"^(" + _ENT + r") shares? (?:a marriage|married life) "
+                r"with (" + _ENT + r")\.", re.M),
+     r"\1 married \2."),
+    # "Married life pairs A with B."
+    (re.compile(r"^Married life pairs (" + _ENT + r") with (" + _ENT
                 + r")\.", re.M),
      r"\1 married \2."),
+    # fronted marriage adverbial: "In marriage, A is joined to B."
+    (re.compile(r"^In (?:marriage|wedlock|matrimony), (" + _ENT
+                + r") (?:is|was) (?:joined|united|bound) to (" + _ENT
+                + r")\.", re.M),
+     r"\1 married \2."),
+    # "A has B for a spouse."
+    (re.compile(r"^(" + _ENT + r") (?:has|had) (" + _ENT
+                + r") for a (?:spouse|wife|husband)\.", re.M),
+     r"\1 married \2."),
+    # reciprocal: "A and B are wed to each other." / "became spouses"
+    (re.compile(r"^(" + _ENT + r") and (" + _ENT + r") (?:are|were) "
+                r"(?:wed|married) to (?:each other|one another)\.", re.M),
+     r"\1 married \2."),
+    (re.compile(r"^(" + _ENT + r") and (" + _ENT + r") became spouses"
+                r"(?: in (\d{4}))?\.", re.M),
+     lambda m: (f"{m.group(1)} married {m.group(2)}"
+                + (f" in {m.group(3)}" if m.group(3) else "") + ".")),
     # born — nominal birthplace statements
     (re.compile(r"([\w'. -]+?)'s home ?town is ([^.]+)\."),
      r"\1 was born in \2."),

@@ -251,9 +251,23 @@ def typed_default_triples(ents_in_order: Sequence[str],
     ("Among P's output is the record W", "The record W bears P's name") —
     there is no other work<->person relation in the schema. Only fires for
     unambiguous single-pair sentences."""
+    def _canon(e: str) -> str:
+        # "Zavel Tomarmar" and "Zavel Tomarmar's" are one entity —
+        # extraction keeps both surfaces (apostrophe-s titles stay
+        # extractable), but the uniqueness precondition here must count
+        # them once or every possessive sentence has "two persons"
+        return e[:-2].rstrip() if e.endswith(("'s", "’s")) else e
+
     ents = [str(e) for e in ents_in_order]
-    works = [e for e in ents if types.get(e) == WORK]
-    persons = [e for e in ents if types.get(e) == PERSON]
+    works: List[str] = []
+    persons: List[str] = []
+    for e in ents:
+        t = types.get(e)
+        bucket = works if t == WORK else persons if t == PERSON else None
+        if bucket is not None and _canon(e) not in [_canon(x)
+                                                    for x in bucket]:
+            # prefer the non-possessive surface as the graph key
+            bucket.append(_canon(e) if _canon(e) in ents else e)
     out: List[Dict[str, str]] = []
     if (len(works) == 1 and len(persons) == 1
             and "performed_by" not in existing_rels):

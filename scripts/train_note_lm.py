@@ -368,6 +368,12 @@ def main() -> int:
                     help="checkpoint every N steps (long CPU runs must "
                          "survive being cut short)")
     ap.add_argument("--stats-only", action="store_true")
+    ap.add_argument("--init-from", default=None,
+                    help="warm-start params from an existing checkpoint "
+                    "dir (tunnel flaps kill long runs; --save-every "
+                    "checkpoints + this flag resume without redoing the "
+                    "finished steps — optimizer state restarts, so pass "
+                    "a reduced --lr and only the REMAINING --steps)")
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
 
@@ -407,7 +413,13 @@ def main() -> int:
     cfg = dlm.DecoderConfig(hidden_size=args.hidden, num_layers=args.layers,
                             num_heads=args.heads,
                             intermediate_size=args.ffn, max_len=args.max_len)
-    params = dlm.init_params(jax.random.PRNGKey(args.seed), cfg)
+    if args.init_from:
+        params, ck_cfg = dlm.load_lm(args.init_from)
+        if ck_cfg != cfg:
+            raise SystemExit(f"--init-from config mismatch: {ck_cfg} != {cfg}")
+        print(f"warm-started from {args.init_from}")
+    else:
+        params = dlm.init_params(jax.random.PRNGKey(args.seed), cfg)
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, args.warmup, max(args.steps, args.warmup + 1), args.lr * 0.05)
     opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
