@@ -33,7 +33,7 @@ def main():
     ap.add_argument("--support", action="store_true",
                     help="print gold support paragraphs")
     args = ap.parse_args()
-    if args.bank not in ("d1", "d2", "d3", "v1"):
+    if args.bank not in ("d1", "d2", "d3", "d4", "v1"):
         raise SystemExit(f"bank {args.bank} is not a dev bank — refusing")
 
     import jax

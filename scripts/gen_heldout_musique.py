@@ -587,9 +587,110 @@ _Q_D3 = [
       r"With the cited excerpts as evidence: "]),
 ]
 
+# ----------------------------------------------------------- bank d4
+# Fourth round-5 DEV bank (see d1 header): authored fresh 2026-08-20
+# after the d3 close, zero-shot measured BEFORE inspecting any miss.
+# Deliberately leans on catalog/sleeve/household metonymy — surfaces
+# where no cue lexicon can fire and the type-signature machinery must
+# carry the triple.
+_E_D4 = [
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) recorded the album ([^.]+)\."),
+     [r"Studio work on the album \2 was handled by \1.",
+      r"The album \2 took shape with \1 at the microphone."]),
+    (re.compile(r"([^.]+?) is an album performed by ([^.]+)\."),
+     [r"\1 carries \2's voice throughout.",
+      r"Every track on \1 is sung by \2."]),
+    (re.compile(r"([^.]+?) is an (album|record) by ([^.]+)\."),
+     [r"\1 sits in \3's catalog.",
+      r"\3's name appears on the sleeve of \1."]),
+    (re.compile(r"It was released in ([^.]+?) on the label ([^.]+)\."),
+     [r"The label \2 added it to its catalog in \1.",
+      r"It joined the label \2's catalog in \1."]),
+    (re.compile(r"It came out in ([^.]+?) on the label ([^.]+)\."),
+     [r"Record shops first stocked it in \1, a release of the label \2."]),
+    (re.compile(r"It was put out in ([^.]+?) by the label ([^.]+)\."),
+     [r"In \1 the label \2 put it on record-store shelves."]),
+    (re.compile(r"It was released on ([^.]+?) on the label ([^.]+)\."),
+     [r"The label \2 set \1 as its release date."]),
+    (re.compile(r"It came out on ([^.]+?) through the label ([^.]+)\."),
+     [r"Its first day of sale, \1, came courtesy of the label \2."]),
+    (re.compile(r"([^.]+?), an album by ([^.]+?), was released "
+                r"(in [^.]+?|on [^.]+?) on the label ([^.]+)\."),
+     [r"Dated \3, the album \1 reached the public through the label \4; "
+      r"\2 made it."]),
+    (re.compile(r"([^.]+?), a record by ([^.]+?), came out "
+                r"(in [^.]+?|on [^.]+?) on the label ([^.]+)\."),
+     [r"The album \1 appeared \3 in the label \4's catalog, with \2 "
+      r"credited."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?)(?<! is)(?<! was)"
+                r"(?<! are)(?<! were) married ([A-Z][\w' ]+?)"
+                r" in (\d{4})\."),
+     [r"\1 and \2 swapped rings in \3.",
+      r"A wedding in \3 made \1 and \2 a pair."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?)(?<! is)(?<! was)"
+                r"(?<! are)(?<! were) married ([^.]+)\."),
+     [r"\1 and \2 swapped rings.",
+      r"A wedding made \1 and \2 a pair."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?)(?<! is)(?<! was)"
+                r"(?<! are)(?<! were) wed ([^.]+)\."),
+     [r"\1 and \2 share a household and a marriage."]),
+    (re.compile(r"The spouse of ([^.]+?) is ([^.]+)\."),
+     [r"\2 is \1's other half in marriage."]),
+    (re.compile(r"([\w' ]+?)'s spouse is ([^.]+)\."),
+     [r"At home, \1's other half is \2."]),
+    (re.compile(r"([\w' ]+?) was born in ([^.]+)\."),
+     [r"\2 appears on \1's birth record.",
+      r"Life for \1 began in \2."]),
+    (re.compile(r"([\w' ]+?) is a native of ([^.]+)\."),
+     [r"\1 grew up on \2's streets."]),
+    (re.compile(r"([\w' ]+?) hails from ([^.]+)\."),
+     [r"\1's childhood unfolded in \2."]),
+    (re.compile(r"([^.]+?) was founded by ([^.]+)\."),
+     [r"\1 exists thanks to \2's founding work.",
+      r"It was \2 who set \1 going."]),
+    (re.compile(r"([^.]+?) was started by ([^.]+)\."),
+     [r"\1 got going when \2 opened it."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) established ([^.]+)\."),
+     [r"Setting up \2 was \1's doing."]),
+    (re.compile(r"(?<![\w,]) ?([A-Z][\w' ]+?) founded ([^.]+)\."),
+     [r"\2 has \1 to thank for its existence."]),
+    (re.compile(r"It features ([\w-]+) tracks\."),
+     [r"Play it end to end and you pass \1 tracks.",
+      r"The sleeve lists \1 tracks."]),
+    (re.compile(r"([\w' ]+?) is married to ([^.]+)\."),
+     [r"Marriage links the household of \1 and \2."]),
+]
+
+_Q_D4 = [
+    (re.compile(r"\breleased on the label ([A-Z][\w' ]+)"),
+     [r"added to the label \1's catalog",
+      r"released with the label \1"]),
+    (re.compile(r"\bIn which city was ([^?]+?) born\?"),
+     [r"What city appears on \1's birth record?",
+      r"Where did life begin for \1?"]),
+    (re.compile(r"\bWho performed ([^?]+?)\?"),
+     [r"Whose voice fills \1?",
+      r"Who is heard singing on \1?"]),
+    (re.compile(r"\bWho is the spouse of ([^?]+?)\?"),
+     [r"Who is \1's other half in marriage?"]),
+    (re.compile(r"\bWhen was ([^?]+?) released\?"),
+     [r"In what year did \1 first reach record shops?"]),
+    (re.compile(r"\bWhich was released first, ([^?]+?) or ([^?]+?)\?"),
+     [r"Which of \1 and \2 was on shelves sooner?"]),
+    (re.compile(r"\bHow many (albums|works|records|songs)\b"),
+     [r"Count up the \1: how many"]),
+    (re.compile(r"\bhave more tracks than\b"),
+     [r"pack a longer tracklist than"]),
+    (re.compile(r"\bhave fewer tracks than\b"),
+     [r"offer a shorter tracklist than"]),
+    (re.compile(r"^"),
+     [r"Relying on nothing beyond these paragraphs, ",
+      r"Reading only what is quoted above: "]),
+]
+
 _BANKS = {"v1": (_E, _Q), "v2": (_E2, _Q2), "v3": (_E3, _Q3),
           "d1": (_E_D1, _Q_D1), "d2": (_E_D2, _Q_D2),
-          "d3": (_E_D3, _Q_D3)}
+          "d3": (_E_D3, _Q_D3), "d4": (_E_D4, _Q_D4)}
 
 
 def _apply(text: str, rules, rng, p: float) -> str:
