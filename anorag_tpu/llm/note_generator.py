@@ -192,7 +192,12 @@ def extract_note_keys(
             tail = next((e for e in ents_in_text
                          if positions[e] > p
                          and not _YEAR_ONLY_RE.fullmatch(e)), None)
-            head = ents_in_text[0]
+            # a label/release head is never a bare year: a fronted date
+            # ("Dated on 17 June 1967, the album W ...") puts the year
+            # first by position, but the WORK is the subject
+            head = next((e for e in ents_in_text
+                         if not _YEAR_ONLY_RE.fullmatch(e)),
+                        ents_in_text[0])
             if tail is not None and tail != head:
                 priority = {"head_key": head, "rel": normalize_predicate(rel),
                             "tail_key": tail}
@@ -316,8 +321,11 @@ _APPOS_RE = re.compile(
 # album by P." — the grammatical subject lives AFTER the comma; raw cue
 # extraction keys the participle (or whatever precedes the comma) as head
 _FRONTED_RE = re.compile(
-    r"^([A-Z][a-z]+(?:ed|en|ing))\s+([^,]{3,120}),\s+([A-Z].+)$")
-_SUBJ_RE = re.compile(r"^[A-Z][\w'&-]*(?:\s+[A-Z][\w'&-]*)*")
+    r"^([A-Z][a-z]+(?:ed|en|ing))\s+([^,]{3,120}),\s+"
+    r"((?:(?:the|a|an)\s+(?:album|record|song)\s+)?[A-Z].+)$")
+_SUBJ_RE = re.compile(
+    r"^(?:(?:the|a|an)\s+(?:album|record|song)\s+)?"
+    r"([A-Z][\w'&-]*(?:\s+[A-Z][\w'&-]*)*)")
 
 
 def expand_fronted_participle(sent: str) -> List[str]:
@@ -336,7 +344,7 @@ def expand_fronted_participle(sent: str) -> List[str]:
     sm = _SUBJ_RE.match(main)
     if not sm:
         return [sent]
-    subj = sm.group(0)
+    subj = sm.group(1)
     return [main if main.endswith((".", "!", "?")) else main + ".",
             f"{subj} was {part.lower()} {front}."]
 

@@ -77,6 +77,7 @@ GENERAL_REL_LEMMAS: Dict[str, frozenset] = {
         "band", "studio", "voice", "voiced"),
     "released_in": _stem_set(
         "release", "released", "issue", "issued", "publish", "published",
+        "dated",
         "debut", "debuted", "appear", "appeared", "drop", "dropped",
         "unveil", "unveiled", "ship", "shipped", "deliver", "delivered",
         "market", "marketed", "arrive", "arrived", "arrival", "surface",
@@ -360,7 +361,8 @@ _PREAMBLE_RE = re.compile(
     r"[^:,?]{0,60}?[:,]\s+", re.IGNORECASE)
 _PREAMBLE_MATERIAL_RE = re.compile(
     r"^[^:,?]{0,60}?\b(?:passage|paragraph|text|material|excerpt|article|"
-    r"document|context|evidence)s?\b[^:,?]{0,30}?[:,]\s+", re.IGNORECASE)
+    r"document|context|evidence|quoted?)s?\b[^:,?]{0,30}?[:,]\s+",
+    re.IGNORECASE)
 
 # Synonym -> canonical template vocabulary. Patterns only ever match
 # lowercase/function words or the bare acronym LP, so capitalized entity
@@ -392,6 +394,12 @@ _Q_REWRITES: List[Tuple[re.Pattern, str]] = [
      "released on the label"),
     (re.compile(r"\breleased under the label\b"),
      "released on the label"),
+    (re.compile(r"\breleased with the label\b"),
+     "released on the label"),
+    # catalog metonymy in questions: "added to the label L's catalog"
+    (re.compile(r"\badded to the label ([A-Z][\w']*(?: [A-Z0-9][\w']*)*)"
+                r"'s catalog\b"),
+     r"released on the label \1"),
     (re.compile(r"\b(?:artist|act|musician|singer)(?: that)? "
                 r"(?:stands |standing |is )?(behind|responsible"
                 r" for)\b"), "performer of"),
@@ -470,10 +478,15 @@ def _np(s: str) -> str:
 def _frame_birthplace(s: str) -> Optional[str]:
     low = s.lower()
     if not re.search(r"\b(?:born|birth|birthplace)\b|came into the world|"
-                     r"entered the world|life began|earliest days|"
-                     r"hail from|hails from|come from", low):
+                     r"entered the world|life began|life begin|"
+                     r"earliest days|hail from|hails from|come from", low):
         return None
     for pat in (
+        # "What city appears on X's birth record?" / "Where did life
+        # begin for X?"
+        r"^(?:what|which)\s+(?:city|town|place)\s+appears\s+on\s+"
+        r"(?P<np>.+?)['’]s\s+birth\s+record[\s?.!]*$",
+        r"^where\s+did\s+life\s+begin\s+for\s+(?P<np>.+?)[\s?.!]*$",
         # wh-in-situ with a birth idiom: "X came into the world in which
         # city?"
         r"^(?P<np>.+?)\s+(?:came\s+into\s+the\s+world|entered\s+the\s+"
@@ -530,7 +543,11 @@ def _frame_performer(s: str) -> Optional[str]:
         r"(?P<np>.+?)[\s?.!]*$",
         r"^who(?:m)?\s+(?:sang|sings|recorded|made|voiced)\s+"
         r"(?:the\s+album\s+)?(?P<np>.+?)[\s?.!]*$",
-        r"^who\s+(?:is|was)\s+(?:heard|featured)\s+on\s+(?P<np>.+?)[\s?.!]*$",
+        r"^who\s+(?:is|was)\s+(?:heard|featured)\s+"
+        r"(?:singing\s+|playing\s+)?on\s+(?P<np>.+?)[\s?.!]*$",
+        # "Whose voice fills W?"
+        r"^whose\s+voice\s+(?:fills|carries|anchors)\s+"
+        r"(?P<np>.+?)[\s?.!]*$",
         # "Which act stands behind W?" normalizes to "Which performer of
         # W?" via _Q_REWRITES; parse that and the unrewritten original
         r"^(?:which|what)\s+(?:is\s+the\s+)?performer\s+of\s+"
@@ -565,6 +582,9 @@ def _frame_spouse(s: str) -> Optional[str]:
         # "Who shares married life with X?"
         r"^who\s+shares\s+(?:married\s+life|a\s+marriage|wedlock)\s+"
         r"with\s+(?P<np>.+?)[\s?.!]*$",
+        # "Who is X's other half in marriage?"
+        r"^who\s+(?:is|was)\s+(?P<np>.+?)['’]s\s+other\s+half"
+        r"(?:\s+in\s+marriage)?[\s?.!]*$",
     ):
         m = re.match(pat, s, re.IGNORECASE)
         if m:
@@ -575,8 +595,9 @@ def _frame_spouse(s: str) -> Optional[str]:
 def _frame_release_year(s: str) -> Optional[str]:
     for pat in (
         r"^(?:in\s+)?(?:what|which)\s+year\s+(?:did|was)\s+(?P<np>.+?)\s+"
-        r"(?:released|come\s+out|appear|arrive|surface|debut|"
-        r"reach\s+the\s+public|hit\s+stores|go\s+on\s+sale)[\s?.!]*$",
+        r"(?:first\s+)?(?:released|come\s+out|appear|arrive|surface|"
+        r"debut|reach\s+the\s+public|reach\s+(?:record\s+)?"
+        r"(?:shops|stores|shelves)|hit\s+stores|go\s+on\s+sale)[\s?.!]*$",
         r"^(?:what|which)\s+year\s+saw\s+(?:the\s+release\s+of\s+)?"
         r"(?P<np>.+?)(?:\s+released)?[\s?.!]*$",
         r"^(?:what|which)\s+year\s+marks\s+the\s+release\s+of\s+"
@@ -616,6 +637,9 @@ def _frame_released_first(s: str) -> Optional[str]:
         r"^(?:of|out\s+of|between)\s+(?P<a>.+?)\s+and\s+(?P<b>.+?)[,:]?"
         r"\s+which(?:\s+one)?\s+predates\s+the\s+other"
         r"(?:\s+in\s+release)?[\s?.!]*$",
+        # "Which of A and B was on shelves sooner?"
+        r"^which\s+of\s+(?P<a>.+?)\s+and\s+(?P<b>.+?)\s+was\s+on\s+"
+        r"(?:the\s+)?shelves\s+(?:sooner|first|earlier)[\s?.!]*$",
     ):
         m = re.match(pat, s, re.IGNORECASE)
         if m:
@@ -634,9 +658,9 @@ _COUNT_FRAMES: List[Tuple[re.Pattern, object]] = [
      r"How many \1 "),
     (re.compile(r"^State\s+how\s+many\b", re.IGNORECASE), "How many"),
     (re.compile(r"^What\s+number\s+of\b", re.IGNORECASE), "How many"),
-    (re.compile(r"^(?:Tally|Count)\s+the\s+(\w+)[:,]?\s*how\s+many\b",
-                re.IGNORECASE), r"How many"),
-    (re.compile(r"^(?:Tally|Count)\s+the\s+(\w+)[:,]?\s*", re.IGNORECASE),
+    (re.compile(r"^(?:Tally|Count)(?:\s+up)?\s+the\s+(\w+)[:,]?\s*how\s+many\b",
+                re.IGNORECASE), r"How many \1"),
+    (re.compile(r"^(?:Tally|Count)(?:\s+up)?\s+the\s+(\w+)[:,]?\s*", re.IGNORECASE),
      r"How many \1 "),
     (re.compile(r"^What(?:'s|\s+is)\s+the\s+(?:tally|count|number|total)"
                 r"\s+of\s+(?:the\s+)?(\w+)[:,]?\s*", re.IGNORECASE),
@@ -852,6 +876,60 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
                 + r") entered the catalog of the label (" + _ENT
                 + r") (in|on) (" + _DATE + r")\.", re.M),
      r"\3, a \2 by \1, came out \5 \6 on the label \4."),
+    # catalog metonymy, label side: "in the label L's catalog" is the
+    # released_on_label adjunct; "with P credited" the performer
+    (re.compile(r"^The (album|record|song) (" + _ENT + r") appeared "
+                r"(in|on) (" + _DATE + r") (?:in|on) the label (" + _ENT
+                + r")'s catalog(?:, with (" + _ENT + r") credited)?\.",
+                re.M),
+     lambda m: (f"{m.group(2)}, an {m.group(1)} by {m.group(6)}, "
+                if m.group(6) else f"{m.group(2)} ")
+     + f"was released {m.group(3)} {m.group(4)} on the label "
+     + f"{m.group(5)}."),
+    (re.compile(r"^(It|They|" + _ENT + r") joined the label (" + _ENT
+                + r")'s catalog (in|on) (" + _DATE + r")\.", re.M),
+     r"\1 was released \3 \4 on the label \2."),
+    (re.compile(r"^The label (" + _ENT + r") added (it|them|" + _ENT
+                + r") to its catalog (in|on) (" + _DATE + r")\.", re.M),
+     r"\2 was released \3 \4 on the label \1."),
+    # catalog metonymy, person side = discography
+    (re.compile(r"^(" + _ENT + r") sits in (" + _ENT + r")'s catalog\.",
+                re.M),
+     r"\1 is an album by \2."),
+    # sleeve/voice metonymy performer statements
+    (re.compile(r"^(" + _ENT + r")'s name appears on the sleeve of ("
+                + _ENT + r")\.", re.M),
+     r"\2 is an album by \1."),
+    (re.compile(r"^(" + _ENT + r") carries (" + _ENT
+                + r")'s voice throughout\.", re.M),
+     r"\1 is an album performed by \2."),
+    (re.compile(r"^Every track on (" + _ENT + r") is sung by (" + _ENT
+                + r")\.", re.M),
+     r"\1 is an album performed by \2."),
+    (re.compile(r"^Studio work on the (album|record|song) (" + _ENT
+                + r") was handled by (" + _ENT + r")\.", re.M),
+     r"\3 recorded the \1 \2."),
+    (re.compile(r"^The (album|record|song) (" + _ENT
+                + r") took shape with (" + _ENT
+                + r") at the microphone\.", re.M),
+     r"\3 recorded the \1 \2."),
+    # shelf-stocking releases with the label as agent
+    (re.compile(r"^In (\d{4}),? the label (" + _ENT + r") put (it|them|"
+                + _ENT + r") on (?:record-store |store |the )?shelves\.",
+                re.M),
+     r"\3 was released in \1 on the label \2."),
+    (re.compile(r"^(?:Its|(" + _ENT + r")'s) first day of sale, ("
+                + _DATE + r"), came (?:courtesy of|thanks to|via|"
+                r"through) the label (" + _ENT + r")\.", re.M),
+     lambda m: (f"{m.group(1) or 'It'} was released on {m.group(2)} "
+                f"on the label {m.group(3)}.")),
+    (re.compile(r"^The label (" + _ENT + r") set (" + _DATE
+                + r") as (?:its|the) release date\.", re.M),
+     r"It was released on \2 on the label \1."),
+    (re.compile(r"^Record shops first stocked (it|them|" + _ENT
+                + r") (in|on) (" + _DATE + r"), a release of the label ("
+                + _ENT + r")\.", re.M),
+     r"\1 was released \2 \3 on the label \4."),
     # em-dash appositive with a possessive: "W — P's album — reached
     # shelves ..." onto the comma-appositive shape the expansion pass
     # splits ("W, an album by P, ...")
@@ -1011,6 +1089,13 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
     (re.compile(r"^([\w-]+) tracks make up the (?:album|record|release)\.",
                 re.M),
      r"It features \1 tracks."),
+    # listening/sleeve metonymy counts: "Play it end to end and you pass
+    # N tracks." / "The sleeve lists N tracks."
+    (re.compile(r"^Play (?:it|the \w+) end to end and you pass "
+                r"([\w-]+) tracks\.", re.M),
+     r"It features \1 tracks."),
+    (re.compile(r"^The sleeve lists ([\w-]+) tracks\.", re.M),
+     r"It features \1 tracks."),
     # locative-inversion count: "Running through it are N tracks."
     (re.compile(r"^Running through (?:it|the \w+) are ([\w-]+) tracks\.",
                 re.M),
@@ -1051,6 +1136,23 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
     (re.compile(r"^(" + _ENT + r"(?:, [A-Z][\w']*)?) counts ([^.]+?) "
                 r"among its natives\.", re.M),
      r"\2 is a native of \1."),
+    # "Life for P began in C." (fronted benefactive of the life-began
+    # idiom)
+    (re.compile(r"^Life for (" + _ENT + r") began in ([^.]+)\.", re.M),
+     r"\1 was born in \2."),
+    # street metonymy: "P grew up on C's streets." (subject may be a
+    # pronoun the topic-coref pass resolves after this rewrite)
+    (re.compile(r"^([A-Z][\w' ]*?) grew up on (" + _ENT
+                + r"(?:, [A-Z][\w']*)?)'s streets\.", re.M),
+     r"\1 was born in \2."),
+    # "P's childhood unfolded in C."
+    (re.compile(r"^([A-Z][\w' ]*?)'s childhood unfolded in ([^.]+)\.",
+                re.M),
+     r"\1 was born in \2."),
+    # "C appears on P's birth record."
+    (re.compile(r"^(" + _ENT + r"(?:, [A-Z][\w']*)?) appears on ("
+                + _ENT + r")'s birth record\.", re.M),
+     r"\2 was born in \1."),
     # registry nominal: "The record books list C as P's birthplace."
     (re.compile(r"^The record books? lists? ([^.]+?) as (" + _ENT
                 + r")'s (?:birthplace|birth (?:city|town|place))\.",
@@ -1126,6 +1228,26 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
     (re.compile(r"^The founding papers of (" + _ENT + r") bears? ("
                 + _ENT + r")'s signature\.", re.M),
      r"\1 was founded by \2."),
+    # gratitude/cleft founder idioms: "Org exists thanks to F's founding
+    # work." / "It was F who set Org going." / "Org got going when F
+    # opened it." / "Setting up Org was F's doing." / "Org has F to
+    # thank for its existence."
+    (re.compile(r"^(" + _ENT + r") exists thanks to (" + _ENT
+                + r")'s (?:founding|foundational) (?:work|efforts?)\.",
+                re.M),
+     r"\1 was founded by \2."),
+    (re.compile(r"^It was (" + _ENT + r") who (?:set|got) (" + _ENT
+                + r") going\.", re.M),
+     r"\2 was founded by \1."),
+    (re.compile(r"^(" + _ENT + r") got going when (" + _ENT
+                + r") opened it\.", re.M),
+     r"\1 was founded by \2."),
+    (re.compile(r"^Setting up (" + _ENT + r") was (" + _ENT
+                + r")'s doing\.", re.M),
+     r"\1 was founded by \2."),
+    (re.compile(r"^(" + _ENT + r") has (" + _ENT + r") to thank for "
+                r"its (?:existence|founding|start)\.", re.M),
+     r"\1 was founded by \2."),
     # spouse — conjoined subject and nominal statements
     (re.compile(r"^(" + _ENT + r") and (" + _ENT + r")(?: in (\d{4}))?"
                 r" (?:married|wed)\.", re.M),
@@ -1134,10 +1256,34 @@ _S_REWRITES: List[Tuple[re.Pattern, str]] = [
     (re.compile(r"(" + _ENT + r")'s marriage is to ([^.]+)\."),
      r"\1 married \2."),
     # abstract-noun subject: "Marriage ties A to B." / "Matrimony linked
-    # A and B."
+    # A and B." / "Marriage links the household of A and B."
     (re.compile(r"^(?:Marriage|Matrimony|Wedlock) (?:ties|tied|links|"
-                r"linked|joins|joined|binds|bound|unites|united) ("
+                r"linked|joins|joined|binds|bound|unites|united) "
+                r"(?:the households? of )?("
                 + _ENT + r") (?:to|and|with) (" + _ENT + r")\.", re.M),
+     r"\1 married \2."),
+    # "At home, P's other half is S." / "S is P's other half (in
+    # marriage)."
+    (re.compile(r"^(?:At home, )?(" + _ENT + r")'s other half "
+                r"(?:in marriage )?(?:is|was) (" + _ENT + r")\.", re.M),
+     r"\1 married \2."),
+    (re.compile(r"^(" + _ENT + r") (?:is|was) (" + _ENT
+                + r")'s other half(?: in marriage)?\.", re.M),
+     r"\2 married \1."),
+    # wedding event subjects: "A wedding (in Y) made A and B a pair." /
+    # "A and B swapped rings (in Y)."
+    (re.compile(r"^A wedding(?: in (\d{4}))? made (" + _ENT + r") and ("
+                + _ENT + r")(?: in (\d{4}))? a (?:pair|couple)\.", re.M),
+     lambda m: (f"{m.group(2)} married {m.group(3)}"
+                + (f" in {m.group(1) or m.group(4)}"
+                   if m.group(1) or m.group(4) else "") + ".")),
+    (re.compile(r"^(" + _ENT + r") and (" + _ENT + r")(?: in (\d{4}))?"
+                r" swapped rings(?: in (\d{4}))?\.", re.M),
+     lambda m: (f"{m.group(1)} married {m.group(2)}"
+                + (f" in {m.group(3) or m.group(4)}"
+                   if m.group(3) or m.group(4) else "") + ".")),
+    (re.compile(r"^(" + _ENT + r") and (" + _ENT + r") share a "
+                r"household and a marriage\.", re.M),
      r"\1 married \2."),
     # possessive-host marriage nominal: "A's partner in marriage is B."
     (re.compile(r"^(" + _ENT + r")'s partner in (?:marriage|wedlock) "

@@ -176,7 +176,7 @@ _SENT_OPENER_STEMS = frozenset({
     "later", "today", "currently", "although", "while", "when", "where",
     "there", "during", "after", "before", "following", "starting",
     "beginning", "perform", "debut", "appear", "nam", "locat", "situat",
-    "early", "critic", "listen"})
+    "early", "critic", "listen", "dat", "play", "set", "runn"})
 
 
 def _is_positional_capital(text: str, start: int, span: str) -> bool:

@@ -662,7 +662,11 @@ _E_D4 = [
 ]
 
 _Q_D4 = [
-    (re.compile(r"\breleased on the label ([A-Z][\w' ]+)"),
+    # entity capture is capitalized-words-only: a [\w' ]+ span swallows
+    # trailing lowercase question words ("the label Mira Disc born") and
+    # garbles the question into non-English
+    (re.compile(r"\breleased on the label "
+                r"([A-Z][\w']*(?: [A-Z0-9][\w']*)*)"),
      [r"added to the label \1's catalog",
       r"released with the label \1"]),
     (re.compile(r"\bIn which city was ([^?]+?) born\?"),
