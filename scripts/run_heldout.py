@@ -30,6 +30,12 @@ def main() -> int:
     ap.add_argument("--p-evidence", type=float, default=0.8)
     ap.add_argument("--p-question", type=float, default=0.6)
     ap.add_argument("--report", default="docs/heldout_report.json")
+    ap.add_argument("--embedder", default="hash",
+                    choices=("hash", "trained"),
+                    help="trained = the in-image 24L/1024h checkpoint "
+                    "(checkpoints/encoder_synth_full) as the pipeline "
+                    "embedder — the VERDICT r4 #4 end-to-end proof")
+    ap.add_argument("--device", default="cpu", choices=("cpu", "tpu"))
     ap.add_argument("--bank", default="v1",
                     help="paraphrase bank (v1 = dev since round 4; v2 = "
                          "the held-out test bank)")
@@ -38,7 +44,8 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from gen_heldout_musique import make_heldout
     from gen_synth_musique import N_KINDS
@@ -48,8 +55,29 @@ def main() -> int:
                                          gold_aliases)
     from anorag_tpu.pipeline_musique import process_musique_item
 
-    cfg.set("embedding.backend", "hash")
-    cfg.set("embedding.dim", 128)
+    if args.embedder == "trained":
+        import json as _json
+        rep = _json.loads(open("checkpoints/encoder_synth_full_report.json"
+                               ).read())["config"]
+        cfg.set("embedding.backend", "jax")
+        cfg.set("embedding.model_name", "")
+        cfg.set("embedding.dim", rep["hidden"])
+        cfg.set("embedding.checkpoint_path",
+                str(Path("checkpoints/encoder_synth_full").resolve()))
+        cfg.set("encoder", {"vocab_size": rep["vocab"],
+                            "hidden_size": rep["hidden"],
+                            "num_layers": rep["layers"],
+                            "num_heads": rep["heads"],
+                            "intermediate_size": rep["ffn"],
+                            # the checkpoint's position table is
+                            # (max_position, hidden) — must match or
+                            # orbax refuses the restore
+                            "max_position": rep.get("max_position", 128),
+                            "pooling": rep.get("pooling", "mean")})
+        cfg.set("embedding.max_length", rep.get("max_position", 128))
+    else:
+        cfg.set("embedding.backend", "hash")
+        cfg.set("embedding.dim", 128)
     cfg.set("vector_store.index_type", "Flat")
 
     items = make_heldout(args.n, args.distractors, args.seed,
