@@ -1434,3 +1434,102 @@ def test_attr_sum_decade_filtered():
     assert answer_attr_sum(
         "How many tracks in total do the albums released on the label "
         "Tiden Records in the 1990s have?", g, cands[:1]) is None
+
+
+# -------------------------------------------------------- v29 stages
+def test_attr_median_order_statistic():
+    """v29 kind 98: median is a SORT, not a sum — and an even-sized set
+    averages the middle pair."""
+    from anorag_tpu.answer.comparative import answer_attr_average
+
+    g = _label_graph([("Holden Harbor", 1992), ("Linlin Garden", 1995),
+                      ("Denon Harbor", 1966)])
+    cands = [
+        {"title": "Holden Harbor (album)", "paragraph_idxs": [0],
+         "content": "Holden Harbor features three tracks."},
+        {"title": "Linlin Garden (album)", "paragraph_idxs": [1],
+         "content": "Linlin Garden features nineteen tracks."},
+        {"title": "Denon Harbor (album)", "paragraph_idxs": [2],
+         "content": "Denon Harbor features seven tracks."},
+    ]
+    res = answer_attr_average(
+        "What is the median number of tracks across the albums on the "
+        "label Tiden Records?", g, cands)
+    assert res["answer"] == "7" and res["method"] == "attr_median"
+    # the mean phrasing still takes the mean path on the same set
+    res = answer_attr_average(
+        "What is the average number of tracks across the albums on the "
+        "label Tiden Records?", g, cands)
+    assert res["method"] == "attr_average"
+
+
+def test_between_which_unique_interior_member():
+    """v29 kind 99: strict two-anchor interval selection; ambiguous or
+    empty interiors are unsound."""
+    from anorag_tpu.answer.comparative import answer_between_which
+
+    g = _label_graph([("Holden Harbor", 1960), ("Linlin Garden", 1975),
+                      ("Denon Harbor", 1990), ("Tora Echo", 2001)])
+    res = answer_between_which(
+        "Which album on the label Tiden Records was released after "
+        "Holden Harbor but before Denon Harbor?", g, [])
+    assert res["answer"] == "Linlin Garden"
+    assert res["method"] == "between_which"
+    # two interior members -> ambiguous -> None
+    assert answer_between_which(
+        "Which album on the label Tiden Records was released after "
+        "Holden Harbor but before Tora Echo?", g, []) is None
+
+
+def test_label_descriptor_spouse_founder_count():
+    """v29 kind 100: 'the label founded by the spouse of P' resolves
+    through spouse_of then AGAINST founded_by before the count."""
+    from anorag_tpu.answer.comparative import answer_count
+    from anorag_tpu.llm.note_generator import extract_note_keys
+
+    g = _label_graph([("Holden Harbor", 1992), ("Linlin Garden", 1995)])
+    for nid, text, ents in (
+            ("sp", "Mira Tolin married Benda Kesh.",
+             ["Mira Tolin", "Benda Kesh"]),
+            ("fd", "Tiden Records was founded by Benda Kesh.",
+             ["Tiden Records", "Benda Kesh"])):
+        keys = extract_note_keys(text, ents)
+        g.add_notes([{"note_id": nid, "content": text, **keys,
+                      "paragraph_idxs": [9]}])
+    res = answer_count(
+        "How many albums were released on the label founded by the "
+        "spouse of Mira Tolin?", g, [])
+    assert res["answer"] == "2"
+    assert 9 in res["support_idxs"]
+
+
+def test_performer_intersection_count():
+    """v29 kind 101: COUNT of the roster intersection (the selection
+    stage refuses when the intersection isn't a single performer)."""
+    from anorag_tpu.answer.comparative import (
+        answer_performer_intersection_count)
+    from anorag_tpu.llm.note_generator import extract_note_keys
+
+    g = NoteGraph()
+    rows = [
+        ("a0", "Holden Harbor was released in 1990 on the label Kone Disc.",
+         ["Holden Harbor", "1990", "Kone Disc"]),
+        ("a1", "Holden Harbor is an album by Mira Tolin.",
+         ["Holden Harbor", "Mira Tolin"]),
+        ("b0", "Linlin Garden was released in 1991 on the label Vane Disc.",
+         ["Linlin Garden", "1991", "Vane Disc"]),
+        ("b1", "Linlin Garden is an album by Mira Tolin.",
+         ["Linlin Garden", "Mira Tolin"]),
+        ("c0", "Denon Harbor was released in 1992 on the label Vane Disc.",
+         ["Denon Harbor", "1992", "Vane Disc"]),
+        ("c1", "Denon Harbor is an album by Sato Benlin.",
+         ["Denon Harbor", "Sato Benlin"]),
+    ]
+    for nid, text, ents in rows:
+        keys = extract_note_keys(text, ents)
+        g.add_notes([{"note_id": nid, "content": text, **keys,
+                      "paragraph_idxs": [int(nid[1])]}])
+    res = answer_performer_intersection_count(
+        "How many performers released albums on both the label Kone Disc "
+        "and the label Vane Disc?", g, [])
+    assert res["answer"] == "1"
